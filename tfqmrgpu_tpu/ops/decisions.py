@@ -1,0 +1,110 @@
+"""The three tfQMR scalar decision updates.
+
+These act on per-RHS scalar fields of shape ``[nCols, LN]`` -- one logical
+scalar recurrence per right-hand side.  The reference runs them as tiny
+<<<nCols, LN>>> kernels with one thread per RHS (tfqmrgpu_linalg.hxx:31-254);
+here they are branchless jnp expressions fused into the iteration body.
+
+All intermediate arithmetic is float64, matching the reference (which casts
+real_t scalars to double inside the kernels); results are cast back to the
+data precision where the reference stores real_t.
+
+Status codes per RHS (int8 semantics):  0 iterating, 1 converged,
+-1 dec35 breakdown, -2 dec34 breakdown, -3 stagnation/early convergence.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# reference: #define EPSILON 2.5e-308 (tfqmrgpu_linalg.hxx:31)
+EPSILON = 2.5e-308
+
+Pair = tuple
+
+
+def _abs2(re, im):
+    return re * re + im * im
+
+
+def dec35(status, rho: Pair, z35: Pair, out_dtype):
+    """beta := z35 / rho;  rho := z35;  breakdown -> status -1, beta=rho=0.
+
+    Reference: tfQMRdec35_kernel (tfqmrgpu_linalg.hxx:34-78).
+    Returns (status, rho, beta).
+    """
+    rho_re = rho[0].astype(jnp.float64)
+    rho_im = rho[1].astype(jnp.float64)
+    z_re, z_im = z35
+    breakdown = (_abs2(z_re, z_im) < EPSILON) | (_abs2(rho_re, rho_im) < EPSILON)
+    denom = 1.0 / jnp.where(breakdown, 1.0, _abs2(rho_re, rho_im))
+    bet_re = (z_re * rho_re + z_im * rho_im) * denom
+    bet_im = (z_im * rho_re - z_re * rho_im) * denom
+    zero = jnp.zeros_like(z_re)
+    new_status = jnp.where(breakdown, jnp.int32(-1), status)
+    beta = (jnp.where(breakdown, zero, bet_re).astype(out_dtype),
+            jnp.where(breakdown, zero, bet_im).astype(out_dtype))
+    new_rho = (jnp.where(breakdown, zero, z_re).astype(out_dtype),
+               jnp.where(breakdown, zero, z_im).astype(out_dtype))
+    return new_status, new_rho, beta
+
+
+def dec34(status, rho: Pair, eta: Pair, z34: Pair, var, out_dtype):
+    """alfa := -rho / z34;  c67 := z34 * (var * eta / rho);
+    breakdown -> status -2, alfa=c67=0.
+
+    Reference: tfQMRdec34_kernel (tfqmrgpu_linalg.hxx:97-154).
+    Returns (status, c67, alfa).
+    """
+    rho_re = rho[0].astype(jnp.float64)
+    rho_im = rho[1].astype(jnp.float64)
+    eta_re = eta[0].astype(jnp.float64)
+    eta_im = eta[1].astype(jnp.float64)
+    z_re, z_im = z34
+    abs2rho = _abs2(rho_re, rho_im)
+    abs2z34 = _abs2(z_re, z_im)
+    breakdown = (abs2z34 < EPSILON) | (abs2rho < EPSILON)
+    z_denom = -1.0 / jnp.where(breakdown, 1.0, abs2z34)
+    alf_re = (rho_re * z_re + rho_im * z_im) * z_denom
+    alf_im = (rho_im * z_re - rho_re * z_im) * z_denom
+    vrho_denom = var / jnp.where(breakdown, 1.0, abs2rho)
+    tmp_re = (eta_re * rho_re + eta_im * rho_im) * vrho_denom
+    tmp_im = (eta_im * rho_re - eta_re * rho_im) * vrho_denom
+    c67_re = z_re * tmp_re - z_im * tmp_im
+    c67_im = z_im * tmp_re + z_re * tmp_im
+    zero = jnp.zeros_like(z_re)
+    new_status = jnp.where(breakdown, jnp.int32(-2), status)
+    alfa = (jnp.where(breakdown, zero, alf_re).astype(out_dtype),
+            jnp.where(breakdown, zero, alf_im).astype(out_dtype))
+    c67 = (jnp.where(breakdown, zero, c67_re).astype(out_dtype),
+           jnp.where(breakdown, zero, c67_im).astype(out_dtype))
+    return new_status, c67, alfa
+
+
+def dect(status, var, tau, alfa: Pair, d55, out_dtype, with_c67: bool):
+    """The tau/var/eta update after each half-step.
+
+    if |tau| > EPS:   var := d55/tau; cosi := 1/(1+var); tau := d55*cosi;
+                      r67 := var*cosi
+    else:             status := -3; var := tau := 0; cosi := 0; r67 stays 1
+    eta := -cosi*alfa  where status >= 0 else 0
+    c67 := (r67, 0)    only when with_c67 (the reference's optional out ptr)
+
+    Reference: tfQMRdecT_kernel (tfqmrgpu_linalg.hxx:176-235).
+    Returns (status, c67_or_None, eta, var, tau).
+    """
+    ok = jnp.abs(tau) > EPSILON
+    safe_tau = jnp.where(ok, tau, 1.0)
+    new_var_if = d55 / safe_tau
+    cosi = jnp.where(ok, 1.0 / (1.0 + new_var_if), 0.0)
+    new_var = jnp.where(ok, new_var_if, 0.0)
+    new_tau = jnp.where(ok, d55 * cosi, 0.0)
+    r67 = jnp.where(ok, new_var_if * cosi, 1.0)
+    new_status = jnp.where(ok, status, jnp.int32(-3))
+    neg = new_status < 0
+    zero = jnp.zeros_like(cosi)
+    eta = (jnp.where(neg, zero, -cosi * alfa[0].astype(jnp.float64)).astype(out_dtype),
+           jnp.where(neg, zero, -cosi * alfa[1].astype(jnp.float64)).astype(out_dtype))
+    c67 = (r67.astype(out_dtype), jnp.zeros_like(r67).astype(out_dtype)) \
+        if with_c67 else None
+    return new_status, c67, eta, new_var, new_tau
