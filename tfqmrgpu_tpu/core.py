@@ -120,7 +120,7 @@ def tfqmr_loop(
     dt,
 ) -> SolveResult:
     """The tfQMR while_loop, generic over the primitive set."""
-    f64 = jnp.float64
+    f64 = decisions.scalar_dtype()
     tol2 = jnp.asarray(tolerance, f64) ** 2
     maxit = jnp.asarray(max_iterations, jnp.int32)
     ncols, ln = tau0.shape
@@ -144,7 +144,7 @@ def tfqmr_loop(
         var=jnp.zeros((ncols, ln), dtype=f64),
         status=jnp.zeros((ncols, ln), dtype=jnp.int32),
         target_bound2=tol2 * 100.0 * 100.0,   # init test_factor=100 (:130)
-        residual2=jnp.asarray(1e300, f64),
+        residual2=jnp.asarray(jnp.finfo(f64).max / 8, f64),
         stop_code=jnp.int32(0),
         iters_needed=maxit,
         n_probes=jnp.int32(0),
@@ -270,14 +270,69 @@ def solve_core(
     if rhs_trivial:
         v2 = set_unit_blocks(int(subset.shape[0]), lm, ln, dt)
         v5 = prim.add_rhs(v5, v2, 1.0)
-        tau0 = jnp.ones((ncols, ln), dtype=jnp.float64)
-        inv_bn2 = jnp.ones((ncols, ln), dtype=jnp.float64)
+        sdt = decisions.scalar_dtype()
+        tau0 = jnp.ones((ncols, ln), dtype=sdt)
+        inv_bn2 = jnp.ones((ncols, ln), dtype=sdt)
     else:
         v5 = prim.add_rhs(v5, v2, 1.0)
         tau0 = prim.nrm2(v5)                 # squared column norms of B
         inv_bn2 = 1.0 / tau0
 
     return tfqmr_loop(prim, v2, v3, v5, tau0, inv_bn2,
+                      tolerance, max_iterations, dt)
+
+
+@partial(jax.jit,
+         static_argnames=("mb", "lm", "ncc", "ln", "rhs_trivial", "engine"))
+def solve_core_panel(
+    a_re, a_im,          # dense [NR, NR] planes ('dense' engine) or
+                         # BSR stream arrays ('pallas' engine, see pallas_spmm)
+    a_colind,            # int32[nnzbA] (pallas engine; dummy for dense)
+    a_rowptr,            # int32[mb+1]  (pallas engine; dummy for dense)
+    b_panel: Pair,       # [NR, ncc, LN]
+    v3_panel: Pair,      # [NR, ncc, LN] float32 shadow vector (masked)
+    mask4,               # [mb, 1, ncc, 1] in data dtype
+    tolerance,
+    max_iterations,
+    *,
+    mb: int,
+    lm: int,
+    ncc: int,
+    ln: int,
+    rhs_trivial: bool = False,
+    engine: str = "dense",
+) -> SolveResult:
+    """Panel-engine entry: vectors live as dense [NR, ncc, LN] panels
+    (see ops/panel.py for why this is the TPU-native layout)."""
+    from .ops import panel as panel_ops
+    from .ops.blocksparse import MATMUL_PRECISION
+
+    dt = b_panel[0].dtype
+    if engine == "dense":
+        multiply = panel_ops.dense_multiply(
+            a_re, a_im, mask4, mb, lm, ncc, ln, MATMUL_PRECISION)
+    elif engine == "pallas":
+        from .ops.pallas_spmm import bsr_panel_multiply
+
+        multiply = bsr_panel_multiply(
+            a_re, a_im, a_colind, mask4, mb, lm, ncc, ln,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        raise ValueError(f"unknown panel engine {engine!r}")
+
+    prim = panel_ops.make_panel_primitives(multiply, b_panel)
+
+    v5 = (b_panel[0], b_panel[1])
+    sdt = decisions.scalar_dtype()
+    if rhs_trivial:
+        tau0 = jnp.ones((ncc, ln), dtype=sdt)
+        inv_bn2 = jnp.ones((ncc, ln), dtype=sdt)
+    else:
+        tau0 = prim.nrm2(v5)
+        inv_bn2 = jnp.where(tau0 > 0, 1.0 / jnp.where(tau0 > 0, tau0, 1.0),
+                            0.0)
+
+    return tfqmr_loop(prim, b_panel, v3_panel, v5, tau0, inv_bn2,
                       tolerance, max_iterations, dt)
 
 

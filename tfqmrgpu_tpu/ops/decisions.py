@@ -15,12 +15,31 @@ Status codes per RHS (int8 semantics):  0 iterating, 1 converged,
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-# reference: #define EPSILON 2.5e-308 (tfqmrgpu_linalg.hxx:31)
+# reference: #define EPSILON 2.5e-308 (tfqmrgpu_linalg.hxx:31) -- the
+# reference always computes scalars in double; without x64 the scalar path
+# runs in float32, where the guard must sit above the f32 underflow floor.
 EPSILON = 2.5e-308
+EPSILON_F32 = 1e-35
 
 Pair = tuple
+
+
+def scalar_dtype():
+    """The dtype of the scalar recurrences: float64 when x64 is enabled
+    (reference semantics), float32 otherwise."""
+    return jax.dtypes.canonicalize_dtype(np.float64)
+
+
+def breakdown_eps():
+    return EPSILON if scalar_dtype() == jnp.float64 else EPSILON_F32
+
+
+def _f64(x):
+    return x.astype(scalar_dtype())
 
 
 def _abs2(re, im):
@@ -33,10 +52,10 @@ def dec35(status, rho: Pair, z35: Pair, out_dtype):
     Reference: tfQMRdec35_kernel (tfqmrgpu_linalg.hxx:34-78).
     Returns (status, rho, beta).
     """
-    rho_re = rho[0].astype(jnp.float64)
-    rho_im = rho[1].astype(jnp.float64)
+    eps = breakdown_eps()
+    rho_re, rho_im = _f64(rho[0]), _f64(rho[1])
     z_re, z_im = z35
-    breakdown = (_abs2(z_re, z_im) < EPSILON) | (_abs2(rho_re, rho_im) < EPSILON)
+    breakdown = (_abs2(z_re, z_im) < eps) | (_abs2(rho_re, rho_im) < eps)
     denom = 1.0 / jnp.where(breakdown, 1.0, _abs2(rho_re, rho_im))
     bet_re = (z_re * rho_re + z_im * rho_im) * denom
     bet_im = (z_im * rho_re - z_re * rho_im) * denom
@@ -56,14 +75,13 @@ def dec34(status, rho: Pair, eta: Pair, z34: Pair, var, out_dtype):
     Reference: tfQMRdec34_kernel (tfqmrgpu_linalg.hxx:97-154).
     Returns (status, c67, alfa).
     """
-    rho_re = rho[0].astype(jnp.float64)
-    rho_im = rho[1].astype(jnp.float64)
-    eta_re = eta[0].astype(jnp.float64)
-    eta_im = eta[1].astype(jnp.float64)
+    eps = breakdown_eps()
+    rho_re, rho_im = _f64(rho[0]), _f64(rho[1])
+    eta_re, eta_im = _f64(eta[0]), _f64(eta[1])
     z_re, z_im = z34
     abs2rho = _abs2(rho_re, rho_im)
     abs2z34 = _abs2(z_re, z_im)
-    breakdown = (abs2z34 < EPSILON) | (abs2rho < EPSILON)
+    breakdown = (abs2z34 < eps) | (abs2rho < eps)
     z_denom = -1.0 / jnp.where(breakdown, 1.0, abs2z34)
     alf_re = (rho_re * z_re + rho_im * z_im) * z_denom
     alf_im = (rho_im * z_re - rho_re * z_im) * z_denom
@@ -93,7 +111,7 @@ def dect(status, var, tau, alfa: Pair, d55, out_dtype, with_c67: bool):
     Reference: tfQMRdecT_kernel (tfqmrgpu_linalg.hxx:176-235).
     Returns (status, c67_or_None, eta, var, tau).
     """
-    ok = jnp.abs(tau) > EPSILON
+    ok = jnp.abs(tau) > breakdown_eps()
     safe_tau = jnp.where(ok, tau, 1.0)
     new_var_if = d55 / safe_tau
     cosi = jnp.where(ok, 1.0 / (1.0 + new_var_if), 0.0)
@@ -103,8 +121,8 @@ def dect(status, var, tau, alfa: Pair, d55, out_dtype, with_c67: bool):
     new_status = jnp.where(ok, status, jnp.int32(-3))
     neg = new_status < 0
     zero = jnp.zeros_like(cosi)
-    eta = (jnp.where(neg, zero, -cosi * alfa[0].astype(jnp.float64)).astype(out_dtype),
-           jnp.where(neg, zero, -cosi * alfa[1].astype(jnp.float64)).astype(out_dtype))
+    eta = (jnp.where(neg, zero, -cosi * _f64(alfa[0])).astype(out_dtype),
+           jnp.where(neg, zero, -cosi * _f64(alfa[1])).astype(out_dtype))
     c67 = (r67.astype(out_dtype), jnp.zeros_like(r67).astype(out_dtype)) \
         if with_c67 else None
     return new_status, c67, eta, new_var, new_tau

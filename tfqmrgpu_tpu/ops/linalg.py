@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .decisions import scalar_dtype
+
 Pair = tuple[jax.Array, jax.Array]
 
 
@@ -68,8 +70,8 @@ def dotp(x: Pair, y: Pair, colindx: jax.Array, ncols: int) -> Pair:
     # products into double accumulators; the LM-length partial is benign)
     pr = jnp.sum(x[0] * y[0] - x[1] * y[1], axis=1)  # [nnzb, LN]
     pi = jnp.sum(x[0] * y[1] + x[1] * y[0], axis=1)
-    pr = pr.astype(jnp.float64)
-    pi = pi.astype(jnp.float64)
+    pr = pr.astype(scalar_dtype())
+    pi = pi.astype(scalar_dtype())
     zr = jax.ops.segment_sum(pr, colindx, num_segments=ncols)
     zi = jax.ops.segment_sum(pi, colindx, num_segments=ncols)
     return zr, zi
@@ -80,7 +82,7 @@ def nrm2(x: Pair, colindx: jax.Array, ncols: int) -> jax.Array:
     """Per-column squared norm  d[col] = sum_{blk in col} |x|^2, float64
     [ncols, LN]  (reference: nrm2, tfqmrgpu_linalg.hxx:590-626; note the
     reference's "norm" is the SQUARED 2-norm)."""
-    p = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1).astype(jnp.float64)
+    p = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1).astype(scalar_dtype())
     return jax.ops.segment_sum(p, colindx, num_segments=ncols)
 
 

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import core
 from ..core import TfqmrPrimitives
+from ..ops import decisions
 from ..ops.blocksparse import MATMUL_PRECISION
 from ..ops.linalg import set_unit_blocks
 from .partition import (RowPartition, shard_a_array, shard_b_array,
@@ -115,15 +116,17 @@ def sharded_solve_core(
                                      indices_are_sorted=True)[:nmax]
             return yr, yi
 
+        sdt = decisions.scalar_dtype()
+
         def _dotp(x, y):
-            pr_ = jnp.sum(x[0] * y[0] - x[1] * y[1], axis=1).astype(jnp.float64)
-            pi_ = jnp.sum(x[0] * y[1] + x[1] * y[0], axis=1).astype(jnp.float64)
+            pr_ = jnp.sum(x[0] * y[0] - x[1] * y[1], axis=1).astype(sdt)
+            pi_ = jnp.sum(x[0] * y[1] + x[1] * y[0], axis=1).astype(sdt)
             zr = jax.ops.segment_sum(pr_, colindx, num_segments=ncmax)
             zi = jax.ops.segment_sum(pi_, colindx, num_segments=ncmax)
             return (jax.lax.psum(zr, "rows"), jax.lax.psum(zi, "rows"))
 
         def _nrm2(x):
-            p_ = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1).astype(jnp.float64)
+            p_ = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1).astype(sdt)
             d = jax.ops.segment_sum(p_, colindx, num_segments=ncmax)
             return jax.lax.psum(d, "rows")
 
@@ -155,7 +158,7 @@ def sharded_solve_core(
             ub = set_unit_blocks(int(subset.shape[0]), lm, ln, dt)
             bmask = b_valid[:, None, None].astype(dt)
             v2 = (ub[0] * bmask, ub[1] * bmask)
-            tau0 = jnp.where(col_valid, 1.0, 0.0).astype(jnp.float64)
+            tau0 = jnp.where(col_valid, 1.0, 0.0).astype(sdt)
             tau0 = jnp.broadcast_to(tau0, (ncmax, ln))
             inv_bn2 = tau0
         else:

@@ -22,8 +22,13 @@ from . import core
 from .bsr import Bsr
 from .errors import Status, TfqmrgpuError, encode_status
 from .ops import layout as layout_ops
+from .ops import panel as panel_ops
 from .ops.blocksparse import BlockSparseAction
 from .plan import Plan, create_plan
+
+# 'auto' picks 'dense' while the dense A planes fit in this many bytes
+# (both planes together), then falls back to the block-list 'xla' engine.
+DENSE_A_BYTE_LIMIT = int(4e9)
 
 
 def _dtype_for(precision: str):
@@ -61,17 +66,20 @@ class Solver:
         [LM, LN] blocks; X provides the solution pattern (data optional).
         B's pattern must be a subset of X's.
       precision: 'z' (complex128) or 'c' (complex64).
-      engine: 'xla' | 'pallas' SpMM implementation.
+      engine: SpMM/vector engine:
+        'dense'  -- panel engine, A densified (fast for moderate mb);
+        'pallas' -- panel engine, BSR A streamed by the Pallas kernel;
+        'xla'    -- block-list engine (reference-shaped data path);
+        'auto'   -- 'dense' when A fits DENSE_A_BYTE_LIMIT, else 'xla'.
       index_offset: 0 for C-style, 1 for Fortran-style rowptr/colind.
     """
 
     def __init__(self, a: Bsr, x: Bsr, b: Bsr, *, precision: str = "z",
-                 engine: str = "xla", index_offset: int = 0, echo: int = 0):
+                 engine: str = "auto", index_offset: int = 0, echo: int = 0):
         self.plan: Plan = create_plan(a, x, b, index_offset=index_offset,
                                       echo=echo)
         self.precision = precision
         self.dtype = _dtype_for(precision)
-        self.engine = engine
         self.echo = echo
         lm = a.slow_block_dim or (x.slow_block_dim or b.slow_block_dim)
         ln = (b.fast_block_dim or x.fast_block_dim) or lm
@@ -86,13 +94,40 @@ class Solver:
         self.plan.lm, self.plan.ln = self.lm, self.ln
         self.plan.precision = precision
 
+        rsize = 8 if precision == "z" else 4
+        if engine == "auto":
+            nr = self.plan.nrows * self.lm
+            engine = "dense" if 2 * nr * nr * rsize <= DENSE_A_BYTE_LIMIT \
+                else "xla"
+        self.engine = engine
+        if engine == "pallas" and precision != "c":
+            raise TfqmrgpuError(
+                encode_status(Status.PRECISION_MISSMATCH),
+                "the pallas engine is float32-only; use precision='c' "
+                "(no f64 MXU on TPU) or engine='dense'")
+        self._panel = engine in ("dense", "pallas")
+        self._pack = None
+        self._layout: Optional[panel_ops.PanelLayout] = None
+        if self._panel:
+            self._layout = panel_ops.PanelLayout.from_plan(self.plan)
+
         self._colindx = jnp.asarray(self.plan.colindx.astype(np.int32))
         self._subset = jnp.asarray(self.plan.subset.astype(np.int32))
         self._action: Optional[BlockSparseAction] = None
+        self._a_panel = None          # (dense planes) or (stream arrays)
         self._b: Optional[tuple] = None
         self._x_result = None
         self._info: Optional[SolveInfo] = None
-        self._v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
+        v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
+        if self._panel:
+            lay = self._layout
+            self._v3 = (jnp.asarray(lay.pack_x(np.asarray(v3[0]))),
+                        jnp.asarray(lay.pack_x(np.asarray(v3[1]))))
+            self._mask4 = jnp.asarray(
+                lay.mask[:, None, :, None].astype(
+                    np.float64 if precision == "z" else np.float32))
+        else:
+            self._v3 = v3
 
         if a.data is not None:
             self.set_matrix("A", a.data)
@@ -114,13 +149,34 @@ class Solver:
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_a, self.lm, self.lm, trans=trans,
                 layout=layout, scale=scale, dtype=npdt)
-            self._action = BlockSparseAction.from_plan(
-                self.plan, re, im, engine=self.engine, ln=self.ln)
+            if self.engine == "dense":
+                dr, di = self._layout.densify_a(self.plan, re, im)
+                self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
+            elif self.engine == "pallas":
+                from .ops.pallas_spmm import build_a_panels, pack_row_tiles
+
+                r_tile = max(1, 128 // self.lm)   # M ~ 128 rows per tile
+                self._pack = pack_row_tiles(
+                    self.plan.rowptr_a, self.plan.colind_a,
+                    self.plan.nrows, self.lm, r_tile)
+                if self.echo > 2:
+                    print(f"# pallas pack: {self._pack.ntiles} tiles x "
+                          f"{self._pack.r_tile} rows, ku={self._pack.ku}, "
+                          f"inflation {self._pack.inflation:.2f}x")
+                self._a_panel = (jnp.asarray(build_a_panels(self._pack, re)),
+                                 jnp.asarray(build_a_panels(self._pack, im)))
+            else:
+                self._action = BlockSparseAction.from_plan(
+                    self.plan, re, im, engine=self.engine, ln=self.ln)
         elif var == "B":
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_b, self.lm, self.ln, trans=trans,
                 layout=layout, scale=scale, dtype=npdt)
-            self._b = (jnp.asarray(re), jnp.asarray(im))
+            if self._panel:
+                self._b = (jnp.asarray(self._layout.pack_b(re)),
+                           jnp.asarray(self._layout.pack_b(im)))
+            else:
+                self._b = (jnp.asarray(re), jnp.asarray(im))
         elif var == "X":
             # initial guess: accepted for API parity; the solver starts from
             # zero exactly like the reference (tfqmrgpu_core.hxx:125)
@@ -142,8 +198,12 @@ class Solver:
         if self._x_result is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "solve() has not been called")
-        re = np.asarray(self._x_result[0])
-        im = np.asarray(self._x_result[1])
+        if self._panel:
+            re = self._layout.unpack_x(np.asarray(self._x_result[0]))
+            im = self._layout.unpack_x(np.asarray(self._x_result[1]))
+        else:
+            re = np.asarray(self._x_result[0])
+            im = np.asarray(self._x_result[1])
         if layout is None:
             if trans == "t":
                 re, im = np.swapaxes(re, 1, 2), np.swapaxes(im, 1, 2)
@@ -164,26 +224,47 @@ class Solver:
         if self._b is None and not rhs_trivial:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "matrix 'B' has not been set")
-        b = self._b
-        if b is None:  # trivial RHS: shape placeholder, rebuilt on device
-            z = jnp.zeros((self.plan.nnzb_b, self.lm, self.ln), self.dtype)
-            b = (z, z)
-        result = core.solve_core(
-            self.action, b, self._v3, self._colindx, self._subset,
-            tolerance, max_iterations,
-            ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
-            rhs_trivial=rhs_trivial,
-        )
+        if self._panel:
+            result = self._solve_panel(tolerance, max_iterations, rhs_trivial)
+        else:
+            b = self._b
+            if b is None:  # trivial RHS: shape placeholder, rebuilt on device
+                z = jnp.zeros((self.plan.nnzb_b, self.lm, self.ln), self.dtype)
+                b = (z, z)
+            result = core.solve_core(
+                self.action, b, self._v3, self._colindx, self._subset,
+                tolerance, max_iterations,
+                ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
+                rhs_trivial=rhs_trivial,
+            )
         self._x_result = result.x
         iters = int(result.iterations)
         n_probes = int(result.n_probes)
         status = int(result.return_status)
         actual_iters = iters if status == int(Status.SUCCESS) else \
             min(int(max_iterations), iters)
-        flops = (actual_iters * core.flops_per_iteration(
-                     self.plan.n_pairs, self.plan.nnzb_x, self.lm, self.ln)
-                 + n_probes * core.flops_per_probe(
-                     self.plan.n_pairs, self.plan.nnzb_x, self.lm, self.ln))
+        if self._panel:
+            from .ops.panel import flops_dense_multiply
+            from .ops.linalg import flops_axpy, flops_dotp, flops_nrm2
+
+            lay = self._layout
+            nb_panel = lay.mb * lay.ncc       # panel positions incl. zeros
+            spmm = (flops_dense_multiply(lay.mb, lay.lm, lay.ncc, lay.ln)
+                    if self.engine == "dense" else
+                    self.plan.nnzb_a * 8.0 * lay.lm * lay.lm
+                    * lay.ncc * lay.ln)
+            per_iter = (2 * spmm
+                        + 2 * flops_dotp(nb_panel, lay.lm, lay.ln)
+                        + 2 * flops_nrm2(nb_panel, lay.lm, lay.ln)
+                        + 10 * flops_axpy(nb_panel, lay.lm, lay.ln))
+            per_probe = spmm + flops_nrm2(nb_panel, lay.lm, lay.ln)
+            flops = actual_iters * per_iter + n_probes * per_probe
+        else:
+            flops = (actual_iters * core.flops_per_iteration(
+                         self.plan.n_pairs, self.plan.nnzb_x, self.lm, self.ln)
+                     + n_probes * core.flops_per_probe(
+                         self.plan.n_pairs, self.plan.nnzb_x, self.lm,
+                         self.ln))
         self.plan.residuum_reached = float(result.residuum)
         self.plan.iterations_needed = actual_iters
         self.plan.flops_performed = flops
@@ -198,6 +279,31 @@ class Solver:
         )
         return self._info
 
+    def _solve_panel(self, tolerance, max_iterations, rhs_trivial):
+        if self._a_panel is None:
+            raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
+                                "matrix 'A' has not been set")
+        lay = self._layout
+        npdt = np.float64 if self.precision == "z" else np.float32
+        if rhs_trivial:
+            unit = lay.unit_b_blocks(npdt)
+            b = (jnp.asarray(lay.pack_b(unit)),
+                 jnp.asarray(lay.pack_b(np.zeros_like(unit))))
+        else:
+            b = self._b
+        a_re, a_im = self._a_panel
+        dummy = jnp.zeros((1,), jnp.int32)
+        if self.engine == "pallas":
+            a_colind = jnp.asarray(self._pack.xcols)
+        else:
+            a_colind = dummy
+        a_rowptr = dummy
+        return core.solve_core_panel(
+            a_re, a_im, a_colind, a_rowptr, b, self._v3, self._mask4,
+            tolerance, max_iterations,
+            mb=lay.mb, lm=lay.lm, ncc=lay.ncc, ln=lay.ln,
+            rhs_trivial=rhs_trivial, engine=self.engine)
+
     def get_info(self) -> SolveInfo:
         if self._info is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
@@ -209,7 +315,7 @@ class Solver:
 
 def solve(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "z",
           tolerance: float = 1e-6, max_iterations: int = 999,
-          engine: str = "xla", index_offset: int = 0,
+          engine: str = "auto", index_offset: int = 0,
           echo: int = 0) -> tuple[Bsr, SolveInfo]:
     """One-call convenience: returns (X with data attached, SolveInfo).
     The TPU analogue of tfqmrgpu::tfqmrgpu_bsrsv (tfqmrgpu.cu:700-791)."""
