@@ -75,14 +75,15 @@ class Solver:
     """
 
     def __init__(self, a: Bsr, x: Bsr, b: Bsr, *, precision: str = "z",
-                 engine: str = "auto", index_offset: int = 0, echo: int = 0):
-        self.plan: Plan = create_plan(a, x, b, index_offset=index_offset,
-                                      echo=echo)
+                 engine: str = "auto", index_offset: int = 0, echo: int = 0,
+                 lm: int = 0, ln: int = 0, plan: Optional[Plan] = None):
+        self.plan: Plan = plan if plan is not None else create_plan(
+            a, x, b, index_offset=index_offset, echo=echo)
         self.precision = precision
         self.dtype = _dtype_for(precision)
         self.echo = echo
-        lm = a.slow_block_dim or (x.slow_block_dim or b.slow_block_dim)
-        ln = (b.fast_block_dim or x.fast_block_dim) or lm
+        lm = lm or a.slow_block_dim or (x.slow_block_dim or b.slow_block_dim)
+        ln = ln or (b.fast_block_dim or x.fast_block_dim) or lm
         if lm < 1:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "cannot infer block dims; attach data to A/B")
