@@ -1,0 +1,98 @@
+"""Tests for the pair-plan panel SpMM engine (ops/pairpanel.py):
+geometry recovery from bare pair lists, relabeling, window assignment, and
+multiply correctness vs a NumPy pair walk (the reference semantics,
+bench_tfqmrgpu.cu:353-419)."""
+
+import numpy as np
+import pytest
+
+from tfqmrgpu_tpu.ops import pairpanel as pp
+
+
+def _bsr_pair_plan(rng, mb=24, ncols=3, lm=8, ln=8, stencil=(0, 1, 2)):
+    """Build a banded BSR problem and emit its pair list (shuffled)."""
+    rows_a, cols_a = [0], []
+    for i in range(mb):
+        cs = sorted({(i + s) % mb for s in stencil})
+        cols_a.extend(cs)
+        rows_a.append(len(cols_a))
+    rowptr_a = np.array(rows_a)
+    colind_a = np.array(cols_a)
+    # X pattern: full mb x ncols
+    x_row = np.repeat(np.arange(mb), ncols)
+    x_col = np.tile(np.arange(ncols), mb)
+    nx = mb * ncols
+    xid = {(int(r), int(c)): i for i, (r, c) in enumerate(zip(x_row, x_col))}
+    pa, px, py = [], [], []
+    for iy in range(nx):
+        r, c = int(x_row[iy]), int(x_col[iy])
+        for ia in range(rowptr_a[r], rowptr_a[r + 1]):
+            k = int(colind_a[ia])
+            if (k, c) in xid:
+                pa.append(ia)
+                px.append(xid[(k, c)])
+                py.append(iy)
+    pa, px, py = map(np.array, (pa, px, py))
+    sh = rng.permutation(len(pa))
+    return pa[sh], px[sh], py[sh], len(colind_a), nx
+
+
+def _np_pairwalk(pa, px, py, a, x, ny):
+    y = np.zeros((ny,) + (a.shape[1], x.shape[2]), complex)
+    for i in range(len(pa)):
+        y[py[i]] += a[pa[i]] @ x[px[i]]
+    return y
+
+
+@pytest.mark.parametrize("r_tile", [1, 2, 4])
+def test_pairpanel_multiply_matches_pairwalk(rng, r_tile):
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=10, ncols=2, lm=lm, ln=ln)
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=r_tile)
+    assert plan.inflation < 4.0
+
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    mult = pp.make_pairpanel_multiply(plan, panels, precision="highest",
+                                      interpret=True)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_geometry_recovery_counts(rng):
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=16, ncols=4)
+    frag, col = pp.recover_geometry(pa, px, py, nx)
+    assert col.max() + 1 == 4            # the 4 X columns
+    assert frag.max() + 1 <= 16          # fragments refine the 16 rows
+
+
+def test_known_geometry_shortcut(rng):
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=12, ncols=2, lm=lm, ln=ln)
+    x_row = np.repeat(np.arange(12), 2)
+    x_col = np.tile(np.arange(2), 12)
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=2,
+                             row_of=x_row, col_of=x_col)
+    assert plan.ntiles == (nx + 1) // 2
+
+
+def test_span_budget_raises():
+    rng = np.random.default_rng(3)
+    n = 256
+    pa = rng.integers(0, 300, 1500)
+    px = rng.integers(0, n, 1500)
+    py = rng.integers(0, n, 1500)
+    with pytest.raises(ValueError):
+        pp.pack_pair_plan(pa, px, py, n, n, 8, 8, r_tile=2, max_window=32)

@@ -1,0 +1,583 @@
+"""Pallas pair-plan SpMM engine: Y[iY] += A[iA] @ X[iX] over a pair list.
+
+This is the TPU-native replacement for the reference's gemmNxNf pair walk
+(reference: tfQMRgpu/include/tfqmrgpu_blockmult.hxx:10-93 and the `multi`
+benchmark mode, bench_tfqmrgpu.cu:289-440).  The reference assigns one CUDA
+block per Y block and walks its (iA, iX) pairs through shared memory; a
+literal port would be gather-bound on TPU.  Instead the plan is compiled,
+once, into an MXU/DMA-friendly schedule:
+
+1.  **Geometry recovery** (host, pattern-only).  A pair list is generated
+    from an underlying BSR triple (tfqmrgpu.cu:183-230): pairs sharing an iA
+    belong to one block row; iY--iX connectivity closes block columns.
+    Union-find recovers these labels even from bare pair files
+    (test/multiplication/plan_*.14-287-16 carry no BSR structure).
+2.  **Bandwidth-minimizing relabeling**.  X/Y blocks are renamed
+    column-major with rows in Cuthill-McKee order of the row-adjacency
+    graph, which shrinks the X-index span of every Y tile from O(nnzbX) to
+    O(stencil bandwidth) -- the golden plan drops from ~3160 to <160.
+3.  **Union-ELL A panels**.  Y blocks are grouped into tiles of ``r_tile``;
+    each tile's A blocks are scattered (host, once per setMatrix) into a
+    dense panel [2*r_tile*LM, ku*LM] holding the re plane stacked on the im
+    plane, so that one MXU matmul per tile computes all four real products:
+        [a_re; a_im] @ [x_re | x_im] = [[P1 P2]; [Q1 Q2]],
+        y_re = P1 - Q2,  y_im = P2 + Q1.
+4.  **Sliding X window**.  X lives in HBM as one flat [nblocks*LM, LN]
+    panel; the kernel sees two consecutive S-block windows selected per tile
+    through scalar-prefetch index_maps, so any tile whose span fits S reads
+    its operands from VMEM.  Consecutive tiles share windows, so each window
+    is DMA'd once (pallas revisiting semantics).
+
+The multiply runs entirely in the relabeled space: callers permute X once
+(host) and read Y back in relabeled order, so chained multiplies (the
+benchmark loop, or the tfQMR iteration) pay zero per-call reindexing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+
+import numpy as np
+
+Pair = tuple
+
+
+# --------------------------------------------------------------- recovery
+
+def _find(par: np.ndarray, i: int) -> int:
+    r = i
+    while par[r] != r:
+        r = par[r]
+    while par[i] != r:
+        par[i], i = r, par[i]
+    return int(r)
+
+
+def recover_geometry(pair_a, pair_x, pair_y, nnzb_y: int):
+    """Recover (row_fragment, column) labels of the shared X/Y pattern space
+    from a bare pair list.  Returns (frag[nnzb_y], col[nnzb_y])."""
+    pa = np.asarray(pair_a, dtype=np.int64)
+    px = np.asarray(pair_x, dtype=np.int64)
+    py = np.asarray(pair_y, dtype=np.int64)
+    n = pa.shape[0]
+
+    def _union(par, a, b):
+        ra, rb = _find(par, int(a)), _find(par, int(b))
+        if ra != rb:
+            par[ra] = rb
+
+    par = np.arange(nnzb_y)
+    o = np.argsort(pa, kind="stable")
+    pa_s, py_s, px_s = pa[o], py[o], px[o]
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and pa_s[j] == pa_s[i]:
+            j += 1
+        for t in range(i + 1, j):
+            # same iA => same block row for the Y blocks AND the same middle
+            # row for the X blocks (col(iA) is one row index)
+            _union(par, py_s[i], py_s[t])
+            _union(par, px_s[i], px_s[t])
+        i = j
+    frag = np.fromiter((_find(par, i) for i in range(nnzb_y)), np.int64,
+                       nnzb_y)
+    _, frag = np.unique(frag, return_inverse=True)
+
+    par = np.arange(nnzb_y)
+    for t in range(n):
+        ra, rb = _find(par, int(py[t])), _find(par, int(px[t]))
+        if ra != rb:
+            par[ra] = rb
+    col = np.fromiter((_find(par, i) for i in range(nnzb_y)), np.int64,
+                      nnzb_y)
+    _, col = np.unique(col, return_inverse=True)
+    return frag, col
+
+
+def _cuthill_mckee(nfrag: int, edges_a: np.ndarray, edges_b: np.ndarray):
+    """BFS (Cuthill-McKee) ordering of the fragment graph -> rank[nfrag]."""
+    adj = [set() for _ in range(nfrag)]
+    for a, b in zip(edges_a, edges_b):
+        if a != b:
+            adj[a].add(int(b))
+            adj[b].add(int(a))
+    order = []
+    seen = np.zeros(nfrag, bool)
+    deg = np.array([len(s) for s in adj])
+    for s in np.argsort(deg):
+        if seen[s]:
+            continue
+        seen[s] = True
+        dq = deque([int(s)])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in sorted(adj[u], key=lambda v: len(adj[v])):
+                if not seen[v]:
+                    seen[v] = True
+                    dq.append(v)
+    rank = np.zeros(nfrag, np.int64)
+    rank[np.array(order)] = np.arange(nfrag)
+    return rank
+
+
+# ------------------------------------------------------------------- pack
+
+@dataclasses.dataclass
+class PairPanelPlan:
+    """Compiled pair-plan schedule (pattern-only; data enters via panels)."""
+
+    ntiles: int
+    r_tile: int
+    ku: int                  # union X blocks per tile (max-padded)
+    lm: int
+    ln: int
+    s_window: int            # window size in blocks
+    n_windows: int           # number of S-block segments the padded X spans
+    nnzb_y: int
+    nnzb_x: int
+    perm: np.ndarray         # int64[nnzb_x]: new block id -> old block id
+    inv_perm: np.ndarray     # int64[nnzb_x]: old -> new
+    wsel: np.ndarray         # int32[ntiles]: window index (units of S blocks)
+    xloc: np.ndarray         # int32[ntiles, ku]: window-relative block idx
+    # A panel scatter map (host, applied per setMatrix):
+    pair_tile: np.ndarray    # int32[nPairs]
+    pair_rslot: np.ndarray   # int32[nPairs]
+    pair_kslot: np.ndarray   # int32[nPairs]
+    pair_a: np.ndarray       # int64[nPairs] source A block
+    inflation: float         # padded block-MACs / nPairs
+
+    @property
+    def x_rows_padded(self) -> int:
+        return self.n_windows * self.s_window * self.lm
+
+
+def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
+                   lm: int, ln: int, r_tile: int = 2,
+                   max_window: int = 512, s_window: int = 0,
+                   row_of=None, col_of=None) -> PairPanelPlan:
+    """Compile a pair list into the panel/window schedule.
+
+    row_of/col_of: optional known geometry (from a real BSR plan); recovered
+    from the pair list if absent.  Raises ValueError when no ordering keeps
+    tile spans within ``max_window`` blocks (caller should fall back)."""
+    pa = np.asarray(pair_a, dtype=np.int64)
+    px = np.asarray(pair_x, dtype=np.int64)
+    py = np.asarray(pair_y, dtype=np.int64)
+    if nnzb_x != nnzb_y:
+        raise ValueError("pair plans share one X/Y pattern space")
+
+    if row_of is None or col_of is None:
+        frag, col = recover_geometry(pa, px, py, nnzb_y)
+    else:
+        frag = np.asarray(row_of, dtype=np.int64)
+        col = np.asarray(col_of, dtype=np.int64)
+        _, frag = np.unique(frag, return_inverse=True)
+        _, col = np.unique(col, return_inverse=True)
+    nfrag = int(frag.max()) + 1
+
+    rank = _cuthill_mckee(nfrag, frag[py], frag[px])
+    key = col * (nfrag + 1) + rank[frag]
+    perm = np.argsort(key, kind="stable")          # new id -> old id
+    inv = np.zeros(nnzb_x, np.int64)
+    inv[perm] = np.arange(nnzb_x)
+
+    npy, npx = inv[py], inv[px]                     # pairs in new labels
+    order = np.argsort(npy, kind="stable")
+    npy_s, npx_s, pa_s = npy[order], npx[order], pa[order]
+    starts = np.searchsorted(npy_s, np.arange(nnzb_y + 1))
+
+    ntiles = (nnzb_y + r_tile - 1) // r_tile
+    unions = []
+    ku = 1
+    span_max = 0
+    for t in range(ntiles):
+        lo = starts[t * r_tile]
+        hi = starts[min((t + 1) * r_tile, nnzb_y)]
+        u = np.unique(npx_s[lo:hi])
+        if u.shape[0] == 0:
+            u = np.zeros(1, np.int64)
+        unions.append(u)
+        ku = max(ku, u.shape[0])
+        span_max = max(span_max, int(u[-1] - u[0] + 1))
+    ku += ku % 2                           # even for the 2-wide gather
+    if span_max > max_window:
+        raise ValueError(
+            f"tile X-span {span_max} exceeds the window budget {max_window}; "
+            "pattern has no recoverable locality")
+    if s_window:
+        if s_window < span_max:
+            raise ValueError(f"s_window={s_window} < span {span_max}")
+    else:
+        s_window = max(span_max, 2 * ku, 32)
+
+    wsel = np.zeros(ntiles, np.int32)
+    xloc = np.zeros((ntiles, ku), np.int32)
+    for t, u in enumerate(unions):
+        w = int(u[0]) // s_window
+        wsel[t] = w
+        xloc[t, : u.shape[0]] = (u - w * s_window).astype(np.int32)
+    n_windows = int(wsel.max()) + 2
+
+    # A-panel scatter map: pair (iY, iA, iX) -> panel[tile, rslot, kslot]
+    pair_tile = (npy_s // r_tile).astype(np.int32)
+    pair_rslot = (npy_s % r_tile).astype(np.int32)
+    pair_kslot = np.zeros(npx_s.shape[0], np.int32)
+    for t, u in enumerate(unions):
+        lo = starts[t * r_tile]
+        hi = starts[min((t + 1) * r_tile, nnzb_y)]
+        pair_kslot[lo:hi] = np.searchsorted(u, npx_s[lo:hi]).astype(np.int32)
+
+    inflation = (ntiles * r_tile * ku) / max(len(pa), 1)
+    return PairPanelPlan(
+        ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
+        s_window=s_window, n_windows=n_windows,
+        nnzb_y=nnzb_y, nnzb_x=nnzb_x, perm=perm, inv_perm=inv,
+        wsel=wsel, xloc=xloc,
+        pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
+        pair_a=pa_s, inflation=float(inflation),
+    )
+
+
+def build_a_panels(plan: PairPanelPlan, a_re: np.ndarray,
+                   a_im: np.ndarray) -> np.ndarray:
+    """Scatter A block data into stacked complex panels
+    [ntiles, 2*r_tile*LM, ku*LM] (re rows on top of im rows); accumulates
+    duplicate (iY, iX) pairs like the reference's += walk."""
+    lm, r, ku = plan.lm, plan.r_tile, plan.ku
+    flat = np.zeros((plan.ntiles * 2 * r * ku, lm, lm), dtype=a_re.dtype)
+    base = (plan.pair_tile.astype(np.int64) * 2 * r
+            + plan.pair_rslot) * ku + plan.pair_kslot
+    stride = r * ku                                   # im rows offset
+    np.add.at(flat, base, a_re[plan.pair_a])
+    np.add.at(flat, base + stride, a_im[plan.pair_a])
+    p = flat.reshape(plan.ntiles, 2 * r, ku, lm, lm).transpose(0, 1, 3, 2, 4)
+    return np.ascontiguousarray(
+        p.reshape(plan.ntiles, 2 * r * lm, ku * lm))
+
+
+def build_a_panels_device(plan: PairPanelPlan, a_re, a_im):
+    """Device-side panel build (one scatter-add): avoids shipping the
+    inflated panels over the host link when A data is already on device."""
+    import jax.numpy as jnp
+
+    lm, r, ku = plan.lm, plan.r_tile, plan.ku
+    base = jnp.asarray(
+        ((plan.pair_tile.astype(np.int64) * 2 * r + plan.pair_rslot) * ku
+         + plan.pair_kslot).astype(np.int32))
+    stride = np.int32(r * ku)
+    pa = jnp.asarray(plan.pair_a.astype(np.int32))
+    flat = jnp.zeros((plan.ntiles * 2 * r * ku, lm, lm), dtype=a_re.dtype)
+    flat = flat.at[base].add(a_re[pa]).at[base + stride].add(a_im[pa])
+    p = flat.reshape(plan.ntiles, 2 * r, ku, lm, lm).transpose(0, 1, 3, 2, 4)
+    return p.reshape(plan.ntiles, 2 * r * lm, ku * lm)
+
+
+def split_bf16x2(a):
+    """Split an f32 array into (hi, lo) bfloat16 planes with
+    a == hi + lo + O(2^-16) -- the operand halves of the 3-pass bf16 product
+    that reproduces XLA's HIGH matmul precision (Mosaic kernels only expose
+    DEFAULT and HIGHEST).
+
+    The hi part is built by MANTISSA BIT-MASKING, not bf16 rounding: under
+    ``--xla_allow_excess_precision`` XLA is free to elide the
+    f32->bf16->f32 round-trip inside ``a - f32(bf16(a))``, which silently
+    turns the residual into exact zero (observed on the v5e relay).  The
+    bit-masked truncation is opaque to that rewrite and keeps hi exactly
+    representable in bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)         # exact: mantissa already fits
+    lo = (a - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def permute_x(plan: PairPanelPlan, re: np.ndarray,
+              im: np.ndarray) -> np.ndarray:
+    """Split planes [nnzb_x, LM, LN] (old order) -> fused padded panel
+    [x_rows_padded, 2*LN] (re in lanes [:ln], im in [ln:])."""
+    ln = re.shape[2]
+    out = np.zeros((plan.x_rows_padded // plan.lm, plan.lm, 2 * ln),
+                   dtype=re.dtype)
+    out[: plan.nnzb_x, :, :ln] = re[plan.perm]
+    out[: plan.nnzb_x, :, ln:] = im[plan.perm]
+    return out.reshape(plan.x_rows_padded, 2 * ln)
+
+
+def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
+    """Fused [>=nnzb_y*LM, 2*LN] (new order) -> (re, im) block lists
+    [nnzb_y, LM, LN] in the original order."""
+    ln = y_fused.shape[1] // 2
+    y = y_fused.reshape(-1, plan.lm, 2 * ln)
+    re = np.zeros((plan.nnzb_y, plan.lm, ln), dtype=y_fused.dtype)
+    im = np.zeros_like(re)
+    re[plan.perm[: plan.nnzb_y]] = y[: plan.nnzb_y, :, :ln]
+    im[plan.perm[: plan.nnzb_y]] = y[: plan.nnzb_y, :, ln:]
+    return re, im
+
+
+# ----------------------------------------------------------------- kernel
+
+@functools.lru_cache(maxsize=32)
+def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
+               s_window: int, x_rows: int, precision: str, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m2 = 2 * r_tile * lm
+    k = ku * lm
+    swrows = s_window * lm
+    if precision not in ("bf16", "bf16x3", "highest"):
+        raise ValueError(f"precision must be bf16|bf16x3|highest, "
+                         f"got {precision!r}")
+    split = precision in ("bf16", "bf16x3")
+    a_dt = jnp.bfloat16 if split else jnp.float32
+
+    use_dma = False
+
+    def gather_xs(i, base, xloc_ref, xw, xs2, sem):
+        """Stage tile i's union X blocks from the VMEM window into the
+        [K, lanes] scratch.  The window is an OVERLAPPING 2S-block replica
+        (built by XLA around the kernel), so every rel in [0, 2S) resolves in
+        one unconditional copy -- branch-free, which matters because the
+        scalar core's per-block bookkeeping is the kernel's critical path.
+        With ``use_dma`` the copies are issued as async local DMAs and the
+        completion is awaited in bulk (the software pipeline overlaps them
+        with the previous tile's MXU work); otherwise they are synchronous
+        vector moves."""
+        def copy_one(kk):
+            rel = xloc_ref[i * ku + kk]
+            dst = pl.multiple_of(base + kk * lm, lm)
+            src = pl.multiple_of(rel * lm, lm)
+            if use_dma:
+                pltpu.make_async_copy(
+                    xw.at[0, pl.ds(src, lm), :],
+                    xs2.at[pl.ds(dst, lm), :], sem).start()
+            else:
+                xs2[pl.ds(dst, lm), :] = xw[0, pl.ds(src, lm), :]
+
+        def body(kk, carry):
+            copy_one(2 * kk)
+            copy_one(2 * kk + 1)
+            return carry
+
+        # ku is padded even; the 2-wide body amortizes the scalar loop
+        # overhead, which is the kernel's critical path
+        jax.lax.fori_loop(0, ku // 2, body, 0)
+
+    def wait_gather(i, xloc_ref, xw, xs2, sem):
+        """Retire the ku async copies issued for this buffer."""
+        if not use_dma:
+            return
+        # waiting through a reconstructed descriptor accounts the full
+        # ku-block byte count on the semaphore in one shot
+        def body(kk, carry):
+            pltpu.make_async_copy(
+                xw.at[0, pl.ds(pl.multiple_of(0, lm), lm), :],
+                xs2.at[pl.ds(pl.multiple_of(kk * lm, lm), lm), :],
+                sem).wait()
+            return carry
+
+        jax.lax.fori_loop(0, ku, body, 0)
+
+    def dot(a, b):
+        return jax.lax.dot(
+            a, b, preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST if precision == "highest"
+                       else jax.lax.Precision.DEFAULT))
+
+    def finish(y2, y_ref):
+        """[2M, 2LN] raw product -> fused complex result in y_ref:
+        top half P = a_re @ [xr|xi], bottom half Q = a_im @ [xr|xi];
+        y = [P1 - Q2 | P2 + Q1]."""
+        m = r_tile * lm
+        p = y2[:m, :]
+        q = y2[m:, :]
+        y_ref[0, :, 0:ln] = p[:, 0:ln] - q[:, ln:]
+        y_ref[0, :, ln:] = p[:, ln:] + q[:, 0:ln]
+
+    # Software pipeline: step i gathers tile i's operand into one of the two
+    # scratch buffers while the MXU contracts tile i-1 from the other -- the
+    # VPU copy stream and the MXU run concurrently.  The grid runs one extra
+    # step; the output block index trails by one.
+    #
+    # In the split modes, X windows arrive PRE-SPLIT as packed bf16 lanes
+    # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
+    # the kernel does no conversion.
+    def compute(i, a_refs, y_ref, xs2):
+        if split:
+            xs = xs2[:]
+            xh = xs[:, : 2 * ln]
+            ah = a_refs[0][0]
+            if precision == "bf16":
+                y2 = dot(ah, xh)
+            else:
+                y2 = (dot(ah, xh) + dot(ah, xs[:, 2 * ln:])
+                      + dot(a_refs[1][0], xh))
+        else:
+            y2 = dot(a_refs[0][0], xs2[:])
+        finish(y2, y_ref)
+
+    n_a = 2 if split else 1
+
+    def kernel(wsel_ref, xloc_ref, *refs):
+        a_refs = refs[:n_a]
+        xw, y_ref, xs_a, xs_b, sem_a, sem_b = refs[n_a:]
+        del wsel_ref
+        i = pl.program_id(0)
+        # two SEPARATE scratch refs (not halves of one): Mosaic tracks
+        # read/write dependencies per ref, so gather(i) and compute(i-1)
+        # only overlap when they touch different refs
+        parity = i % 2
+
+        @pl.when((i < ntiles) & (parity == 0))
+        def _():
+            gather_xs(i, 0, xloc_ref, xw, xs_a, sem_a)
+
+        @pl.when((i < ntiles) & (parity == 1))
+        def _():
+            gather_xs(i, 0, xloc_ref, xw, xs_b, sem_b)
+
+        @pl.when((i > 0) & (parity == 1))
+        def _():
+            wait_gather(i, xloc_ref, xw, xs_a, sem_a)
+            compute(i, a_refs, y_ref, xs_a)
+
+        @pl.when((i > 0) & (parity == 0))
+        def _():
+            wait_gather(i, xloc_ref, xw, xs_b, sem_b)
+            compute(i, a_refs, y_ref, xs_b)
+
+    def a_map(i, ws, xl):
+        return (jnp.maximum(i - 1, 0), 0, 0)
+
+    a_specs = [pl.BlockSpec((1, m2, k), a_map,
+                            memory_space=pltpu.VMEM)] * n_a
+    w_lanes = 4 * ln if split else 2 * ln
+    w_dt = jnp.bfloat16 if split else jnp.float32
+    win_specs = [
+        pl.BlockSpec((1, 2 * swrows, w_lanes),
+                     lambda i, ws, xl: (ws[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    m = r_tile * lm
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                    # wsel, xloc
+        grid=(ntiles + 1,),
+        in_specs=a_specs + win_specs,
+        out_specs=pl.BlockSpec((1, m, 2 * ln), a_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k, w_lanes), w_dt),
+                        pltpu.VMEM((k, w_lanes), w_dt),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+
+    a_bytes = ntiles * m2 * k * (2 if split else 4) * n_a
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, m, 2 * ln), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * m2 * k * 2 * ln
+            * (3 if precision == "bf16x3" else 1),
+            bytes_accessed=int(a_bytes + 4 * 2 * x_rows * ln),
+            transcendentals=0),
+        interpret=interpret,
+    )
+    del a_dt
+    return call
+
+
+class PairPanelMultiply:
+    """Compiled multiply on fused permuted panels.
+
+    ``consts`` holds the device-resident operand tables (wsel, xloc, A
+    panels).  IMPORTANT: jit-compiled callers must take ``consts`` as an
+    ARGUMENT (``jax.jit(lambda c, x: pm.apply(c, x))(pm.consts, x)``), not
+    close over it -- a closed-over device array is serialized into the HLO
+    as a literal, which for ~1 GB panels breaks the compiler (and any
+    remote-compile transport).
+    """
+
+    def __init__(self, call, consts, n_rows_out, two_ln, n_windows, swrows,
+                 split):
+        self._call = call
+        self.consts = consts
+        self._n_rows_out = n_rows_out
+        self._two_ln = two_ln
+        self._n_windows = n_windows
+        self._swrows = swrows
+        self._split = split
+
+    def apply(self, consts, x_fused):
+        import jax.numpy as jnp
+
+        wsel, xloc, *a_args = consts
+        if self._split:
+            # pre-split X into packed bf16 [hi | lo] lanes: the kernel's
+            # block copies then move 4 vregs instead of 16 and the MXU
+            # consumes the operands without conversion (bit-masked split --
+            # see split_bf16x2 for why plain rounding is unsafe here)
+            hi, lo = split_bf16x2(x_fused)
+            xw = jnp.concatenate([hi, lo], axis=1)
+            lanes = 2 * self._two_ln
+        else:
+            xw = x_fused
+            lanes = self._two_ln
+        # overlapping 2S-block window replicas: window w = segments [w, w+1];
+        # XLA emits this as two strided copies + concat (~2x X bytes), which
+        # buys a branch-free single-window gather inside the kernel
+        seg = xw.reshape(self._n_windows, self._swrows, lanes)
+        xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
+        y = self._call(wsel, xloc, *a_args, xrep)
+        return y.reshape(self._n_rows_out, self._two_ln)
+
+    def __call__(self, x_fused):
+        return self.apply(self.consts, x_fused)
+
+
+def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
+                            precision: str = "bf16x3",
+                            interpret: bool = False) -> PairPanelMultiply:
+    """Build the multiply on flat permuted FUSED panels
+    [x_rows_padded, 2*LN] (re in lanes [:ln], im in [ln:]) ->
+    y_fused [ntiles*r_tile*LM, 2*LN] (new block order).
+
+    a_panels: f32 device array from build_a_panels / build_a_panels_device.
+    precision: 'bf16' (1 MXU pass, ~4e-3 relative), 'bf16x3' (3 passes,
+    fp32-quality ~1e-7 -- the default), 'highest' (6 passes, exact fp32).
+    """
+    import jax.numpy as jnp
+
+    r, lm, ln = plan.r_tile, plan.lm, plan.ln
+    call = _make_call(plan.ntiles, r, plan.ku, lm, ln, plan.s_window,
+                      plan.x_rows_padded, precision, interpret)
+    # one extra (dummy) step for the software pipeline; 1-D xloc because 2-D
+    # SMEM operands pad every row to 128 lanes, overflowing ~1 MB SMEM
+    wsel = jnp.asarray(np.concatenate([plan.wsel, plan.wsel[-1:]]))
+    xloc = jnp.asarray(np.concatenate(
+        [plan.xloc.reshape(-1), np.zeros(plan.ku, np.int32)]))
+    if precision in ("bf16", "bf16x3"):
+        a_args = split_bf16x2(a_panels)
+    else:
+        a_args = (a_panels,)
+    return PairPanelMultiply(call, (wsel, xloc) + tuple(a_args),
+                             plan.ntiles * r * lm, 2 * ln,
+                             plan.n_windows, plan.s_window * lm,
+                             precision in ("bf16", "bf16x3"))
+
+
+def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
+    """The reference's flop accounting for one pair-plan multiply
+    (bench_tfqmrgpu.cu:335)."""
+    return n_pairs * 8.0 * lm * lm * ln
