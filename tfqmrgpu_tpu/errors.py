@@ -97,3 +97,24 @@ class TfqmrgpuError(RuntimeError):
         if detail:
             msg = f"{msg}: {detail}"
         super().__init__(msg)
+
+
+def main(argv=None):
+    """Standalone status decoder CLI (reference: tfqmrgpu_error_tool.cxx
+    under __MAIN__): ``python -m tfqmrgpu_tpu.errors 13013 ...``."""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if not args:
+        print("usage: python -m tfqmrgpu_tpu.errors <status> [<status> ...]")
+        return 1
+    for a in args:
+        status = int(a)
+        code, line, char = decode_status(status)
+        print(f"{status}: code={code} line={line} char={char!r} -> "
+              f"{get_error_string(status)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
