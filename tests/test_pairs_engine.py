@@ -1,0 +1,48 @@
+"""The 'pairs' solver engine: pair-plan Pallas SpMM + fused-layout vectors."""
+
+import numpy as np
+import pytest
+
+from tfqmrgpu_tpu import Solver
+from tfqmrgpu_tpu.errors import Status
+
+from conftest import dense_from_bsr, make_random_problem
+
+
+def _solve_and_check(a, x, b, lm, ln, tol=1e-5):
+    s = Solver(a, x, b, precision="c", engine="pairs")
+    info = s.solve(tolerance=tol, max_iterations=400)
+    assert info.return_status == int(Status.SUCCESS)
+    got = s.get_matrix("X")
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x.with_data(got), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    dev = np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd))
+    assert dev < 50 * tol, dev
+    return info
+
+
+def test_pairs_engine_full_pattern(rng):
+    lm = ln = 8
+    a, x, b = make_random_problem(rng, mb=10, lm=lm, ln=ln, ncols=3,
+                                  x_fill=1.0, dtype=np.complex64)
+    info = _solve_and_check(a, x, b, lm, ln)
+    # iteration parity vs the reference-shaped xla engine
+    s2 = Solver(a, x, b, precision="c", engine="xla")
+    i2 = s2.solve(tolerance=1e-5, max_iterations=400)
+    assert abs(info.iterations_needed - i2.iterations_needed) <= 2
+
+
+def test_pairs_engine_sparse_pattern(rng):
+    lm = ln = 4
+    a, x, b = make_random_problem(rng, mb=16, lm=lm, ln=ln, ncols=4,
+                                  x_fill=1.0, dtype=np.complex64)
+    _solve_and_check(a, x, b, lm, ln)
+
+
+def test_pairs_engine_rejects_z(rng):
+    from tfqmrgpu_tpu.errors import TfqmrgpuError
+
+    a, x, b = make_random_problem(rng, mb=6, lm=4, ln=4, ncols=2)
+    with pytest.raises(TfqmrgpuError):
+        Solver(a, x, b, precision="z", engine="pairs")

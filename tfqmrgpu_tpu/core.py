@@ -125,8 +125,10 @@ def tfqmr_loop(
     maxit = jnp.asarray(max_iterations, jnp.int32)
     ncols, ln = tau0.shape
 
-    def czeros_like(v: Pair):
-        return jnp.zeros_like(v[0]), jnp.zeros_like(v[1])
+    def czeros_like(v):
+        # vectors are opaque pytrees: (re, im) pairs in the block-list and
+        # panel engines, single fused arrays in the pairs engine
+        return jax.tree_util.tree_map(jnp.zeros_like, v)
 
     def szeros():
         z = jnp.zeros((ncols, ln), dtype=dt)

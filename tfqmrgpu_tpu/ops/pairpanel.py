@@ -149,6 +149,9 @@ class PairPanelPlan:
     pair_kslot: np.ndarray   # int32[nPairs]
     pair_a: np.ndarray       # int64[nPairs] source A block
     inflation: float         # padded block-MACs / nPairs
+    # compressed column of each NEW block id (pad blocks -> -1); used by the
+    # fused solver primitives for per-column segmented reductions
+    col_of_new: np.ndarray = None
 
     @property
     def x_rows_padded(self) -> int:
@@ -232,6 +235,9 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         pair_kslot[lo:hi] = np.searchsorted(u, npx_s[lo:hi]).astype(np.int32)
 
     inflation = (ntiles * r_tile * ku) / max(len(pa), 1)
+    n_blocks_padded = n_windows * s_window
+    col_of_new = np.full(n_blocks_padded, -1, np.int64)
+    col_of_new[: nnzb_x] = col[perm]
     return PairPanelPlan(
         ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
         s_window=s_window, n_windows=n_windows,
@@ -239,6 +245,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         wsel=wsel, xloc=xloc,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
         pair_a=pa_s, inflation=float(inflation),
+        col_of_new=col_of_new,
     )
 
 
@@ -581,3 +588,88 @@ def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
     """The reference's flop accounting for one pair-plan multiply
     (bench_tfqmrgpu.cu:335)."""
     return n_pairs * 8.0 * lm * lm * ln
+
+
+# ----------------------------------------------------- solver integration
+
+def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
+                     ncc: int, b_fused):
+    """TfqmrPrimitives over FUSED permuted panels (single f32 arrays
+    [x_rows_padded, 2*LN], re in lanes [:ln], im in [ln:]) -- the vector
+    layout of the ``pairs`` solver engine.
+
+    Per-column reductions run as sorted segmented sums keyed by the
+    permuted block->compressed-column map (the relabeling is column-major,
+    so segments are contiguous); padded rows map to a dump segment.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import TfqmrPrimitives
+    from . import decisions
+
+    ln, lm = plan.ln, plan.lm
+    nxrows = plan.x_rows_padded
+    nyrows = plan.ntiles * plan.r_tile * lm
+    sdt = decisions.scalar_dtype()
+
+    def multiply(x):
+        y = mult.apply(consts, x)
+        return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+
+    # permuted block -> compressed column of X; pad blocks -> dump segment
+    colx = plan.col_of_new                       # int32[n_blocks_padded]
+    row_col = jnp.asarray(np.repeat(
+        np.where(colx >= 0, colx, ncc), lm).astype(np.int32))
+
+    def halves(x):
+        return x[:, :ln], x[:, ln:]
+
+    def dotp(x, y):
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        pr = (xr * yr - xi * yi).astype(sdt)
+        pi = (xr * yi + xi * yr).astype(sdt)
+        zr = jax.ops.segment_sum(pr, row_col, num_segments=ncc + 1,
+                                 indices_are_sorted=True)[:ncc]
+        zi = jax.ops.segment_sum(pi, row_col, num_segments=ncc + 1,
+                                 indices_are_sorted=True)[:ncc]
+        return zr, zi
+
+    def nrm2(x):
+        xr, xi = halves(x)
+        p = (xr * xr + xi * xi).astype(sdt)
+        return jax.ops.segment_sum(p, row_col, num_segments=ncc + 1,
+                                   indices_are_sorted=True)[:ncc]
+
+    def _scale(a):
+        """[ncc, ln] per-column complex scalar -> per-row [nxrows, ln]."""
+        dt = jnp.float32
+        ar = jnp.concatenate([a[0].astype(dt),
+                              jnp.zeros((1, ln), dt)])[row_col]
+        ai = jnp.concatenate([a[1].astype(dt),
+                              jnp.zeros((1, ln), dt)])[row_col]
+        return ar, ai
+
+    def axpy(y, x, a):
+        ar, ai = _scale(a)
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        return jnp.concatenate([ar * xr - ai * xi + yr,
+                                ai * xr + ar * xi + yi], axis=1)
+
+    def xpay(y, a, x):
+        ar, ai = _scale(a)
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        return jnp.concatenate([xr + ar * yr - ai * yi,
+                                xi + ai * yr + ar * yi], axis=1)
+
+    def add_rhs(v, b, scal):
+        del b  # b_fused closed over (device-resident, pre-scattered)
+        return v + scal * b_fused
+
+    return TfqmrPrimitives(
+        multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
+        add_rhs=add_rhs, allmax=lambda s: s, alland=lambda s: s,
+    )

@@ -22,6 +22,7 @@ from . import core
 from .bsr import Bsr
 from .errors import Status, TfqmrgpuError, encode_status
 from .ops import layout as layout_ops
+from .ops.decisions import scalar_dtype as decisions_scalar_dtype
 from .ops import panel as panel_ops
 from .ops.blocksparse import BlockSparseAction
 from .plan import Plan, create_plan
@@ -69,6 +70,9 @@ class Solver:
       engine: SpMM/vector engine:
         'dense'  -- panel engine, A densified (fast for moderate mb);
         'pallas' -- panel engine, BSR A streamed by the Pallas kernel;
+        'pairs'  -- pair-plan engine: Pallas union-ELL panels over the
+                    plan's multiplication pair list with RCM-relabeled
+                    fused vectors (general BSR, X too big to densify);
         'xla'    -- block-list engine (reference-shaped data path);
         'auto'   -- 'dense' when A fits DENSE_A_BYTE_LIMIT, else 'xla'.
       index_offset: 0 for C-style, 1 for Fortran-style rowptr/colind.
@@ -101,12 +105,33 @@ class Solver:
             engine = "dense" if 2 * nr * nr * rsize <= DENSE_A_BYTE_LIMIT \
                 else "xla"
         self.engine = engine
-        if engine == "pallas" and precision != "c":
+        if engine in ("pallas", "pairs") and precision != "c":
             raise TfqmrgpuError(
                 encode_status(Status.PRECISION_MISSMATCH),
-                "the pallas engine is float32-only; use precision='c' "
+                f"the {engine} engine is float32-only; use precision='c' "
                 "(no f64 MXU on TPU) or engine='dense'")
         self._panel = engine in ("dense", "pallas")
+        self._pp = None               # pairs engine state
+        if engine == "pairs":
+            from .ops import pairpanel as pp_ops
+
+            import os as _os
+
+            row_of_x = np.repeat(np.arange(self.plan.nrows, dtype=np.int64),
+                                 np.diff(self.plan.rowptr_x))
+            counts = np.diff(self.plan.starts).astype(np.int64)
+            pair_y = np.repeat(np.arange(self.plan.nnzb_x, dtype=np.int64),
+                               counts)
+            self._pp_plan = pp_ops.pack_pair_plan(
+                self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
+                self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
+                r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "2")),
+                row_of=row_of_x, col_of=self.plan.colindx)
+            self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC", "highest")
+            if echo > 2:
+                print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
+                      f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
+                      f"inflation={self._pp_plan.inflation:.2f}x")
         self._pack = None
         self._layout: Optional[panel_ops.PanelLayout] = None
         if self._panel:
@@ -127,6 +152,11 @@ class Solver:
             self._mask4 = jnp.asarray(
                 lay.mask[:, None, :, None].astype(
                     np.float64 if precision == "z" else np.float32))
+        elif engine == "pairs":
+            from .ops import pairpanel as pp_ops
+
+            self._v3 = jnp.asarray(pp_ops.permute_x(
+                self._pp_plan, np.asarray(v3[0]), np.asarray(v3[1])))
         else:
             self._v3 = v3
 
@@ -150,7 +180,15 @@ class Solver:
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_a, self.lm, self.lm, trans=trans,
                 layout=layout, scale=scale, dtype=npdt)
-            if self.engine == "dense":
+            if self.engine == "pairs":
+                from .ops import pairpanel as pp_ops
+
+                panels = jnp.asarray(pp_ops.build_a_panels(
+                    self._pp_plan, re, im))
+                self._pp = pp_ops.make_pairpanel_multiply(
+                    self._pp_plan, panels, precision=self._pp_prec,
+                    interpret=jax.default_backend() not in ("tpu",))
+            elif self.engine == "dense":
                 dr, di = self._layout.densify_a(self.plan, re, im)
                 self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
             elif self.engine == "pallas":
@@ -176,6 +214,8 @@ class Solver:
             if self._panel:
                 self._b = (jnp.asarray(self._layout.pack_b(re)),
                            jnp.asarray(self._layout.pack_b(im)))
+            elif self.engine == "pairs":
+                self._b = jnp.asarray(self._pairs_b_panel(re, im))
             else:
                 self._b = (jnp.asarray(re), jnp.asarray(im))
         elif var == "X":
@@ -202,6 +242,11 @@ class Solver:
         if self._panel:
             re = self._layout.unpack_x(np.asarray(self._x_result[0]))
             im = self._layout.unpack_x(np.asarray(self._x_result[1]))
+        elif self.engine == "pairs":
+            from .ops import pairpanel as pp_ops
+
+            re, im = pp_ops.unpermute_y(self._pp_plan,
+                                        np.asarray(self._x_result))
         else:
             re = np.asarray(self._x_result[0])
             im = np.asarray(self._x_result[1])
@@ -220,6 +265,57 @@ class Solver:
                                 "matrix 'A' has not been set")
         return self._action
 
+    def _pairs_b_panel(self, re: np.ndarray, im: np.ndarray) -> np.ndarray:
+        """Scatter B blocks into the fused permuted X-shaped panel."""
+        from .ops import pairpanel as pp_ops
+
+        xr = np.zeros((self.plan.nnzb_x, self.lm, self.ln), re.dtype)
+        xi = np.zeros_like(xr)
+        sub = self.plan.subset.astype(np.int64)
+        np.add.at(xr, sub, re)
+        np.add.at(xi, sub, im)
+        return pp_ops.permute_x(self._pp_plan, xr, xi)
+
+    def _solve_pairs(self, tolerance, max_iterations, rhs_trivial):
+        from .ops import pairpanel as pp_ops
+        from .ops.linalg import set_unit_blocks
+
+        if self._pp is None:
+            raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
+                                "matrix 'A' has not been set")
+        if rhs_trivial:
+            ub = np.asarray(set_unit_blocks(
+                self.plan.nnzb_b, self.lm, self.ln, jnp.float32))
+            b = jnp.asarray(self._pairs_b_panel(ub[0], ub[1]))
+        else:
+            b = self._b
+        pplan = self._pp_plan
+        ncc = self.plan.ncols
+        mult = self._pp
+
+        def step(consts, b_fused, v3_fused, tol, maxit):
+            prim = pp_ops.fused_primitives(mult, consts, pplan, ncc, b_fused)
+            v5 = prim.add_rhs(jnp.zeros_like(b_fused), b_fused, 1.0)
+            sdt = decisions_scalar_dtype()
+            if rhs_trivial:
+                tau0 = jnp.ones((ncc, self.ln), dtype=sdt)
+                inv_bn2 = tau0
+            else:
+                tau0 = prim.nrm2(v5)
+                inv_bn2 = jnp.where(tau0 > 0,
+                                    1.0 / jnp.where(tau0 > 0, tau0, 1.0),
+                                    0.0)
+            return core.tfqmr_loop(prim, b_fused, v3_fused, v5, tau0,
+                                   inv_bn2, tol, maxit, jnp.float32)
+
+        # cache the jitted step per rhs_trivial flavor (closed over)
+        cache = getattr(self, "_pairs_jit", None) or {}
+        self._pairs_jit = cache
+        if rhs_trivial not in cache:
+            cache[rhs_trivial] = jax.jit(step)
+        return cache[rhs_trivial](mult.consts, b, self._v3,
+                                  tolerance, max_iterations)
+
     def solve(self, tolerance: float = 1e-6, max_iterations: int = 999,
               rhs_trivial: bool = False) -> SolveInfo:
         if self._b is None and not rhs_trivial:
@@ -227,6 +323,8 @@ class Solver:
                                 "matrix 'B' has not been set")
         if self._panel:
             result = self._solve_panel(tolerance, max_iterations, rhs_trivial)
+        elif self.engine == "pairs":
+            result = self._solve_pairs(tolerance, max_iterations, rhs_trivial)
         else:
             b = self._b
             if b is None:  # trivial RHS: shape placeholder, rebuilt on device
