@@ -32,6 +32,7 @@ from .plan import Plan, create_plan
 from .solver import Solver, solve, bsrsv, bsrsv_z, bsrsv_c
 from . import ops
 from . import parallel
+from . import profiling
 
 __version__ = "0.1.0"
 

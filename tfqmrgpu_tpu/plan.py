@@ -116,19 +116,42 @@ class Plan:
         return int(total)
 
 
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 16
+
+
 def create_plan(
     a: Bsr,
     x: Bsr,
     b: Bsr,
     index_offset: int = 0,
     echo: int = 0,
+    cache: bool = True,
 ) -> Plan:
     """Build the multiplication/subset/column-compression tables.
 
     Mirrors tfqmrgpu_bsrsv_createPlan (tfqmrgpu.cu:136-351) including its
     validation rules and error codes; runs vectorized instead of the
-    reference's nested host loops.
+    reference's nested host loops.  Results are memoized on the three
+    sparsity-pattern hashes (the reference reuses a plan across solves;
+    here the reuse is automatic) -- each hit returns a fresh shallow copy
+    so per-solver statistics do not alias.
     """
+    if cache:
+        key = (a.pattern_key(), x.pattern_key(), b.pattern_key(),
+               int(index_offset))
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            if echo > 5:
+                print("# create_plan: pattern-cache hit")
+            return dataclasses.replace(
+                hit, residuum_reached=-1.0, iterations_needed=-1,
+                flops_performed=-1.0, flops_performed_all=0.0)
+        plan = create_plan(a, x, b, index_offset, echo, cache=False)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+        return dataclasses.replace(plan)
     mb = a.nrows
     # --- static plausibility checks (tfqmrgpu.cu:166-172)
     if mb < 1:

@@ -1,0 +1,164 @@
+"""Observability: trace ranges, flop accounting, roofline audit.
+
+The reference instruments phases with NVTX PUSH_RANGE/POP_RANGE markers
+gated by -DUSE_NVTX (reference: tfqmrgpu.hxx:8-27, used at
+tfqmrgpu_core.hxx:29,177,332) and accumulates analytic flop counts exposed
+via getInfo (tfqmrgpu_core.hxx:133-138).  TPU equivalents:
+
+* ``trace(name)``     -- jax.profiler trace annotation (shows up in
+  TensorBoard/xprof timelines), enabled when TFQ_TRACE=1 (the USE_NVTX
+  analogue) or when a profiler session is active;
+* ``start_trace/stop_trace`` -- dump a full device profile to a directory;
+* ``roofline(...)``   -- analytic flops/bytes of one tfQMR iteration per
+  engine, and the speed-of-light fraction of a measured iteration time
+  against device peak numbers (the audit BASELINE.json requires).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+# Peak numbers per chip generation (empirically validated for the v5e relay
+# this repo is developed against: ~173 TF/s bf16 MXU, ~670 GB/s HBM).
+DEVICE_PEAKS = {
+    "TPU v5 lite": dict(bf16_tflops=197.0, fp32_eff_tflops=197.0 / 6,
+                        hbm_gbps=819.0),
+    "TPU v4": dict(bf16_tflops=275.0, fp32_eff_tflops=275.0 / 6,
+                   hbm_gbps=1228.0),
+    "cpu": dict(bf16_tflops=1.0, fp32_eff_tflops=0.5, hbm_gbps=50.0),
+}
+
+
+def _enabled() -> bool:
+    return os.environ.get("TFQ_TRACE", "0") != "0"
+
+
+@contextlib.contextmanager
+def trace(name: str):
+    """Trace-annotation range (NVTX PUSH/POP equivalent).  Cheap no-op when
+    TFQ_TRACE is unset."""
+    if not _enabled():
+        yield
+        return
+    import jax.profiler
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+def start_trace(log_dir: str):
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace():
+    import jax.profiler
+
+    jax.profiler.stop_trace()
+
+
+# ------------------------------------------------------------- roofline
+
+@dataclasses.dataclass
+class Roofline:
+    """Analytic cost model of one tfQMR iteration + measured efficiency."""
+
+    flops_per_iteration: float      # nominal (reference accounting)
+    bytes_per_iteration: float      # engine-specific HBM traffic estimate
+    device_kind: str
+    peak_tflops: float              # precision-adjusted compute ceiling
+    peak_gbps: float
+    compute_bound: bool
+    light_speed_s: float            # max(flop/peak, bytes/bw) per iteration
+    measured_s: Optional[float] = None
+    fraction_of_light: Optional[float] = None
+    nnz_mac_per_s: Optional[float] = None
+
+    def __str__(self):
+        s = (f"roofline[{self.device_kind}]: "
+             f"{self.flops_per_iteration:.3e} flop + "
+             f"{self.bytes_per_iteration:.3e} B/iter, "
+             f"light-speed {self.light_speed_s*1e6:.1f} us "
+             f"({'compute' if self.compute_bound else 'bandwidth'}-bound)")
+        if self.fraction_of_light is not None:
+            s += (f"; measured {self.measured_s*1e6:.1f} us = "
+                  f"{100*self.fraction_of_light:.1f}% of light")
+        return s
+
+
+def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
+                    mm_passes: int = 6) -> Roofline:
+    """Audit a Solver's per-iteration cost against device peaks.
+
+    mm_passes: MXU passes per fp32 matmul (6 = exact fp32 / HIGHEST,
+    3 = bf16x3, 1 = bf16).
+    """
+    import jax
+
+    plan = solver.plan
+    lm, ln = solver.lm, solver.ln
+    rsize = 8 if solver.precision == "z" else 4
+
+    from .core import flops_per_iteration
+
+    flops = flops_per_iteration(plan.n_pairs, plan.nnzb_x, lm, ln)
+
+    # HBM bytes: 2 SpMM reads of A + ~13 passes over the X-shaped vectors
+    nvec = plan.nnzb_x * 2 * lm * ln * rsize
+    if solver.engine == "dense":
+        nr = plan.nrows * lm
+        a_bytes = 2 * nr * nr * rsize
+    elif solver.engine == "pairs" and solver._pp_plan is not None:
+        pp = solver._pp_plan
+        a_bytes = pp.ntiles * 2 * pp.r_tile * lm * pp.ku * lm * 2 * 2
+    else:
+        a_bytes = plan.nnzb_a * 2 * lm * lm * rsize
+    bytes_ = 2 * a_bytes + 13 * 2 * nvec
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "cpu")
+    peaks = DEVICE_PEAKS.get(kind, DEVICE_PEAKS["cpu"])
+    if solver.precision == "z":
+        peak_tflops = peaks["bf16_tflops"] / 40     # f64 emulation ballpark
+    else:
+        peak_tflops = peaks["bf16_tflops"] / mm_passes
+    t_compute = flops / (peak_tflops * 1e12)
+    t_bw = bytes_ / (peaks["hbm_gbps"] * 1e9)
+    light = max(t_compute, t_bw)
+    r = Roofline(
+        flops_per_iteration=flops, bytes_per_iteration=bytes_,
+        device_kind=kind, peak_tflops=peak_tflops,
+        peak_gbps=peaks["hbm_gbps"],
+        compute_bound=t_compute >= t_bw, light_speed_s=light,
+    )
+    if measured_iteration_s is not None:
+        r.measured_s = measured_iteration_s
+        r.fraction_of_light = light / max(measured_iteration_s, 1e-30)
+        r.nnz_mac_per_s = (plan.n_pairs * lm * lm * ln
+                           / measured_iteration_s / 2)
+    return r
+
+
+def timed_solve(solver, tolerance: float = 1e-6, max_iterations: int = 999,
+                repeats: int = 2):
+    """Run repeated solves, return (info, best_wall_s, Roofline) -- the
+    nnz/s + fraction-of-light report the benchmark configs require."""
+    info = solver.solve(tolerance=tolerance, max_iterations=max_iterations)
+    best = None
+    for _ in range(max(0, repeats - 1)):
+        t0 = time.perf_counter()
+        info = solver.solve(tolerance=tolerance,
+                            max_iterations=max_iterations)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    if best is None:
+        best = float("nan")
+    iters = max(info.iterations_needed, 1)
+    return info, best, solver_roofline(solver, best / iters)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core
+from .profiling import trace
 from .bsr import Bsr
 from .errors import Status, TfqmrgpuError, encode_status
 from .ops import layout as layout_ops
@@ -321,21 +322,28 @@ class Solver:
         if self._b is None and not rhs_trivial:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "matrix 'B' has not been set")
+        with trace(f"tfq.solve.{self.engine}"):
+            result = self._dispatch_solve(tolerance, max_iterations,
+                                          rhs_trivial)
+        return self._finish_solve(result, max_iterations)
+
+    def _dispatch_solve(self, tolerance, max_iterations, rhs_trivial):
         if self._panel:
-            result = self._solve_panel(tolerance, max_iterations, rhs_trivial)
-        elif self.engine == "pairs":
-            result = self._solve_pairs(tolerance, max_iterations, rhs_trivial)
-        else:
-            b = self._b
-            if b is None:  # trivial RHS: shape placeholder, rebuilt on device
-                z = jnp.zeros((self.plan.nnzb_b, self.lm, self.ln), self.dtype)
-                b = (z, z)
-            result = core.solve_core(
-                self.action, b, self._v3, self._colindx, self._subset,
-                tolerance, max_iterations,
-                ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
-                rhs_trivial=rhs_trivial,
-            )
+            return self._solve_panel(tolerance, max_iterations, rhs_trivial)
+        if self.engine == "pairs":
+            return self._solve_pairs(tolerance, max_iterations, rhs_trivial)
+        b = self._b
+        if b is None:      # trivial RHS: shape placeholder, rebuilt on device
+            z = jnp.zeros((self.plan.nnzb_b, self.lm, self.ln), self.dtype)
+            b = (z, z)
+        return core.solve_core(
+            self.action, b, self._v3, self._colindx, self._subset,
+            tolerance, max_iterations,
+            ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
+            rhs_trivial=rhs_trivial,
+        )
+
+    def _finish_solve(self, result, max_iterations) -> SolveInfo:
         self._x_result = result.x
         iters = int(result.iterations)
         n_probes = int(result.n_probes)
