@@ -245,6 +245,8 @@ def solve_core(
     subset: jax.Array,            # int32[nnzbB]
     tolerance,
     max_iterations,
+    inv_bn2_override=None,        # f64[nCols, LN]: fixed 1/|B|^2 (restart
+                                  # chunks keep the original normalization)
     *,
     ncols: int,
     lm: int,
@@ -279,6 +281,8 @@ def solve_core(
         v5 = prim.add_rhs(v5, v2, 1.0)
         tau0 = prim.nrm2(v5)                 # squared column norms of B
         inv_bn2 = 1.0 / tau0
+    if inv_bn2_override is not None:
+        inv_bn2 = inv_bn2_override
 
     return tfqmr_loop(prim, v2, v3, v5, tau0, inv_bn2,
                       tolerance, max_iterations, dt)
@@ -296,6 +300,10 @@ def solve_core_panel(
     mask4,               # [mb, 1, ncc, 1] in data dtype
     tolerance,
     max_iterations,
+    inv_bn2_override,    # f64[ncc, LN] or None: fixed 1/|B|^2 normalization
+                         # (used by restart-based checkpoint/resume so the
+                         # convergence target stays relative to the ORIGINAL
+                         # right-hand side across chunks)
     *,
     mb: int,
     lm: int,
@@ -333,6 +341,8 @@ def solve_core_panel(
         tau0 = prim.nrm2(v5)
         inv_bn2 = jnp.where(tau0 > 0, 1.0 / jnp.where(tau0 > 0, tau0, 1.0),
                             0.0)
+    if inv_bn2_override is not None:
+        inv_bn2 = inv_bn2_override
 
     return tfqmr_loop(prim, b_panel, v3_panel, v5, tau0, inv_bn2,
                       tolerance, max_iterations, dt)

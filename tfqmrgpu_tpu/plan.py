@@ -97,6 +97,32 @@ class Plan:
     def n_pairs(self) -> int:
         return int(self.pairs.shape[0])
 
+    # ------------------------------------------------------ serialization
+
+    _ARRAY_FIELDS = ("starts", "pairs", "subset", "colindx",
+                     "original_colind_x", "rowptr_x", "colind_x",
+                     "rowptr_b", "colind_b", "rowptr_a", "colind_a")
+    _SCALAR_FIELDS = ("nrows", "ncols", "nnzb_a", "nnzb_x", "nnzb_b",
+                      "lm", "ln")
+
+    def save(self, path: str):
+        """Persist the analysis products (.npz).  A saved plan skips the
+        createPlan step entirely on reload -- the offline-analysis analogue
+        of the reference's reusable plan object (tfqmrgpu_plan.hxx)."""
+        payload = {k: getattr(self, k) for k in self._ARRAY_FIELDS}
+        payload["scalars"] = np.array(
+            [getattr(self, k) for k in self._SCALAR_FIELDS], dtype=np.int64)
+        payload["precision"] = np.array(self.precision)
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path: str) -> "Plan":
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in cls._ARRAY_FIELDS}
+            scalars = dict(zip(cls._SCALAR_FIELDS, z["scalars"].tolist()))
+            precision = str(z["precision"])
+        return cls(**arrays, **scalars, precision=precision)
+
     def memory_requirement_bytes(self, lm: int, ln: int, precision: str = "z") -> int:
         """Device-memory estimate of one solve, the analogue of
         tfqmrgpu_bsrsv_bufferSize's memcount-mode (tfqmrgpu_core.hxx:49-99).

@@ -143,6 +143,8 @@ class Solver:
         self._action: Optional[BlockSparseAction] = None
         self._a_panel = None          # (dense planes) or (stream arrays)
         self._b: Optional[tuple] = None
+        self._bn2: Optional[np.ndarray] = None
+        self._x0 = None               # initial guess (engine layout)
         self._x_result = None
         self._info: Optional[SolveInfo] = None
         v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
@@ -219,10 +221,31 @@ class Solver:
                 self._b = jnp.asarray(self._pairs_b_panel(re, im))
             else:
                 self._b = (jnp.asarray(re), jnp.asarray(im))
+            # per-(column, rhs) squared norms of B (for restart chunks)
+            cols_b = self.plan.colindx[self.plan.subset.astype(np.int64)]
+            bn2 = np.zeros((self.plan.ncols, self.ln))
+            np.add.at(bn2, cols_b.astype(np.int64),
+                      (re.astype(np.float64) ** 2
+                       + im.astype(np.float64) ** 2).sum(axis=1))
+            self._bn2 = bn2
         elif var == "X":
-            # initial guess: accepted for API parity; the solver starts from
-            # zero exactly like the reference (tfqmrgpu_core.hxx:125)
-            pass
+            # initial guess X0: the solver then runs on the shifted system
+            # A*dX == B - A*X0 and returns X0 + dX.  (The reference always
+            # starts from zero and leaves this as a ToDo,
+            # tfqmrgpu_core.hxx:125 / bench_tfqmrgpu.cu:159 step 8x.)
+            re, im = layout_ops.to_planes(
+                val, self.plan.nnzb_x, self.lm, self.ln, trans=trans,
+                layout=layout, scale=scale, dtype=npdt)
+            if self._panel:
+                self._x0 = (jnp.asarray(self._layout.pack_x(re)),
+                            jnp.asarray(self._layout.pack_x(im)))
+            elif self.engine == "pairs":
+                from .ops import pairpanel as pp_ops
+
+                self._x0 = jnp.asarray(pp_ops.permute_x(
+                    self._pp_plan, re, im))
+            else:
+                self._x0 = (jnp.asarray(re), jnp.asarray(im))
         else:
             raise TfqmrgpuError(
                 encode_status(Status.VARIABLENAME_UNKNOWN, 0, var),
@@ -277,14 +300,17 @@ class Solver:
         np.add.at(xi, sub, im)
         return pp_ops.permute_x(self._pp_plan, xr, xi)
 
-    def _solve_pairs(self, tolerance, max_iterations, rhs_trivial):
+    def _solve_pairs(self, tolerance, max_iterations, rhs_trivial,
+                     b_override=None, inv_bn2=None):
         from .ops import pairpanel as pp_ops
         from .ops.linalg import set_unit_blocks
 
         if self._pp is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "matrix 'A' has not been set")
-        if rhs_trivial:
+        if b_override is not None:
+            b = b_override
+        elif rhs_trivial:
             ub = np.asarray(set_unit_blocks(
                 self.plan.nnzb_b, self.lm, self.ln, jnp.float32))
             b = jnp.asarray(self._pairs_b_panel(ub[0], ub[1]))
@@ -294,28 +320,31 @@ class Solver:
         ncc = self.plan.ncols
         mult = self._pp
 
-        def step(consts, b_fused, v3_fused, tol, maxit):
+        def step(consts, b_fused, v3_fused, tol, maxit, inv_override):
             prim = pp_ops.fused_primitives(mult, consts, pplan, ncc, b_fused)
             v5 = prim.add_rhs(jnp.zeros_like(b_fused), b_fused, 1.0)
             sdt = decisions_scalar_dtype()
             if rhs_trivial:
                 tau0 = jnp.ones((ncc, self.ln), dtype=sdt)
-                inv_bn2 = tau0
+                inv = tau0
             else:
                 tau0 = prim.nrm2(v5)
-                inv_bn2 = jnp.where(tau0 > 0,
-                                    1.0 / jnp.where(tau0 > 0, tau0, 1.0),
-                                    0.0)
+                inv = jnp.where(tau0 > 0,
+                                1.0 / jnp.where(tau0 > 0, tau0, 1.0),
+                                0.0)
+            if inv_override is not None:
+                inv = inv_override
             return core.tfqmr_loop(prim, b_fused, v3_fused, v5, tau0,
-                                   inv_bn2, tol, maxit, jnp.float32)
+                                   inv, tol, maxit, jnp.float32)
 
-        # cache the jitted step per rhs_trivial flavor (closed over)
+        # cache the jitted step per (rhs_trivial, override) flavor
         cache = getattr(self, "_pairs_jit", None) or {}
         self._pairs_jit = cache
-        if rhs_trivial not in cache:
-            cache[rhs_trivial] = jax.jit(step)
-        return cache[rhs_trivial](mult.consts, b, self._v3,
-                                  tolerance, max_iterations)
+        key = (rhs_trivial, inv_bn2 is not None)
+        if key not in cache:
+            cache[key] = jax.jit(step)
+        return cache[key](mult.consts, b, self._v3,
+                          tolerance, max_iterations, inv_bn2)
 
     def solve(self, tolerance: float = 1e-6, max_iterations: int = 999,
               rhs_trivial: bool = False) -> SolveInfo:
@@ -328,6 +357,8 @@ class Solver:
         return self._finish_solve(result, max_iterations)
 
     def _dispatch_solve(self, tolerance, max_iterations, rhs_trivial):
+        if self._x0 is not None and not rhs_trivial:
+            return self._solve_shifted(tolerance, max_iterations)
         if self._panel:
             return self._solve_panel(tolerance, max_iterations, rhs_trivial)
         if self.engine == "pairs":
@@ -342,6 +373,78 @@ class Solver:
             ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
             rhs_trivial=rhs_trivial,
         )
+
+    def _apply_a(self, x_vec):
+        """y = A @ x in the engine's vector layout (used for B - A*X0)."""
+        if self.engine == "dense":
+            lay = self._layout
+            from .ops.panel import dense_multiply
+            from .ops.blocksparse import MATMUL_PRECISION
+
+            mult = dense_multiply(self._a_panel[0], self._a_panel[1],
+                                  self._mask4, lay.mb, lay.lm, lay.ncc,
+                                  lay.ln, MATMUL_PRECISION)
+            return mult(x_vec)
+        if self.engine == "pallas":
+            from .ops.pallas_spmm import bsr_panel_multiply
+
+            lay = self._layout
+            mult = bsr_panel_multiply(
+                self._a_panel[0], self._a_panel[1],
+                jnp.asarray(self._pack.xcols), self._mask4,
+                lay.mb, lay.lm, lay.ncc, lay.ln,
+                interpret=jax.default_backend() != "tpu")
+            return mult(x_vec)
+        if self.engine == "pairs":
+            pp = self._pp_plan
+            nyrows = pp.ntiles * pp.r_tile * self.lm
+            y = self._pp.apply(self._pp.consts, x_vec)
+            return jnp.pad(y, ((0, pp.x_rows_padded - nyrows), (0, 0)))
+        return self.action.multiply(x_vec)
+
+    def _solve_shifted(self, tolerance, max_iterations):
+        """Restart solve from the stored initial guess X0:
+        solve A*dX == (B - A*X0) with the ORIGINAL |B| normalization, then
+        return X0 + dX."""
+        x0 = self._x0
+        sdt = decisions_scalar_dtype()
+        bn2 = jnp.asarray(self._bn2.astype(np.float64))
+        inv = jnp.where(bn2 > 0, 1.0 / jnp.where(bn2 > 0, bn2, 1.0),
+                        0.0).astype(sdt)
+        ax0 = jax.jit(self._apply_a)(x0)
+        if self.engine == "pairs":
+            bp = self._b - ax0
+            result = self._solve_pairs(tolerance, max_iterations, False,
+                                       b_override=bp, inv_bn2=inv)
+            x = result.x + x0
+        elif self._panel:
+            bp = (self._b[0] - ax0[0], self._b[1] - ax0[1])
+            result = self._solve_panel(tolerance, max_iterations, False,
+                                       b_override=bp, inv_bn2=inv)
+            x = (result.x[0] + x0[0], result.x[1] + x0[1])
+        else:
+            # block-list engine: the shifted RHS is X-shaped; reuse
+            # solve_core with an identity subset
+            bp = (jnp.asarray(self._scatter_b()[0]) - ax0[0],
+                  jnp.asarray(self._scatter_b()[1]) - ax0[1])
+            ident = jnp.arange(self.plan.nnzb_x, dtype=jnp.int32)
+            result = core.solve_core(
+                self.action, bp, self._v3, self._colindx, ident,
+                tolerance, max_iterations, inv,
+                ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
+                rhs_trivial=False)
+            x = (result.x[0] + x0[0], result.x[1] + x0[1])
+        return result._replace(x=x)
+
+    def _scatter_b(self):
+        """B blocks scattered into X shape (host helper, xla engine)."""
+        re = np.zeros((self.plan.nnzb_x, self.lm, self.ln),
+                      np.float64 if self.precision == "z" else np.float32)
+        im = np.zeros_like(re)
+        sub = self.plan.subset.astype(np.int64)
+        np.add.at(re, sub, np.asarray(self._b[0]))
+        np.add.at(im, sub, np.asarray(self._b[1]))
+        return re, im
 
     def _finish_solve(self, result, max_iterations) -> SolveInfo:
         self._x_result = result.x
@@ -386,13 +489,16 @@ class Solver:
         )
         return self._info
 
-    def _solve_panel(self, tolerance, max_iterations, rhs_trivial):
+    def _solve_panel(self, tolerance, max_iterations, rhs_trivial,
+                     b_override=None, inv_bn2=None):
         if self._a_panel is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "matrix 'A' has not been set")
         lay = self._layout
         npdt = np.float64 if self.precision == "z" else np.float32
-        if rhs_trivial:
+        if b_override is not None:
+            b = b_override
+        elif rhs_trivial:
             unit = lay.unit_b_blocks(npdt)
             b = (jnp.asarray(lay.pack_b(unit)),
                  jnp.asarray(lay.pack_b(np.zeros_like(unit))))
@@ -407,9 +513,53 @@ class Solver:
         a_rowptr = dummy
         return core.solve_core_panel(
             a_re, a_im, a_colind, a_rowptr, b, self._v3, self._mask4,
-            tolerance, max_iterations,
+            tolerance, max_iterations, inv_bn2,
             mb=lay.mb, lm=lay.lm, ncc=lay.ncc, ln=lay.ln,
             rhs_trivial=rhs_trivial, engine=self.engine)
+
+    def solve_checkpointed(self, tolerance: float = 1e-6,
+                           max_iterations: int = 999, chunk: int = 50,
+                           state_path: Optional[str] = None) -> SolveInfo:
+        """Chunked solve with restart-based checkpointing.
+
+        Runs the solver in chunks of ``chunk`` iterations; after each chunk
+        the current iterate X is (optionally) persisted to ``state_path``
+        and re-injected as the initial guess of the next chunk.  A process
+        that dies mid-solve resumes by calling this again with the same
+        ``state_path``.  Restarting discards the Krylov space, so total
+        iterations can exceed a single uninterrupted solve -- this is the
+        price of bounded recovery time.  The convergence target stays
+        relative to the ORIGINAL |B| across chunks.
+
+        (The reference has no checkpointing at all -- plans are merely
+        reusable across solves, SURVEY.md §5.4.)
+        """
+        import os
+
+        if state_path and os.path.exists(state_path):
+            with np.load(state_path) as st:
+                self.set_matrix("X", st["x_re"] + 1j * st["x_im"])
+                done = int(st["iterations"])
+        else:
+            done = 0
+        total = done
+        info = None
+        while total < max_iterations:
+            it = min(chunk, max_iterations - total)
+            info = self.solve(tolerance=tolerance, max_iterations=it)
+            total += info.iterations_needed if info.return_status == 0                 else it
+            x = self.get_matrix("X")
+            if state_path:
+                np.savez(state_path, x_re=x.real, x_im=x.imag,
+                         iterations=total)
+            if info.return_status == int(Status.SUCCESS):
+                break
+            self.set_matrix("X", x)
+        if info is not None:
+            info.iterations_needed = total
+        if state_path and info is not None and                 info.return_status == int(Status.SUCCESS) and                 os.path.exists(state_path):
+            os.remove(state_path)
+        return info
 
     def get_info(self) -> SolveInfo:
         if self._info is None:
