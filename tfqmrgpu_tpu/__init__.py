@@ -29,7 +29,7 @@ from .errors import (
 )
 from .bsr import Bsr, BlockSparseMatrix
 from .plan import Plan, create_plan
-from .solver import Solver, solve, bsrsv, bsrsv_z, bsrsv_c
+from .solver import Solver, solve, solve_mixed, bsrsv, bsrsv_z, bsrsv_c, bsrsv_m
 from . import ops
 from . import parallel
 from . import profiling

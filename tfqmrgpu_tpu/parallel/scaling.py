@@ -1,0 +1,141 @@
+"""Weak-scaling harness for the mesh-sharded solver.
+
+BASELINE.json requires nnz/s and iterations-to-convergence reported at
+1 chip / 1 host / N>=2 hosts with >=80% weak-scaling efficiency.  Real
+multi-chip hardware is not present in CI, so the harness has two roles:
+
+* on a simulated CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+  it validates that iterations are IDENTICAL across mesh shapes and measures
+  the collective/padding overhead of the sharded data path;
+* on a real pod slice the same entry point produces the deliverable
+  nnz/s table (the code path is byte-identical; only jax.devices() changes).
+
+Weak scaling: the problem grows with the row-shard count (block rows
+proportional to pr) so per-device work stays constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ScalePoint:
+    pr: int
+    pc: int
+    mb: int
+    nnzb_a: int
+    n_pairs: int
+    iterations: int
+    status: int
+    wall_s: float
+    nnz_mac_per_s: float
+
+
+def _banded_problem(mb: int, lm: int, ln: int, ncols: int, halfband: int,
+                    seed: int = 0):
+    """Deterministic banded block problem that weak-scales with mb."""
+    from ..bsr import Bsr
+
+    rng = np.random.default_rng(seed)
+    rows, cols = [0], []
+    for i in range(mb):
+        lo, hi = max(0, i - halfband), min(mb, i + halfband + 1)
+        cols.extend(range(lo, hi))
+        rows.append(len(cols))
+    nnzb = len(cols)
+    data = (rng.standard_normal((nnzb, lm, lm))
+            + 1j * rng.standard_normal((nnzb, lm, lm)))
+    rowptr = np.asarray(rows)
+    for i in range(mb):
+        d = rows[i] + list(cols[rows[i]:rows[i + 1]]).index(i)
+        data[d] += 6.0 * (2 * halfband + 1) * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr, np.asarray(cols), data, name="A")
+
+    x = Bsr(mb, ncols, np.arange(mb + 1) * ncols,
+            np.tile(np.arange(ncols), mb), None, name="X")
+    rowptr_b = np.concatenate([[0], np.cumsum(
+        [1 if r < ncols else 0 for r in range(mb)])])
+    b_data = (rng.standard_normal((ncols, lm, ln))
+              + 1j * rng.standard_normal((ncols, lm, ln)))
+    b = Bsr(mb, ncols, rowptr_b, np.arange(ncols), b_data, name="B")
+    return a, x, b
+
+
+def run_point(pr: int, pc: int, mb_per_shard: int = 16, lm: int = 8,
+              ln: int = 8, ncols: int = 4, tolerance: float = 1e-8,
+              max_iterations: int = 300, repeats: int = 2,
+              seed: int = 0) -> ScalePoint:
+    """One weak-scaling measurement on a pr x pc mesh."""
+    import jax
+
+    from ..plan import create_plan
+    from . import make_mesh, partition_plan
+    from .sharded import sharded_solve
+
+    mb = mb_per_shard * pr
+    a, x, b = _banded_problem(mb, lm, ln, ncols * pc, halfband=2, seed=seed)
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    part = partition_plan(plan, pr, pc)
+    mesh = make_mesh(pr, pc)
+
+    best = None
+    info = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, info = sharded_solve(
+            plan, part, mesh, a.data.real, a.data.imag,
+            b.data.real, b.data.imag,
+            tolerance=tolerance, max_iterations=max_iterations)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    iters = max(int(info["iterations"]), 1)
+    macs = plan.n_pairs * lm * lm * ln * iters
+    return ScalePoint(pr=pr, pc=pc, mb=mb, nnzb_a=a.nnzb,
+                      n_pairs=plan.n_pairs, iterations=iters,
+                      status=int(info["return_status"]), wall_s=best,
+                      nnz_mac_per_s=macs / best)
+
+
+def weak_scaling_report(max_devices: Optional[int] = None,
+                        mb_per_shard: int = 16, **kw):
+    """Measure 1, 2, ..., N row shards; report per-shard efficiency vs 1.
+
+    Iteration counts must agree across mesh shapes (the sharded solver's
+    convergence control is globally synchronized)."""
+    import jax
+
+    n = max_devices or len(jax.devices())
+    points = []
+    prs = [p for p in (1, 2, 4, 8) if p <= n]
+    for pr in prs:
+        points.append(run_point(pr, 1, mb_per_shard=mb_per_shard, **kw))
+    base = points[0]
+    report = []
+    for p in points:
+        per_shard = p.nnz_mac_per_s / p.pr
+        eff = per_shard / base.nnz_mac_per_s
+        report.append(dict(pr=p.pr, mb=p.mb, iterations=p.iterations,
+                           wall_s=round(p.wall_s, 4),
+                           nnz_mac_per_s=p.nnz_mac_per_s,
+                           efficiency=round(eff, 3)))
+    return report
+
+
+def main(argv=None):
+    import json
+    import sys
+
+    rep = weak_scaling_report()
+    for row in rep:
+        print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

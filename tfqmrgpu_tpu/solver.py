@@ -570,12 +570,53 @@ class Solver:
 
 # ------------------------------------------------------------- one-callers
 
+def solve_mixed(a: Bsr, x: Bsr, b: Bsr, *, tolerance: float = 1e-9,
+                max_iterations: int = 999, c_tolerance: float = 1e-5,
+                engine: str = "auto", index_offset: int = 0,
+                echo: int = 0) -> tuple[Bsr, SolveInfo]:
+    """Mixed precision ('m'): iterate in complex64 on the MXU fast path,
+    then refine in complex128 restarting from the float solution (via the
+    shifted-system initial-guess machinery).  The reference DECLARES this
+    mode but never enabled it (tfqmrgpu.cu:42 "mixed precision is still
+    buggy"); here it is the recommended way to get f64 residuals at f32
+    iteration cost on TPU (f64 matmuls are software-emulated).
+    """
+    sc = Solver(a, x, b, precision="c", engine=engine,
+                index_offset=index_offset, echo=echo)
+    info_c = sc.solve(tolerance=max(c_tolerance, tolerance),
+                      max_iterations=max_iterations)
+    xc = sc.get_matrix("X").astype(np.complex128)
+
+    if not jax.config.read("jax_enable_x64"):
+        from . import enable_x64
+
+        enable_x64()
+    sz = Solver(a, x, b, precision="z",
+                engine="dense" if engine in ("pallas", "pairs") else engine,
+                index_offset=index_offset, echo=echo)
+    sz.set_matrix("X", xc)
+    info = sz.solve(tolerance=tolerance, max_iterations=max_iterations)
+    info.iterations_needed += info_c.iterations_needed
+    info.flops_performed += info_c.flops_performed
+    info.flops_performed_all += info_c.flops_performed_all
+    if echo > 0:
+        print(f"# mixed: {info_c.iterations_needed} c-iterations + "
+              f"{info.iterations_needed - info_c.iterations_needed} "
+              f"z-iterations -> residuum {info.residuum_reached:.3e}")
+    return x.with_data(sz.get_matrix("X")), info
+
+
 def solve(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "z",
           tolerance: float = 1e-6, max_iterations: int = 999,
           engine: str = "auto", index_offset: int = 0,
           echo: int = 0) -> tuple[Bsr, SolveInfo]:
     """One-call convenience: returns (X with data attached, SolveInfo).
-    The TPU analogue of tfqmrgpu::tfqmrgpu_bsrsv (tfqmrgpu.cu:700-791)."""
+    The TPU analogue of tfqmrgpu::tfqmrgpu_bsrsv (tfqmrgpu.cu:700-791).
+    precision 'm' runs the mixed c-iterate/z-refine pipeline."""
+    if precision == "m":
+        return solve_mixed(a, x, b, tolerance=tolerance,
+                           max_iterations=max_iterations, engine=engine,
+                           index_offset=index_offset, echo=echo)
     s = Solver(a, x, b, precision=precision, engine=engine,
                index_offset=index_offset, echo=echo)
     info = s.solve(tolerance=tolerance, max_iterations=max_iterations)
@@ -601,4 +642,11 @@ def bsrsv_c(a, x, b, **kw):
     """complex64 one-call solve (reference: tfqmrgpu_bsrsv_c,
     tfqmrgpu.cu:812-822)."""
     kw.setdefault("precision", "c")
+    return bsrsv(a, x, b, **kw)
+
+
+def bsrsv_m(a, x, b, **kw):
+    """mixed-precision one-call solve: c iterations + z refinement (the
+    reference's declared-but-disabled 'm' mode, tfqmrgpu.cu:42)."""
+    kw.setdefault("precision", "m")
     return bsrsv(a, x, b, **kw)
