@@ -211,3 +211,27 @@ def read_xml(filename: str, echo: int = 0) -> XmlProblem:
     x.ncols = ncols
     return XmlProblem(a=a, b=b, x=x, tolerance=tolerance,
                       x_has_reference=x_has_ref)
+
+
+def main(argv=None):
+    """Echo a parsed XML problem (the reference's test_xml_reader CLI,
+    example/tfqmrgpu_example_xml_reader.cxx)."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m tfqmrgpu_tpu.io.xmlio <file.xml> [echo]")
+        return 1
+    echo = int(argv[1]) if len(argv) > 1 else 6
+    p = read_xml(argv[0], echo=echo)
+    print(f"# tolerance {p.tolerance}")
+    for op in (p.a, p.b, p.x):
+        shape = op.data.shape[1:] if op.data is not None else "(pattern)"
+        print(f"# {op.name}: {op.nrows} x {op.ncols} block rows/cols, "
+              f"nnzb={op.nnzb}, block={shape}")
+    print(f"# X carries a reference solution: {p.x_has_reference}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
