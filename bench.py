@@ -14,6 +14,7 @@ LM=LN=32 double: 4.3 TFlop/s (bench_tfqmrgpu.cu:319).
 
 Env knobs: TFQ_BENCH_LM/LN (default 32/32), TFQ_BENCH_PREC (c|z, default c),
 TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 2),
+TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for padding),
 TFQ_BENCH_ENGINE (pairpanel|xla|auto, default auto),
 TFQ_BENCH_MM_PREC (bf16|bf16x3|highest; default 'high' = bf16_3x passes,
 ~1e-7 relative -- well inside the 1e-4 gate), TFQ_PLAN_FILE.
@@ -87,6 +88,7 @@ def main():
     prec = os.environ.get("TFQ_BENCH_PREC", "c")
     nrep = int(os.environ.get("TFQ_BENCH_NREP", "64"))
     r_tile = int(os.environ.get("TFQ_BENCH_RTILE", "2"))
+    n_buckets = int(os.environ.get("TFQ_BENCH_BUCKETS", "1"))
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
     # 'highest' (exact fp32, 6 MXU passes) is the default: bf16x3 lands at
     # ~2.5e-4 on this workload (split residual accumulates over K~900
@@ -157,15 +159,27 @@ def main():
             phase = jnp.asarray(np.remainder(
                 np.arange(nnzb_a * lm * lm, dtype=np.float64),
                 2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
-            panels = pp.build_a_panels_device(
-                pplan, jnp.cos(phase), jnp.sin(phase))
-            panels.block_until_ready()
-            log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
-                f"ntiles={pplan.ntiles} ku={pplan.ku} S={pplan.s_window} "
-                f"inflation={pplan.inflation:.2f}x prec={mm_prec}")
-            mult2 = pp.make_pairpanel_multiply(
-                pplan, panels, precision=mm_prec,
-                interpret=jax.default_backend() not in ("tpu",))
+            a_dev = (jnp.cos(phase), jnp.sin(phase))
+            interp = jax.default_backend() not in ("tpu",)
+            if n_buckets > 1:
+                bplan = pp.bucketize(pplan, n_buckets=n_buckets)
+                panels = pp.build_a_panels_bucketed_device(bplan, *a_dev)
+                [p.block_until_ready() for p in panels]
+                mult2 = pp.BucketedMultiply(bplan, panels,
+                                            precision=mm_prec,
+                                            interpret=interp)
+                log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
+                    f"ntiles={pplan.ntiles} buckets="
+                    f"{[int(k) for k in bplan.ku_b]} S={pplan.s_window} "
+                    f"prec={mm_prec}")
+            else:
+                panels = pp.build_a_panels_device(pplan, *a_dev)
+                panels.block_until_ready()
+                mult2 = pp.make_pairpanel_multiply(
+                    pplan, panels, precision=mm_prec, interpret=interp)
+                log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
+                    f"ntiles={pplan.ntiles} ku={pplan.ku} S={pplan.s_window} "
+                    f"inflation={pplan.inflation:.2f}x prec={mm_prec}")
             consts = mult2.consts
             nxrows = pplan.x_rows_padded
             nyrows = pplan.ntiles * r_tile * lm
@@ -178,7 +192,7 @@ def main():
                 return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
 
             x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
-            eng_used = f"pairpanel-r{r_tile}-{mm_prec}"
+            eng_used = (f"pairpanel-r{r_tile}-b{n_buckets}-{mm_prec}")
         except ValueError as e:
             if engine == "pairpanel":
                 raise

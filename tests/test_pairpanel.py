@@ -96,3 +96,38 @@ def test_span_budget_raises():
     py = rng.integers(0, n, 1500)
     with pytest.raises(ValueError):
         pp.pack_pair_plan(pa, px, py, n, n, 8, 8, r_tile=2, max_window=32)
+
+
+def test_bucketed_multiply_matches_pairwalk(rng):
+    lm = ln = 8
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=16, ncols=3, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2, 5))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=2)
+    bp = pp.bucketize(plan, n_buckets=3)
+    assert sum(t.size for t in bp.tile_ids) == plan.ntiles
+
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    panels = build_bucket_panels_host(bp, a.real.astype(np.float32),
+                                      a.imag.astype(np.float32))
+    mult = pp.BucketedMultiply(bp, panels, precision="highest",
+                               interpret=True)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def build_bucket_panels_host(bp, a_re, a_im):
+    import jax.numpy as jnp
+
+    return [jnp.asarray(np.asarray(p)) for p in
+            pp.build_a_panels_bucketed_device(bp, jnp.asarray(a_re),
+                                              jnp.asarray(a_im))]

@@ -673,3 +673,131 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
         multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
         add_rhs=add_rhs, allmax=lambda s: s, alland=lambda s: s,
     )
+
+
+# ------------------------------------------------------------- bucketing
+
+@dataclasses.dataclass
+class BucketedPairPlan:
+    """ku-bucketed execution of a PairPanelPlan: tiles are split into
+    groups by union size and each group runs its own pallas call padded to
+    its own ku -- removing the max-padding waste of a single call (~20% of
+    MXU passes and A-panel bytes on the golden plan).  Tile ORDER is kept
+    inside each bucket, so the sliding-window index sequence stays
+    monotone and windows are still fetched once."""
+
+    base: PairPanelPlan
+    ku_b: list                    # per bucket padded ku
+    tile_ids: list                # per bucket int64[] tile indices (sorted)
+    wsel_b: list                  # per bucket int32[ntiles_b (+1 pipeline)]
+    xloc_b: list                  # per bucket flat int32[(ntiles_b+1)*ku_b]
+    gather_order: np.ndarray      # int32[ntiles]: concat-bucket row -> tile
+
+
+def bucketize(plan: PairPanelPlan, n_buckets: int = 3) -> BucketedPairPlan:
+    # true union size per tile: count of slots whose window-relative id is
+    # used (pad slots repeat 0; slot 0 of each tile is always real)
+    kus = np.minimum((plan.xloc > 0).sum(axis=1) + 1, plan.ku)
+    qs = np.unique(np.quantile(kus, np.linspace(0, 1, n_buckets + 1)[1:])
+                   .astype(np.int64))
+    qs[-1] = plan.ku
+    ku_b, tile_ids, wsel_b, xloc_b = [], [], [], []
+    lo = 0
+    for q in qs:
+        sel = np.flatnonzero((kus > lo) & (kus <= q))
+        lo = q
+        if sel.size == 0:
+            continue
+        ku = int(q + (q % 2))                       # even for 2-wide gather
+        ku_b.append(ku)
+        tile_ids.append(sel)
+        ws = plan.wsel[sel]
+        wsel_b.append(np.concatenate([ws, ws[-1:]]).astype(np.int32))
+        xl = plan.xloc[sel][:, :ku]
+        xloc_b.append(np.concatenate(
+            [xl.reshape(-1), np.zeros(ku, np.int32)]).astype(np.int32))
+    concat_tiles = np.concatenate(tile_ids)
+    gather_order = np.zeros(plan.ntiles, np.int64)
+    gather_order[concat_tiles] = np.arange(plan.ntiles)
+    return BucketedPairPlan(base=plan, ku_b=ku_b, tile_ids=tile_ids,
+                            wsel_b=wsel_b, xloc_b=xloc_b,
+                            gather_order=gather_order.astype(np.int32))
+
+
+def build_a_panels_bucketed_device(bp: BucketedPairPlan, a_re, a_im):
+    """Per-bucket stacked A panels (device scatter-add, like
+    build_a_panels_device)."""
+    import jax.numpy as jnp
+
+    plan = bp.base
+    lm, r = plan.lm, plan.r_tile
+    panels = []
+    for ku, tiles in zip(bp.ku_b, bp.tile_ids):
+        local = np.full(plan.ntiles, -1, np.int64)
+        local[tiles] = np.arange(tiles.size)
+        sel = np.flatnonzero(local[plan.pair_tile] >= 0)
+        base = ((local[plan.pair_tile[sel]] * 2 * r
+                 + plan.pair_rslot[sel]) * ku + plan.pair_kslot[sel])
+        pa = jnp.asarray(plan.pair_a[sel].astype(np.int32))
+        stride = np.int32(r * ku)
+        basej = jnp.asarray(base.astype(np.int32))
+        flat = jnp.zeros((tiles.size * 2 * r * ku, lm, lm), dtype=a_re.dtype)
+        flat = flat.at[basej].add(a_re[pa]).at[basej + stride].add(a_im[pa])
+        p = flat.reshape(tiles.size, 2 * r, ku, lm, lm).transpose(0, 1, 3,
+                                                                  2, 4)
+        panels.append(p.reshape(tiles.size, 2 * r * lm, ku * lm))
+    return panels
+
+
+class BucketedMultiply:
+    """Multiply over bucketed pallas calls; returns y in TILE order."""
+
+    def __init__(self, bp: BucketedPairPlan, panels, precision: str,
+                 interpret: bool):
+        import jax.numpy as jnp
+
+        plan = bp.base
+        self._plan = plan
+        self._two_ln = 2 * plan.ln
+        self._m = plan.r_tile * plan.lm
+        self._n_windows = plan.n_windows
+        self._swrows = plan.s_window * plan.lm
+        self._split = precision in ("bf16", "bf16x3")
+        self._calls = []
+        consts = []
+        for ku, tiles, ws, xl, pan in zip(bp.ku_b, bp.tile_ids, bp.wsel_b,
+                                          bp.xloc_b, panels):
+            call = _make_call(int(tiles.size), plan.r_tile, int(ku),
+                              plan.lm, plan.ln, plan.s_window,
+                              plan.x_rows_padded, precision, interpret)
+            self._calls.append(call)
+            if self._split:
+                a_args = split_bf16x2(pan)
+            else:
+                a_args = (pan,)
+            consts.append((jnp.asarray(ws), jnp.asarray(xl)) + tuple(a_args))
+        consts.append(jnp.asarray(bp.gather_order))
+        self.consts = tuple(consts)
+
+    def apply(self, consts, x_fused):
+        import jax.numpy as jnp
+
+        *bucket_consts, order = consts
+        if self._split:
+            hi, lo = split_bf16x2(x_fused)
+            xw = jnp.concatenate([hi, lo], axis=1)
+            lanes = 2 * self._two_ln
+        else:
+            xw = x_fused
+            lanes = self._two_ln
+        seg = xw.reshape(self._n_windows, self._swrows, lanes)
+        xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
+        ys = []
+        for call, bc in zip(self._calls, bucket_consts):
+            wsel, xloc, *a_args = bc
+            ys.append(call(wsel, xloc, *a_args, xrep))
+        y = jnp.concatenate(ys, axis=0)[order]      # back to tile order
+        return y.reshape(self._plan.ntiles * self._m, self._two_ln)
+
+    def __call__(self, x_fused):
+        return self.apply(self.consts, x_fused)
