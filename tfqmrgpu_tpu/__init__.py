@@ -33,6 +33,7 @@ from .solver import Solver, solve, solve_mixed, bsrsv, bsrsv_z, bsrsv_c, bsrsv_m
 from . import ops
 from . import parallel
 from . import profiling
+from .autotune import autotune_solver
 
 __version__ = "0.1.0"
 
