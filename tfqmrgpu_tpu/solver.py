@@ -75,7 +75,9 @@ class Solver:
                     plan's multiplication pair list with RCM-relabeled
                     fused vectors (general BSR, X too big to densify);
         'xla'    -- block-list engine (reference-shaped data path);
-        'auto'   -- 'dense' when A fits DENSE_A_BYTE_LIMIT, else 'xla'.
+        'auto'   -- 'dense' when A fits DENSE_A_BYTE_LIMIT; else 'pairs'
+                    for 'c' precision (xla when the pattern has no
+                    recoverable locality); else 'xla'.
       index_offset: 0 for C-style, 1 for Fortran-style rowptr/colind.
     """
 
@@ -101,17 +103,22 @@ class Solver:
         self.plan.precision = precision
 
         rsize = 8 if precision == "z" else 4
-        if engine == "auto":
+        auto = engine == "auto"
+        if auto:
             nr = self.plan.nrows * self.lm
-            engine = "dense" if 2 * nr * nr * rsize <= DENSE_A_BYTE_LIMIT \
-                else "xla"
+            if 2 * nr * nr * rsize <= DENSE_A_BYTE_LIMIT:
+                engine = "dense"
+            elif precision == "c":
+                engine = "pairs"     # falls back to xla if the pattern has
+                # no recoverable locality (pack raises below)
+            else:
+                engine = "xla"
         self.engine = engine
         if engine in ("pallas", "pairs") and precision != "c":
             raise TfqmrgpuError(
                 encode_status(Status.PRECISION_MISSMATCH),
                 f"the {engine} engine is float32-only; use precision='c' "
                 "(no f64 MXU on TPU) or engine='dense'")
-        self._panel = engine in ("dense", "pallas")
         self._pp = None               # pairs engine state
         if engine == "pairs":
             from .ops import pairpanel as pp_ops
@@ -123,16 +130,23 @@ class Solver:
             counts = np.diff(self.plan.starts).astype(np.int64)
             pair_y = np.repeat(np.arange(self.plan.nnzb_x, dtype=np.int64),
                                counts)
-            self._pp_plan = pp_ops.pack_pair_plan(
-                self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
-                self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
-                r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "2")),
-                row_of=row_of_x, col_of=self.plan.colindx)
+            try:
+                self._pp_plan = pp_ops.pack_pair_plan(
+                    self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
+                    self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
+                    r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "2")),
+                    row_of=row_of_x, col_of=self.plan.colindx)
+            except ValueError:
+                if not auto:
+                    raise
+                engine = "xla"        # no recoverable locality
+            self.engine = engine
             self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC", "highest")
-            if echo > 2:
+            if engine == "pairs" and echo > 2:
                 print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
                       f"inflation={self._pp_plan.inflation:.2f}x")
+        self._panel = engine in ("dense", "pallas")
         self._pack = None
         self._layout: Optional[panel_ops.PanelLayout] = None
         if self._panel:
