@@ -82,7 +82,54 @@ def cos_sin_fill(nnzb, d1, d2, dtype):
     return np.cos(idx).astype(dtype), np.sin(idx).astype(dtype)
 
 
+def main_fd():
+    """TFQ_BENCH_MODE=fd: full tfQMR solve on a generated FD problem --
+    time-to-residual + iteration count (BASELINE config 2)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    prec = os.environ.get("TFQ_BENCH_PREC", "z")
+    rtb = float(os.environ.get("TFQ_FD_RTB", "6.75"))
+    import tempfile
+
+    from tfqmrgpu_tpu import Solver, enable_x64, profiling
+    from tfqmrgpu_tpu.generator import generate_fd_problem
+
+    if prec == "z":
+        enable_x64()
+    t0 = time.time()
+    prob = generate_fd_problem(rtb=rtb, reference=False)
+    a = prob.a.with_data((prob.a_stencil[prob.a_indirection]
+                          * prob.a_scale).astype(np.complex128))
+    b = prob.b.with_data(
+        prob.b_blocks[prob.b_indirection].astype(np.complex128))
+    log(f"# FD problem: mb={a.nrows} nnzbA={a.nnzb} "
+        f"generated in {time.time()-t0:.1f}s")
+    solver = Solver(a, prob.x, b, precision=prec)
+    tol = prob.tolerance if prec == "z" else 1e-5
+    info, best, roof = profiling.timed_solve(
+        solver, tolerance=tol, max_iterations=500, repeats=3)
+    log(f"# {roof}")
+    print(json.dumps({
+        "metric": f"fd_solve_rtb{rtb:g}_{prec}",
+        "value": round(best * 1e3, 2),
+        "unit": "ms_to_residual",
+        "vs_baseline": round(roof.fraction_of_light or 0.0, 3),
+        "iterations": info.iterations_needed,
+        "residuum": info.residuum_reached,
+        "engine": solver.engine,
+        "tflops": round(info.flops_performed / best / 1e12, 3),
+    }))
+    return 0 if info.return_status in (0, 9) else 1
+
+
 def main():
+    if os.environ.get("TFQ_BENCH_MODE", "spmm") == "fd":
+        return main_fd()
     lm = int(os.environ.get("TFQ_BENCH_LM", "32"))
     ln = int(os.environ.get("TFQ_BENCH_LN", "32"))
     prec = os.environ.get("TFQ_BENCH_PREC", "c")
