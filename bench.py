@@ -137,10 +137,10 @@ def main():
     r_tile = int(os.environ.get("TFQ_BENCH_RTILE", "2"))
     n_buckets = int(os.environ.get("TFQ_BENCH_BUCKETS", "1"))
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
-    # 'highest' (exact fp32, 6 MXU passes) is the default: bf16x3 lands at
-    # ~2.5e-4 on this workload (split residual accumulates over K~900
-    # correlated terms), just over the reference's 1e-4 gate
-    mm_prec = os.environ.get("TFQ_BENCH_MM_PREC", "highest")
+    # 'bf16x4' (4 bf16 passes over round-to-nearest hi/lo operand splits)
+    # passes the reference's 1e-4 gate at ~8e-5 on this workload; 'highest'
+    # (exact fp32, 6 passes) is available for 3e-6 at ~20% less throughput
+    mm_prec = os.environ.get("TFQ_BENCH_MM_PREC", "bf16x4")
 
     import jax
 

@@ -143,6 +143,7 @@ class PairPanelPlan:
     inv_perm: np.ndarray     # int64[nnzb_x]: old -> new
     wsel: np.ndarray         # int32[ntiles]: window index (units of S blocks)
     xloc: np.ndarray         # int32[ntiles, ku]: window-relative block idx
+    kcount: np.ndarray       # int32[ntiles]: true union size per tile
     # A panel scatter map (host, applied per setMatrix):
     pair_tile: np.ndarray    # int32[nPairs]
     pair_rslot: np.ndarray   # int32[nPairs]
@@ -219,10 +220,12 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
 
     wsel = np.zeros(ntiles, np.int32)
     xloc = np.zeros((ntiles, ku), np.int32)
+    kcount = np.zeros(ntiles, np.int32)
     for t, u in enumerate(unions):
         w = int(u[0]) // s_window
         wsel[t] = w
         xloc[t, : u.shape[0]] = (u - w * s_window).astype(np.int32)
+        kcount[t] = u.shape[0]
     n_windows = int(wsel.max()) + 2
 
     # A-panel scatter map: pair (iY, iA, iX) -> panel[tile, rslot, kslot]
@@ -242,7 +245,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
         s_window=s_window, n_windows=n_windows,
         nnzb_y=nnzb_y, nnzb_x=nnzb_x, perm=perm, inv_perm=inv,
-        wsel=wsel, xloc=xloc,
+        wsel=wsel, xloc=xloc, kcount=kcount,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
         pair_a=pa_s, inflation=float(inflation),
         col_of_new=col_of_new,
@@ -299,8 +302,10 @@ def split_bf16x2(a):
     import jax.numpy as jnp
 
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    # round-to-nearest into the upper 16 bits (RN, ties away from zero):
+    # halves the split residual vs plain truncation
     hi_f32 = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFF0000), jnp.float32)
+        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
     hi = hi_f32.astype(jnp.bfloat16)         # exact: mantissa already fits
     lo = (a - hi_f32).astype(jnp.bfloat16)
     return hi, lo
@@ -343,15 +348,15 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     m2 = 2 * r_tile * lm
     k = ku * lm
     swrows = s_window * lm
-    if precision not in ("bf16", "bf16x3", "highest"):
-        raise ValueError(f"precision must be bf16|bf16x3|highest, "
+    if precision not in ("bf16", "bf16x3", "bf16x4", "highest"):
+        raise ValueError(f"precision must be bf16|bf16x3|bf16x4|highest, "
                          f"got {precision!r}")
-    split = precision in ("bf16", "bf16x3")
+    split = precision in ("bf16", "bf16x3", "bf16x4")
     a_dt = jnp.bfloat16 if split else jnp.float32
 
     use_dma = False
 
-    def gather_xs(i, base, xloc_ref, xw, xs2, sem):
+    def gather_xs(i, base, trips_ref, xloc_ref, xw, xs2, sem):
         """Stage tile i's union X blocks from the VMEM window into the
         [K, lanes] scratch.  The window is an OVERLAPPING 2S-block replica
         (built by XLA around the kernel), so every rel in [0, 2S) resolves in
@@ -377,9 +382,11 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             copy_one(2 * kk + 1)
             return carry
 
-        # ku is padded even; the 2-wide body amortizes the scalar loop
-        # overhead, which is the kernel's critical path
-        jax.lax.fori_loop(0, ku // 2, body, 0)
+        # per-tile DYNAMIC trip count (true union sizes average well below
+        # the max-padded ku; pad slots have zero A panels, so skipping their
+        # copies is free); the 2-wide body amortizes the loop overhead,
+        # which is the kernel's critical path
+        jax.lax.fori_loop(0, trips_ref[i], body, 0)
 
     def wait_gather(i, xloc_ref, xw, xs2, sem):
         """Retire the ku async copies issued for this buffer."""
@@ -427,16 +434,21 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             ah = a_refs[0][0]
             if precision == "bf16":
                 y2 = dot(ah, xh)
-            else:
+            elif precision == "bf16x3":
                 y2 = (dot(ah, xh) + dot(ah, xs[:, 2 * ln:])
                       + dot(a_refs[1][0], xh))
+            else:                                  # bf16x4: + lo@lo
+                xl = xs[:, 2 * ln:]
+                al = a_refs[1][0]
+                y2 = (dot(ah, xh) + dot(ah, xl) + dot(al, xh)
+                      + dot(al, xl))
         else:
             y2 = dot(a_refs[0][0], xs2[:])
         finish(y2, y_ref)
 
     n_a = 2 if split else 1
 
-    def kernel(wsel_ref, xloc_ref, *refs):
+    def kernel(wsel_ref, trips_ref, xloc_ref, *refs):
         a_refs = refs[:n_a]
         xw, y_ref, xs_a, xs_b, sem_a, sem_b = refs[n_a:]
         del wsel_ref
@@ -448,11 +460,11 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
         @pl.when((i < ntiles) & (parity == 0))
         def _():
-            gather_xs(i, 0, xloc_ref, xw, xs_a, sem_a)
+            gather_xs(i, 0, trips_ref, xloc_ref, xw, xs_a, sem_a)
 
         @pl.when((i < ntiles) & (parity == 1))
         def _():
-            gather_xs(i, 0, xloc_ref, xw, xs_b, sem_b)
+            gather_xs(i, 0, trips_ref, xloc_ref, xw, xs_b, sem_b)
 
         @pl.when((i > 0) & (parity == 1))
         def _():
@@ -464,7 +476,11 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             wait_gather(i, xloc_ref, xw, xs_b, sem_b)
             compute(i, a_refs, y_ref, xs_b)
 
-    def a_map(i, ws, xl):
+        # NOTE: pad rows of xs (between the tile's true union and ku) hold
+        # stale data from earlier tiles; their A panel columns are zero, so
+        # they contribute exactly 0 to the dot
+
+    def a_map(i, ws, tr, xl):
         return (jnp.maximum(i - 1, 0), 0, 0)
 
     a_specs = [pl.BlockSpec((1, m2, k), a_map,
@@ -473,12 +489,12 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     w_dt = jnp.bfloat16 if split else jnp.float32
     win_specs = [
         pl.BlockSpec((1, 2 * swrows, w_lanes),
-                     lambda i, ws, xl: (ws[i], 0, 0),
+                     lambda i, ws, tr, xl: (ws[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     m = r_tile * lm
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                    # wsel, xloc
+        num_scalar_prefetch=3,                    # wsel, trips, xloc
         grid=(ntiles + 1,),
         in_specs=a_specs + win_specs,
         out_specs=pl.BlockSpec((1, m, 2 * ln), a_map,
@@ -529,7 +545,7 @@ class PairPanelMultiply:
     def apply(self, consts, x_fused):
         import jax.numpy as jnp
 
-        wsel, xloc, *a_args = consts
+        wsel, trips, xloc, *a_args = consts
         if self._split:
             # pre-split X into packed bf16 [hi | lo] lanes: the kernel's
             # block copies then move 4 vregs instead of 16 and the MXU
@@ -546,7 +562,7 @@ class PairPanelMultiply:
         # buys a branch-free single-window gather inside the kernel
         seg = xw.reshape(self._n_windows, self._swrows, lanes)
         xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
-        y = self._call(wsel, xloc, *a_args, xrep)
+        y = self._call(wsel, trips, xloc, *a_args, xrep)
         return y.reshape(self._n_rows_out, self._two_ln)
 
     def __call__(self, x_fused):
@@ -572,16 +588,23 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     # one extra (dummy) step for the software pipeline; 1-D xloc because 2-D
     # SMEM operands pad every row to 128 lanes, overflowing ~1 MB SMEM
     wsel = jnp.asarray(np.concatenate([plan.wsel, plan.wsel[-1:]]))
+    trips_h = ((plan.kcount + 1) // 2).astype(np.int32)
+    # first use of each double-buffer half must fill ALL ku slots: VMEM
+    # scratch starts uninitialized and NaN * 0 = NaN in the padded columns
+    trips_h[: min(2, trips_h.shape[0])] = ku_half = plan.ku // 2
+    del ku_half
+    trips = jnp.asarray(np.concatenate(
+        [trips_h, np.zeros(1, np.int32)]))
     xloc = jnp.asarray(np.concatenate(
         [plan.xloc.reshape(-1), np.zeros(plan.ku, np.int32)]))
-    if precision in ("bf16", "bf16x3"):
+    if precision in ("bf16", "bf16x3", "bf16x4"):
         a_args = split_bf16x2(a_panels)
     else:
         a_args = (a_panels,)
-    return PairPanelMultiply(call, (wsel, xloc) + tuple(a_args),
+    return PairPanelMultiply(call, (wsel, trips, xloc) + tuple(a_args),
                              plan.ntiles * r * lm, 2 * ln,
                              plan.n_windows, plan.s_window * lm,
-                             precision in ("bf16", "bf16x3"))
+                             precision in ("bf16", "bf16x3", "bf16x4"))
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
@@ -775,7 +798,12 @@ class BucketedMultiply:
                 a_args = split_bf16x2(pan)
             else:
                 a_args = (pan,)
-            consts.append((jnp.asarray(ws), jnp.asarray(xl)) + tuple(a_args))
+            tr = np.minimum((plan.kcount[tiles] + 1) // 2,
+                            ku // 2).astype(np.int32)
+            tr[: min(2, tr.shape[0])] = ku // 2
+            tr = np.concatenate([tr, np.zeros(1, np.int32)])
+            consts.append((jnp.asarray(ws), jnp.asarray(tr),
+                           jnp.asarray(xl)) + tuple(a_args))
         consts.append(jnp.asarray(bp.gather_order))
         self.consts = tuple(consts)
 
@@ -794,8 +822,8 @@ class BucketedMultiply:
         xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
         ys = []
         for call, bc in zip(self._calls, bucket_consts):
-            wsel, xloc, *a_args = bc
-            ys.append(call(wsel, xloc, *a_args, xrep))
+            wsel, tr, xloc, *a_args = bc
+            ys.append(call(wsel, tr, xloc, *a_args, xrep))
         y = jnp.concatenate(ys, axis=0)[order]      # back to tile order
         return y.reshape(self._plan.ntiles * self._m, self._two_ln)
 
