@@ -785,7 +785,7 @@ class BucketedMultiply:
         self._m = plan.r_tile * plan.lm
         self._n_windows = plan.n_windows
         self._swrows = plan.s_window * plan.lm
-        self._split = precision in ("bf16", "bf16x3")
+        self._split = precision in ("bf16", "bf16x3", "bf16x4")
         self._calls = []
         consts = []
         for ku, tiles, ws, xl, pan in zip(bp.ku_b, bp.tile_ids, bp.wsel_b,
