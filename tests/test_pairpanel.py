@@ -131,3 +131,37 @@ def build_bucket_panels_host(bp, a_re, a_im):
     return [jnp.asarray(np.asarray(p)) for p in
             pp.build_a_panels_bucketed_device(bp, jnp.asarray(a_re),
                                               jnp.asarray(a_im))]
+
+
+def test_golden_plan_files_order_independence():
+    """The reference ships plan_unordered and plan_reordered as the same
+    plan in different pair order to test order-independence of the
+    multiply (SURVEY.md §4.1).  Verify both parse to the same multiset of
+    (iY, iA, iX) triples and pack to the same schedule geometry."""
+    import os
+
+    base = "/root/reference/test/multiplication"
+    files = [os.path.join(base, f"plan_{v}.14-287-16")
+             for v in ("unordered", "reordered")]
+    if not all(os.path.exists(f) for f in files):
+        pytest.skip("golden plan files not present")
+    from tfqmrgpu_tpu.io.planfile import read_plan_file
+
+    triples = []
+    packs = []
+    for f in files:
+        pf = read_plan_file(f)
+        counts = np.diff(pf.starts.astype(np.int64))
+        py = np.repeat(pf.y_order, counts).astype(np.int64)
+        pa = pf.pairs[:, 0].astype(np.int64)
+        px = pf.pairs[:, 1].astype(np.int64)
+        t = np.stack([py, pa, px], 1)
+        triples.append(t[np.lexsort(t.T[::-1])])
+        o = np.argsort(py, kind="stable")
+        packs.append(pp.pack_pair_plan(pa[o], px[o], py[o], pf.nnzb_y,
+                                       pf.nnzb_x, 32, 32, r_tile=2))
+    np.testing.assert_array_equal(triples[0], triples[1])
+    assert packs[0].ntiles == packs[1].ntiles
+    assert packs[0].ku == packs[1].ku
+    assert packs[0].s_window == packs[1].s_window
+    np.testing.assert_array_equal(packs[0].perm, packs[1].perm)
