@@ -7,7 +7,11 @@
 * ``decisions``   -- the three tfQMR scalar decision updates (dec35/dec34/decT).
 * ``blocksparse`` -- block-sparse Y = A @ X over a multiplication pair list
                      (pure-XLA gather/batched-matmul path).
-* ``pallas_spmm`` -- the Pallas MXU kernel for the same contraction (perf path).
+* ``pallas_spmm`` -- Pallas row-tile union kernel for BSR A against dense
+                     X panels (panel engines' perf path).
+* ``pairpanel``   -- Pallas pair-plan engine: geometry recovery, RCM
+                     relabeling, union-ELL panels, VMEM sliding windows.
+* ``panel``       -- the dense row-panel vector layout and primitives.
 """
 
 from . import layout
@@ -15,4 +19,15 @@ from . import linalg
 from . import decisions
 from . import blocksparse
 
-__all__ = ["layout", "linalg", "decisions", "blocksparse"]
+__all__ = ["layout", "linalg", "decisions", "blocksparse", "panel",
+           "pallas_spmm", "pairpanel"]
+
+
+def __getattr__(name):
+    # lazy submodule access (panel/pallas_spmm/pairpanel import jax.pallas
+    # machinery; keep base import light)
+    if name in ("panel", "pallas_spmm", "pairpanel"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
