@@ -642,37 +642,81 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
 
     # permuted block -> compressed column of X; pad blocks -> dump segment
     colx = plan.col_of_new                       # int32[n_blocks_padded]
-    row_col = jnp.asarray(np.repeat(
-        np.where(colx >= 0, colx, ncc), lm).astype(np.int32))
+    row_col_np = np.repeat(np.where(colx >= 0, colx, ncc),
+                           lm).astype(np.int32)
+    row_col = jnp.asarray(row_col_np)
 
     def halves(x):
         return x[:, :ln], x[:, ln:]
 
-    def dotp(x, y):
-        xr, xi = halves(x)
-        yr, yi = halves(y)
-        pr = (xr * yr - xi * yi).astype(sdt)
-        pi = (xr * yi + xi * yr).astype(sdt)
-        zr = jax.ops.segment_sum(pr, row_col, num_segments=ncc + 1,
-                                 indices_are_sorted=True)[:ncc]
-        zi = jax.ops.segment_sum(pi, row_col, num_segments=ncc + 1,
-                                 indices_are_sorted=True)[:ncc]
-        return zr, zi
+    # reductions accumulate in the DATA dtype and convert per-column results
+    # to f64 for the decision math -- the reference does the same
+    # (col_inner in real_t, tfqmrgpu_linalg.hxx:480-523; decisions in
+    # double): f64 elementwise work is software-emulated on TPU and would
+    # dominate the iteration
+    def _exact_onehot_dot(oh, p):
+        """oh @ p with one-hot oh, exact in f32: split p into bf16 hi/lo
+        halves (exact decomposition to 2^-17, summed in f32 accumulators) --
+        2 MXU passes instead of HIGHEST's 6.  oh entries are 0/1, exact in
+        bf16, so the only rounding is the split residual, which for a
+        0/1-weighted SUM is below f32 accumulation noise."""
+        hi, lo = split_bf16x2(p)
+        dt = jnp.float32
+        return (jax.lax.dot(oh, hi, preferred_element_type=dt)
+                + jax.lax.dot(oh, lo, preferred_element_type=dt))
 
-    def nrm2(x):
-        xr, xi = halves(x)
-        p = (xr * xr + xi * xi).astype(sdt)
+    def _colsum(p):
+        """Per-column segmented sum of a [nxrows, ln] array.  When the
+        one-hot matrix exists this is a transposed MXU matmul (TPU scatter
+        is serial and dominates otherwise)."""
+        if onehot is not None:
+            return _exact_onehot_dot(onehot.T, p)
         return jax.ops.segment_sum(p, row_col, num_segments=ncc + 1,
                                    indices_are_sorted=True)[:ncc]
 
-    def _scale(a):
-        """[ncc, ln] per-column complex scalar -> per-row [nxrows, ln]."""
-        dt = jnp.float32
-        ar = jnp.concatenate([a[0].astype(dt),
-                              jnp.zeros((1, ln), dt)])[row_col]
-        ai = jnp.concatenate([a[1].astype(dt),
-                              jnp.zeros((1, ln), dt)])[row_col]
-        return ar, ai
+    def dotp(x, y):
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        zr = _colsum(xr * yr - xi * yi)
+        zi = _colsum(xr * yi + xi * yr)
+        return zr.astype(sdt), zi.astype(sdt)
+
+    def nrm2(x):
+        xr, xi = halves(x)
+        return _colsum(xr * xr + xi * xi).astype(sdt)
+
+    # Per-row expansion of the [ncc, ln] per-column scalars.  XLA row
+    # gather on TPU runs at ~13 GB/s, which would dominate the iteration
+    # (10 axpy/xpay calls); for moderate ncc a one-hot MXU matmul streams
+    # at full bandwidth instead.  The one-hot matrix is built once and also
+    # drives the per-column reductions (transposed).
+    import os as _os
+    onehot = None
+    if (nxrows * (ncc + 1) * 4 <= 32 * 1024 * 1024
+            and _os.environ.get('TFQ_ONEHOT_SCALE', '1') != '0'):
+        oh = np.zeros((nxrows, ncc + 1), np.float32)
+        oh[np.arange(nxrows), row_col_np] = 1.0
+        onehot = jnp.asarray(oh[:, :ncc])         # dump column dropped
+
+        def _scale(a):
+            # HIGHEST precision: the tfQMR scalars must expand EXACTLY --
+            # bf16 rounding (even hi/lo split residuals at 2^-17) shows up
+            # directly as a convergence floor
+            dt = jnp.float32
+            hp = jax.lax.Precision.HIGHEST
+            ar = jax.lax.dot(onehot, a[0].astype(dt),
+                             preferred_element_type=dt, precision=hp)
+            ai = jax.lax.dot(onehot, a[1].astype(dt),
+                             preferred_element_type=dt, precision=hp)
+            return ar, ai
+    if onehot is None:
+        def _scale(a):
+            dt = jnp.float32
+            ar = jnp.concatenate([a[0].astype(dt),
+                                  jnp.zeros((1, ln), dt)])[row_col]
+            ai = jnp.concatenate([a[1].astype(dt),
+                                  jnp.zeros((1, ln), dt)])[row_col]
+            return ar, ai
 
     def axpy(y, x, a):
         ar, ai = _scale(a)

@@ -119,15 +119,20 @@ def sharded_solve_core(
         sdt = decisions.scalar_dtype()
 
         def _dotp(x, y):
-            pr_ = jnp.sum(x[0] * y[0] - x[1] * y[1], axis=1).astype(sdt)
-            pi_ = jnp.sum(x[0] * y[1] + x[1] * y[0], axis=1).astype(sdt)
-            zr = jax.ops.segment_sum(pr_, colindx, num_segments=ncmax)
-            zi = jax.ops.segment_sum(pi_, colindx, num_segments=ncmax)
+            # accumulate in the data dtype, convert per-column results to
+            # f64 for the decisions (reference: col_inner in real_t)
+            pr_ = jnp.sum(x[0] * y[0] - x[1] * y[1], axis=1)
+            pi_ = jnp.sum(x[0] * y[1] + x[1] * y[0], axis=1)
+            zr = jax.ops.segment_sum(pr_, colindx,
+                                     num_segments=ncmax).astype(sdt)
+            zi = jax.ops.segment_sum(pi_, colindx,
+                                     num_segments=ncmax).astype(sdt)
             return (jax.lax.psum(zr, "rows"), jax.lax.psum(zi, "rows"))
 
         def _nrm2(x):
-            p_ = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1).astype(sdt)
-            d = jax.ops.segment_sum(p_, colindx, num_segments=ncmax)
+            p_ = jnp.sum(x[0] * x[0] + x[1] * x[1], axis=1)
+            d = jax.ops.segment_sum(p_, colindx,
+                                    num_segments=ncmax).astype(sdt)
             return jax.lax.psum(d, "rows")
 
         def _axpy(y, x, a):
