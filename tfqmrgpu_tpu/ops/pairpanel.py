@@ -152,7 +152,9 @@ class PairPanelPlan:
     inflation: float         # padded block-MACs / nPairs
     # compressed column of each NEW block id (pad blocks -> -1); used by the
     # fused solver primitives for per-column segmented reductions
-    col_of_new: np.ndarray = None
+    col_of_new: np.ndarray
+    r_col: int = 0           # blocks per column in col_pad layout (0 = off)
+    n_slots: int = 0         # relabeled block-slot count (>= nnzb_x) = None
 
     @property
     def x_rows_padded(self) -> int:
@@ -162,12 +164,19 @@ class PairPanelPlan:
 def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
                    lm: int, ln: int, r_tile: int = 2,
                    max_window: int = 512, s_window: int = 0,
-                   row_of=None, col_of=None) -> PairPanelPlan:
+                   row_of=None, col_of=None,
+                   col_pad: bool = False) -> PairPanelPlan:
     """Compile a pair list into the panel/window schedule.
 
     row_of/col_of: optional known geometry (from a real BSR plan); recovered
     from the pair list if absent.  Raises ValueError when no ordering keeps
-    tile spans within ``max_window`` blocks (caller should fall back)."""
+    tile spans within ``max_window`` blocks (caller should fall back).
+
+    col_pad: pad every compressed column to the same block count R so the
+    relabeled space factors as [ncc, R].  The solver's per-column vector
+    operations then become plain reshapes/broadcasts (no gathers, scatters
+    or one-hot matmuls); the SpMM tiles over the padded slots carry zero A
+    panels.  Costs block-count inflation up to max/mean column fill."""
     pa = np.asarray(pair_a, dtype=np.int64)
     px = np.asarray(pair_x, dtype=np.int64)
     py = np.asarray(pair_y, dtype=np.int64)
@@ -185,22 +194,39 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
 
     rank = _cuthill_mckee(nfrag, frag[py], frag[px])
     key = col * (nfrag + 1) + rank[frag]
-    perm = np.argsort(key, kind="stable")          # new id -> old id
-    inv = np.zeros(nnzb_x, np.int64)
-    inv[perm] = np.arange(nnzb_x)
+    cm_order = np.argsort(key, kind="stable")      # old ids, col-major
+    ncol = int(col.max()) + 1
+    if col_pad:
+        counts = np.bincount(col, minlength=ncol)
+        r_col = int(counts.max())
+        col_sorted = col[cm_order]
+        col_starts = np.concatenate([[0], np.cumsum(counts)])
+        rank_in_col = np.arange(nnzb_x) - col_starts[col_sorted]
+        newid = col_sorted * r_col + rank_in_col
+        n_slots = ncol * r_col
+        perm = np.full(n_slots, -1, np.int64)
+        perm[newid] = cm_order
+        inv = np.zeros(nnzb_x, np.int64)
+        inv[cm_order] = newid
+    else:
+        r_col = 0
+        n_slots = nnzb_x
+        perm = cm_order                             # new id -> old id
+        inv = np.zeros(nnzb_x, np.int64)
+        inv[perm] = np.arange(nnzb_x)
 
     npy, npx = inv[py], inv[px]                     # pairs in new labels
     order = np.argsort(npy, kind="stable")
     npy_s, npx_s, pa_s = npy[order], npx[order], pa[order]
-    starts = np.searchsorted(npy_s, np.arange(nnzb_y + 1))
+    starts = np.searchsorted(npy_s, np.arange(n_slots + 1))
 
-    ntiles = (nnzb_y + r_tile - 1) // r_tile
+    ntiles = (n_slots + r_tile - 1) // r_tile
     unions = []
     ku = 1
     span_max = 0
     for t in range(ntiles):
         lo = starts[t * r_tile]
-        hi = starts[min((t + 1) * r_tile, nnzb_y)]
+        hi = starts[min((t + 1) * r_tile, n_slots)]
         u = np.unique(npx_s[lo:hi])
         if u.shape[0] == 0:
             u = np.zeros(1, np.int64)
@@ -234,13 +260,16 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
     pair_kslot = np.zeros(npx_s.shape[0], np.int32)
     for t, u in enumerate(unions):
         lo = starts[t * r_tile]
-        hi = starts[min((t + 1) * r_tile, nnzb_y)]
+        hi = starts[min((t + 1) * r_tile, n_slots)]
         pair_kslot[lo:hi] = np.searchsorted(u, npx_s[lo:hi]).astype(np.int32)
 
     inflation = (ntiles * r_tile * ku) / max(len(pa), 1)
     n_blocks_padded = n_windows * s_window
     col_of_new = np.full(n_blocks_padded, -1, np.int64)
-    col_of_new[: nnzb_x] = col[perm]
+    if col_pad:
+        col_of_new[: n_slots] = np.arange(n_slots) // r_col
+    else:
+        col_of_new[: n_slots] = col[perm]
     return PairPanelPlan(
         ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
         s_window=s_window, n_windows=n_windows,
@@ -248,7 +277,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         wsel=wsel, xloc=xloc, kcount=kcount,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
         pair_a=pa_s, inflation=float(inflation),
-        col_of_new=col_of_new,
+        col_of_new=col_of_new, r_col=r_col, n_slots=n_slots,
     )
 
 
@@ -314,24 +343,32 @@ def split_bf16x2(a):
 def permute_x(plan: PairPanelPlan, re: np.ndarray,
               im: np.ndarray) -> np.ndarray:
     """Split planes [nnzb_x, LM, LN] (old order) -> fused padded panel
-    [x_rows_padded, 2*LN] (re in lanes [:ln], im in [ln:])."""
+    [x_rows_padded, 2*LN] (re in lanes [:ln], im in [ln:]); col_pad slots
+    (perm == -1) stay zero."""
     ln = re.shape[2]
     out = np.zeros((plan.x_rows_padded // plan.lm, plan.lm, 2 * ln),
                    dtype=re.dtype)
-    out[: plan.nnzb_x, :, :ln] = re[plan.perm]
-    out[: plan.nnzb_x, :, ln:] = im[plan.perm]
+    n_slots = plan.n_slots or plan.nnzb_x
+    mask = plan.perm >= 0
+    slots = np.flatnonzero(mask)
+    out[slots, :, :ln] = re[plan.perm[mask]]
+    out[slots, :, ln:] = im[plan.perm[mask]]
+    del n_slots
     return out.reshape(plan.x_rows_padded, 2 * ln)
 
 
 def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
-    """Fused [>=nnzb_y*LM, 2*LN] (new order) -> (re, im) block lists
-    [nnzb_y, LM, LN] in the original order."""
+    """Fused [>=n_slots*LM, 2*LN] (new order) -> (re, im) block lists
+    [nnzb_y, LM, LN] in the original order (col_pad slots dropped)."""
     ln = y_fused.shape[1] // 2
     y = y_fused.reshape(-1, plan.lm, 2 * ln)
     re = np.zeros((plan.nnzb_y, plan.lm, ln), dtype=y_fused.dtype)
     im = np.zeros_like(re)
-    re[plan.perm[: plan.nnzb_y]] = y[: plan.nnzb_y, :, :ln]
-    im[plan.perm[: plan.nnzb_y]] = y[: plan.nnzb_y, :, ln:]
+    n_slots = plan.n_slots or plan.nnzb_y
+    mask = plan.perm[:n_slots] >= 0
+    slots = np.flatnonzero(mask)
+    re[plan.perm[:n_slots][mask]] = y[slots, :, :ln]
+    im[plan.perm[:n_slots][mask]] = y[slots, :, ln:]
     return re, im
 
 
@@ -685,12 +722,62 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
         xr, xi = halves(x)
         return _colsum(xr * xr + xi * xi).astype(sdt)
 
-    # Per-row expansion of the [ncc, ln] per-column scalars.  XLA row
-    # gather on TPU runs at ~13 GB/s, which would dominate the iteration
-    # (10 axpy/xpay calls); for moderate ncc a one-hot MXU matmul streams
-    # at full bandwidth instead.  The one-hot matrix is built once and also
-    # drives the per-column reductions (transposed).
+    # Per-row expansion of the [ncc, ln] per-column scalars and the
+    # per-column reductions.  Preference order:
+    #   1. col_pad layout: plain reshape-sum / broadcast (no index ops);
+    #   2. one-hot MXU matmuls (TPU row gather runs ~13 GB/s and scatter is
+    #      serial -- both would dominate the 10 axpy + 6 reductions/iter);
+    #   3. gather / segment_sum fallback for huge ncc.
     import os as _os
+    r_col = plan.r_col
+    if r_col and plan.n_slots == ncc * r_col:
+        rr = r_col * lm
+
+        def _h3(v):
+            """[nxrows, 2ln] -> active 3-D view [ncc, rr, ln] re/im halves
+            (rows beyond n_slots*lm are window padding and stay zero)."""
+            v3 = v[: ncc * rr].reshape(ncc, rr, 2 * ln)
+            return v3[..., :ln], v3[..., ln:]
+
+        def _out3(zr, zi):
+            out = jnp.concatenate([zr, zi], axis=2).reshape(ncc * rr,
+                                                            2 * ln)
+            return jnp.pad(out, ((0, nxrows - ncc * rr), (0, 0)))
+
+        def dotp(x, y):
+            xr, xi = _h3(x)
+            yr, yi = _h3(y)
+            zr = (xr * yr - xi * yi).sum(axis=1)
+            zi = (xr * yi + xi * yr).sum(axis=1)
+            return zr.astype(sdt), zi.astype(sdt)
+
+        def nrm2(x):
+            xr, xi = _h3(x)
+            return (xr * xr + xi * xi).sum(axis=1).astype(sdt)
+
+        def axpy(y, x, a):
+            ar = a[0].astype(jnp.float32)[:, None, :]
+            ai = a[1].astype(jnp.float32)[:, None, :]
+            xr, xi = _h3(x)
+            yr, yi = _h3(y)
+            return _out3(ar * xr - ai * xi + yr, ai * xr + ar * xi + yi)
+
+        def xpay(y, a, x):
+            ar = a[0].astype(jnp.float32)[:, None, :]
+            ai = a[1].astype(jnp.float32)[:, None, :]
+            xr, xi = _h3(x)
+            yr, yi = _h3(y)
+            return _out3(xr + ar * yr - ai * yi, xi + ai * yr + ar * yi)
+
+        def add_rhs(v, b, scal):
+            del b
+            return v + scal * b_fused
+
+        return TfqmrPrimitives(
+            multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
+            add_rhs=add_rhs, allmax=lambda s: s, alland=lambda s: s,
+        )
+
     onehot = None
     if (nxrows * (ncc + 1) * 4 <= 32 * 1024 * 1024
             and _os.environ.get('TFQ_ONEHOT_SCALE', '1') != '0'):

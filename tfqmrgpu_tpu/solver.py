@@ -131,11 +131,23 @@ class Solver:
             pair_y = np.repeat(np.arange(self.plan.nnzb_x, dtype=np.int64),
                                counts)
             try:
+                # column-padded layout keeps the per-column vector ops
+                # index-free; fall back to the compact layout when column
+                # fills are too uneven (padded slots > 2x the real blocks)
+                counts = np.bincount(self.plan.colindx.astype(np.int64),
+                                     minlength=self.plan.ncols)
+                # measured on v5e: the one-hot-matmul primitives edge out
+                # the column-padded 3-D layout (lane width + pad copies),
+                # so col_pad is opt-in for now
+                col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
+                           and counts.max() * self.plan.ncols
+                           <= 2 * self.plan.nnzb_x)
                 self._pp_plan = pp_ops.pack_pair_plan(
                     self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
                     self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
                     r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "2")),
-                    row_of=row_of_x, col_of=self.plan.colindx)
+                    row_of=row_of_x, col_of=self.plan.colindx,
+                    col_pad=bool(col_pad))
             except ValueError:
                 if not auto:
                     raise
