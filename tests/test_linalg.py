@@ -98,3 +98,36 @@ def test_spmm_against_dense(rng, engine):
         np.testing.assert_allclose(
             yc[inz], y_dense[r * lm:(r + 1) * lm, c * ln:(c + 1) * ln],
             rtol=1e-10, atol=1e-10)
+
+
+def test_layout_roundtrips(rng):
+    """to_planes/from_planes over all three reference layouts x transpose
+    (reference: transpose_blocks_kernel, tfqmrgpu_linalg.hxx:282-380)."""
+    from tfqmrgpu_tpu.ops import layout as L
+
+    nnzb, d1, d2 = 5, 4, 8
+    c = (rng.standard_normal((nnzb, d1, d2))
+         + 1j * rng.standard_normal((nnzb, d1, d2)))
+    for lay in (L.LAYOUT_RIRIRIRI, L.LAYOUT_RRRRIIII, L.LAYOUT_RRIIRRII):
+        flat = L.from_planes(c.real, c.imag, layout=lay)
+        re, im = L.to_planes(flat, nnzb, d1, d2, layout=lay)
+        np.testing.assert_allclose(re, c.real)
+        np.testing.assert_allclose(im, c.imag)
+    # transpose + conjugate + scale
+    re, im = L.to_planes(c, nnzb, d1, d2, trans="t", conjugate=True,
+                         scale=2.0)
+    np.testing.assert_allclose(re, 2 * np.swapaxes(c.real, 1, 2))
+    np.testing.assert_allclose(im, -2 * np.swapaxes(c.imag, 1, 2))
+
+
+def test_layout_errors(rng):
+    from tfqmrgpu_tpu.errors import TfqmrgpuError
+    from tfqmrgpu_tpu.ops import layout as L
+
+    import pytest as _pytest
+
+    c = rng.standard_normal((2, 4, 4, 2))
+    with _pytest.raises(TfqmrgpuError):
+        L.to_planes(c, 2, 4, 4, layout=0x99)
+    with _pytest.raises(TfqmrgpuError):
+        L.to_planes(c, 2, 4, 4, trans="q")

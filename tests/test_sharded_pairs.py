@@ -1,0 +1,32 @@
+"""Mesh-sharded pairs engine: parity with the single-device pairs solve."""
+
+import numpy as np
+
+from tfqmrgpu_tpu import Solver, create_plan
+from tfqmrgpu_tpu.parallel import make_mesh
+from tfqmrgpu_tpu.parallel.sharded_pairs import ShardedPairsSolver
+
+from conftest import dense_from_bsr, make_random_problem
+
+
+def test_sharded_pairs_matches_single_device(rng):
+    lm = ln = 4
+    a, x, b = make_random_problem(rng, mb=12, lm=lm, ln=ln, ncols=3,
+                                  x_fill=1.0, dtype=np.complex64)
+    tol = 1e-4
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(4, 1)
+    sp = ShardedPairsSolver(plan, mesh, interpret=True)
+    got, info = sp.solve(a.data.real, a.data.imag,
+                         b.data.real, b.data.imag,
+                         tolerance=tol, max_iterations=300)
+    assert info["return_status"] == 0
+    assert abs(info["iterations"] - i0.iterations_needed) <= 1
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x.with_data(got), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    assert np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd)) < 50 * tol
