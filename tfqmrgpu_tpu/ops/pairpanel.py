@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from collections import deque
 
 import numpy as np
@@ -155,6 +156,18 @@ class PairPanelPlan:
     col_of_new: np.ndarray
     r_col: int = 0           # blocks per column in col_pad layout (0 = off)
     n_slots: int = 0         # relabeled block-slot count (>= nnzb_x) = None
+    # Run-aware copy program: each code = (src_rel << 8) | dst_slot moves
+    # ``copy_g`` consecutive blocks from the window into the union scratch.
+    # Unions decompose into runs of consecutive relabeled ids; one copy per
+    # ceil(run/g) instead of one per block cuts the scalar-core issue count
+    # (the kernel's critical path) by ~2x on FD-like plans.  Overruns past a
+    # run land in the next run's slots and are overwritten by the next copy
+    # (dst-ordered), or in zero-A pad slots.
+    copy_g: int = 1
+    cmax: int = 0            # codes per tile (max, incl. coverage pads)
+    copy_codes: np.ndarray = None   # int32[ntiles, cmax]
+    n_copies: np.ndarray = None     # int32[ntiles] normal program length
+    n_copies_full: np.ndarray = None  # int32[ntiles] + first-use coverage
 
     @property
     def x_rows_padded(self) -> int:
@@ -165,7 +178,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
                    lm: int, ln: int, r_tile: int = 2,
                    max_window: int = 512, s_window: int = 0,
                    row_of=None, col_of=None,
-                   col_pad: bool = False) -> PairPanelPlan:
+                   col_pad: bool = False, copy_g: int = 2) -> PairPanelPlan:
     """Compile a pair list into the panel/window schedule.
 
     row_of/col_of: optional known geometry (from a real BSR plan); recovered
@@ -254,6 +267,32 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         kcount[t] = u.shape[0]
     n_windows = int(wsel.max()) + 2
 
+    # run-aware copy program (see PairPanelPlan.copy_codes)
+    g = max(int(copy_g), 1)
+    if ku + g > 255:
+        raise ValueError(f"union size {ku}+{g} exceeds the 8-bit dst field")
+    progs, n_copies, n_copies_full = [], [], []
+    for t, u in enumerate(unions):
+        rel = (u - wsel[t] * s_window).astype(np.int64)
+        cuts = np.flatnonzero(np.diff(rel) != 1) + 1
+        codes, dst = [], 0
+        for run in np.split(rel, cuts):
+            for off in range(0, run.shape[0], g):
+                codes.append((int(run[off]) << 8) | (dst + off))
+            dst += run.shape[0]
+        n_copies.append(len(codes))
+        # first-use coverage: fill [kcount, ku) so every slot the MXU reads
+        # is finite before the first real tile touches this scratch buffer
+        for s in range(int(kcount[t]), ku, g):
+            codes.append(s)                         # src_rel 0, dst s
+        n_copies_full.append(len(codes))
+        progs.append(codes)
+    cmax = max((len(c) for c in progs), default=1)
+    cmax += cmax % 2                                # even for 2-wide loop
+    copy_codes = np.full((ntiles, cmax), ku, np.int32)   # pad: dst=ku slot
+    for t, codes in enumerate(progs):
+        copy_codes[t, : len(codes)] = codes
+
     # A-panel scatter map: pair (iY, iA, iX) -> panel[tile, rslot, kslot]
     pair_tile = (npy_s // r_tile).astype(np.int32)
     pair_rslot = (npy_s % r_tile).astype(np.int32)
@@ -278,7 +317,32 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
         pair_a=pa_s, inflation=float(inflation),
         col_of_new=col_of_new, r_col=r_col, n_slots=n_slots,
+        copy_g=g, cmax=cmax, copy_codes=copy_codes,
+        n_copies=np.asarray(n_copies, np.int32),
+        n_copies_full=np.asarray(n_copies_full, np.int32),
     )
+
+
+def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
+    """Flattened copy-code table + trip counts for a tile subset.
+
+    ``ku_cap`` caps dst slots (bucketed kernels run at a smaller padded
+    union); coverage codes past the cap redirect to the cap's pad slot.
+    The first two tiles use the FULL coverage program (VMEM scratch starts
+    uninitialized; every slot the MXU reads must be finite).  One trailing
+    pipeline row is appended."""
+    g = plan.copy_g
+    nt = len(tiles)
+    codes = np.full((nt + 1, plan.cmax), ku_cap, np.int32)
+    trips = np.zeros(nt + 1, np.int32)
+    for j, t in enumerate(tiles):
+        n = int(plan.n_copies_full[t] if j < 2 else plan.n_copies[t])
+        c = plan.copy_codes[t, :n]
+        if ku_cap < plan.ku:
+            c = np.where((c & 255) > ku_cap, np.int32(ku_cap), c)
+        codes[j, :n] = c
+        trips[j] = (n + 1) // 2
+    return codes.reshape(-1), trips
 
 
 def build_a_panels(plan: PairPanelPlan, a_re: np.ndarray,
@@ -376,7 +440,8 @@ def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
 
 @functools.lru_cache(maxsize=32)
 def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
-               s_window: int, x_rows: int, precision: str, interpret: bool):
+               s_window: int, x_rows: int, precision: str, interpret: bool,
+               copy_g: int = 1, cmax: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -384,61 +449,47 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
     m2 = 2 * r_tile * lm
     k = ku * lm
+    g = max(int(copy_g), 1)
     swrows = s_window * lm
+    # ablation knobs (timing attribution only; results are garbage)
+    no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
+    no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
     if precision not in ("bf16", "bf16x3", "bf16x4", "highest"):
         raise ValueError(f"precision must be bf16|bf16x3|bf16x4|highest, "
                          f"got {precision!r}")
     split = precision in ("bf16", "bf16x3", "bf16x4")
     a_dt = jnp.bfloat16 if split else jnp.float32
 
-    use_dma = False
-
-    def gather_xs(i, base, trips_ref, xloc_ref, xw, xs2, sem):
+    def gather_xs(i, trips_ref, code_ref, xw, xs2):
         """Stage tile i's union X blocks from the VMEM window into the
-        [K, lanes] scratch.  The window is an OVERLAPPING 2S-block replica
-        (built by XLA around the kernel), so every rel in [0, 2S) resolves in
-        one unconditional copy -- branch-free, which matters because the
-        scalar core's per-block bookkeeping is the kernel's critical path.
-        With ``use_dma`` the copies are issued as async local DMAs and the
-        completion is awaited in bulk (the software pipeline overlaps them
-        with the previous tile's MXU work); otherwise they are synchronous
-        vector moves."""
-        def copy_one(kk):
-            rel = xloc_ref[i * ku + kk]
-            dst = pl.multiple_of(base + kk * lm, lm)
-            src = pl.multiple_of(rel * lm, lm)
-            if use_dma:
-                pltpu.make_async_copy(
-                    xw.at[0, pl.ds(src, lm), :],
-                    xs2.at[pl.ds(dst, lm), :], sem).start()
-            else:
-                xs2[pl.ds(dst, lm), :] = xw[0, pl.ds(src, lm), :]
+        scratch via the run-aware copy program: each code moves ``g``
+        consecutive blocks (src_rel << 8 | dst_slot).  The window is an
+        OVERLAPPING (2S+g)-block replica (built by XLA around the kernel),
+        so every copy resolves unconditionally -- branch-free, which matters
+        because the scalar core's per-copy bookkeeping is the kernel's
+        critical path.  Copies are dst-ordered: a copy overrunning its run's
+        end writes garbage into the NEXT run's slots, which the next copy
+        overwrites (same-ref stores execute in program order).  Garbage past
+        the last run lands in zero-A pad slots and multiplies to 0.
+        (Measured and rejected alternatives: per-block async DMAs -- issue
+        overhead dominates; full static unroll -- compile-time explosion.)"""
+        def copy_one(j):
+            code = code_ref[i * cmax + j]
+            rel = jax.lax.shift_right_logical(code, np.int32(8))
+            dst = jax.lax.bitwise_and(code, np.int32(255))
+            xs2[pl.ds(pl.multiple_of(dst * lm, lm), g * lm), :] = \
+                xw[0, pl.ds(pl.multiple_of(rel * lm, lm), g * lm), :]
 
         def body(kk, carry):
             copy_one(2 * kk)
             copy_one(2 * kk + 1)
             return carry
 
-        # per-tile DYNAMIC trip count (true union sizes average well below
-        # the max-padded ku; pad slots have zero A panels, so skipping their
-        # copies is free); the 2-wide body amortizes the loop overhead,
-        # which is the kernel's critical path
-        jax.lax.fori_loop(0, trips_ref[i], body, 0)
-
-    def wait_gather(i, xloc_ref, xw, xs2, sem):
-        """Retire the ku async copies issued for this buffer."""
-        if not use_dma:
-            return
-        # waiting through a reconstructed descriptor accounts the full
-        # ku-block byte count on the semaphore in one shot
-        def body(kk, carry):
-            pltpu.make_async_copy(
-                xw.at[0, pl.ds(pl.multiple_of(0, lm), lm), :],
-                xs2.at[pl.ds(pl.multiple_of(kk * lm, lm), lm), :],
-                sem).wait()
-            return carry
-
-        jax.lax.fori_loop(0, ku, body, 0)
+        # per-tile DYNAMIC trip count (program lengths average well below
+        # the padded cmax; pad copies target the zero-A slot at ku); the
+        # 2-wide body amortizes the loop overhead
+        if not no_gather:
+            jax.lax.fori_loop(0, trips_ref[i], body, 0)
 
     def dot(a, b):
         return jax.lax.dot(
@@ -464,54 +515,55 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # In the split modes, X windows arrive PRE-SPLIT as packed bf16 lanes
     # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
     # the kernel does no conversion.
-    def compute(i, a_refs, y_ref, xs2):
+    def dots(a_refs, xs2):
         if split:
-            xs = xs2[:]
+            xs = xs2[0:k, :]
             xh = xs[:, : 2 * ln]
             ah = a_refs[0][0]
             if precision == "bf16":
-                y2 = dot(ah, xh)
-            elif precision == "bf16x3":
-                y2 = (dot(ah, xh) + dot(ah, xs[:, 2 * ln:])
-                      + dot(a_refs[1][0], xh))
-            else:                                  # bf16x4: + lo@lo
-                xl = xs[:, 2 * ln:]
-                al = a_refs[1][0]
-                y2 = (dot(ah, xh) + dot(ah, xl) + dot(al, xh)
-                      + dot(al, xl))
-        else:
-            y2 = dot(a_refs[0][0], xs2[:])
-        finish(y2, y_ref)
+                return dot(ah, xh)
+            if precision == "bf16x3":
+                return (dot(ah, xh) + dot(ah, xs[:, 2 * ln:])
+                        + dot(a_refs[1][0], xh))
+            xl = xs[:, 2 * ln:]                    # bf16x4: + lo@lo
+            al = a_refs[1][0]
+            return (dot(ah, xh) + dot(ah, xl) + dot(al, xh)
+                    + dot(al, xl))
+        return dot(a_refs[0][0], xs2[0:k, :])
 
     n_a = 2 if split else 1
 
-    def kernel(wsel_ref, trips_ref, xloc_ref, *refs):
+    def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
-        xw, y_ref, xs_a, xs_b, sem_a, sem_b = refs[n_a:]
+        xw, y_ref, xs_a, xs_b = refs[n_a:]
         del wsel_ref
         i = pl.program_id(0)
-        # two SEPARATE scratch refs (not halves of one): Mosaic tracks
-        # read/write dependencies per ref, so gather(i) and compute(i-1)
-        # only overlap when they touch different refs
+        # Two SEPARATE scratch refs (not halves of one): Mosaic tracks
+        # read/write dependencies per ref, so gather(i) and the MXU work on
+        # tile i-1 only overlap when they touch different refs.  Each branch
+        # ISSUES the dots first, runs the scalar gather loop while the MXU
+        # pipeline drains, and only then stores the result -- the store is
+        # the first op that waits on the MXU, so the gather hides behind it.
+        # Step 0 contracts an uninitialized buffer into output block 0;
+        # step 1 recomputes block 0 from real data and the revisiting output
+        # block is flushed after the last write.
         parity = i % 2
 
-        @pl.when((i < ntiles) & (parity == 0))
+        @pl.when(parity == 0)
         def _():
-            gather_xs(i, 0, trips_ref, xloc_ref, xw, xs_a, sem_a)
+            if not no_dot:
+                y2 = dots(a_refs, xs_b)
+            gather_xs(i, trips_ref, code_ref, xw, xs_a)
+            if not no_dot:
+                finish(y2, y_ref)
 
-        @pl.when((i < ntiles) & (parity == 1))
+        @pl.when(parity == 1)
         def _():
-            gather_xs(i, 0, trips_ref, xloc_ref, xw, xs_b, sem_b)
-
-        @pl.when((i > 0) & (parity == 1))
-        def _():
-            wait_gather(i, xloc_ref, xw, xs_a, sem_a)
-            compute(i, a_refs, y_ref, xs_a)
-
-        @pl.when((i > 0) & (parity == 0))
-        def _():
-            wait_gather(i, xloc_ref, xw, xs_b, sem_b)
-            compute(i, a_refs, y_ref, xs_b)
+            if not no_dot:
+                y2 = dots(a_refs, xs_a)
+            gather_xs(i, trips_ref, code_ref, xw, xs_b)
+            if not no_dot:
+                finish(y2, y_ref)
 
         # NOTE: pad rows of xs (between the tile's true union and ku) hold
         # stale data from earlier tiles; their A panel columns are zero, so
@@ -525,21 +577,19 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     w_lanes = 4 * ln if split else 2 * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
     win_specs = [
-        pl.BlockSpec((1, 2 * swrows, w_lanes),
+        pl.BlockSpec((1, 2 * swrows + g * lm, w_lanes),
                      lambda i, ws, tr, xl: (ws[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     m = r_tile * lm
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,                    # wsel, trips, xloc
+        num_scalar_prefetch=3,                    # wsel, trips, codes
         grid=(ntiles + 1,),
         in_specs=a_specs + win_specs,
         out_specs=pl.BlockSpec((1, m, 2 * ln), a_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((k, w_lanes), w_dt),
-                        pltpu.VMEM((k, w_lanes), w_dt),
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM(((ku + g) * lm, w_lanes), w_dt),
+                        pltpu.VMEM(((ku + g) * lm, w_lanes), w_dt)],
     )
 
     a_bytes = ntiles * m2 * k * (2 if split else 4) * n_a
@@ -570,7 +620,7 @@ class PairPanelMultiply:
     """
 
     def __init__(self, call, consts, n_rows_out, two_ln, n_windows, swrows,
-                 split):
+                 split, g_rows):
         self._call = call
         self.consts = consts
         self._n_rows_out = n_rows_out
@@ -578,32 +628,40 @@ class PairPanelMultiply:
         self._n_windows = n_windows
         self._swrows = swrows
         self._split = split
+        self._g_rows = g_rows
 
     def apply(self, consts, x_fused):
-        import jax.numpy as jnp
-
-        wsel, trips, xloc, *a_args = consts
-        if self._split:
-            # pre-split X into packed bf16 [hi | lo] lanes: the kernel's
-            # block copies then move 4 vregs instead of 16 and the MXU
-            # consumes the operands without conversion (bit-masked split --
-            # see split_bf16x2 for why plain rounding is unsafe here)
-            hi, lo = split_bf16x2(x_fused)
-            xw = jnp.concatenate([hi, lo], axis=1)
-            lanes = 2 * self._two_ln
-        else:
-            xw = x_fused
-            lanes = self._two_ln
-        # overlapping 2S-block window replicas: window w = segments [w, w+1];
-        # XLA emits this as two strided copies + concat (~2x X bytes), which
-        # buys a branch-free single-window gather inside the kernel
-        seg = xw.reshape(self._n_windows, self._swrows, lanes)
-        xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
-        y = self._call(wsel, trips, xloc, *a_args, xrep)
+        wsel, trips, codes, *a_args = consts
+        xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
+                                self._two_ln, self._split, self._g_rows)
+        y = self._call(wsel, trips, codes, *a_args, xrep)
         return y.reshape(self._n_rows_out, self._two_ln)
 
     def __call__(self, x_fused):
         return self.apply(self.consts, x_fused)
+
+
+def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows):
+    """Overlapping (2S + g)-block window replicas: window w covers segments
+    [w, w+1] plus the first g blocks of segment w+2 (copy overrun room).
+    XLA emits this as strided copies + concat (~2x X bytes), which buys a
+    branch-free window gather inside the kernel.  In split mode X is
+    pre-split into packed bf16 [hi | lo] lanes first: the kernel's block
+    copies then move a quarter of the vregs and the MXU consumes the
+    operands without conversion (bit-masked split -- see split_bf16x2)."""
+    import jax.numpy as jnp
+
+    if split:
+        hi, lo = split_bf16x2(x_fused)
+        xw = jnp.concatenate([hi, lo], axis=1)
+        lanes = 2 * two_ln
+    else:
+        xw = x_fused
+        lanes = two_ln
+    xpad = jnp.pad(xw, ((0, swrows), (0, 0)))       # one extra zero window
+    segp = xpad.reshape(n_windows + 1, swrows, lanes)
+    return jnp.concatenate(
+        [segp[:-2], segp[1:-1], segp[2:, :g_rows]], axis=1)
 
 
 def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
@@ -621,27 +679,25 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
 
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     call = _make_call(plan.ntiles, r, plan.ku, lm, ln, plan.s_window,
-                      plan.x_rows_padded, precision, interpret)
-    # one extra (dummy) step for the software pipeline; 1-D xloc because 2-D
-    # SMEM operands pad every row to 128 lanes, overflowing ~1 MB SMEM
+                      plan.x_rows_padded, precision, interpret,
+                      copy_g=plan.copy_g, cmax=plan.cmax)
+    # one extra (dummy) step for the software pipeline; 1-D code table
+    # because 2-D SMEM operands pad every row to 128 lanes, overflowing
+    # ~1 MB SMEM
     wsel = jnp.asarray(np.concatenate([plan.wsel, plan.wsel[-1:]]))
-    trips_h = ((plan.kcount + 1) // 2).astype(np.int32)
-    # first use of each double-buffer half must fill ALL ku slots: VMEM
-    # scratch starts uninitialized and NaN * 0 = NaN in the padded columns
-    trips_h[: min(2, trips_h.shape[0])] = ku_half = plan.ku // 2
-    del ku_half
-    trips = jnp.asarray(np.concatenate(
-        [trips_h, np.zeros(1, np.int32)]))
-    xloc = jnp.asarray(np.concatenate(
-        [plan.xloc.reshape(-1), np.zeros(plan.ku, np.int32)]))
+    codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
+                                       plan.ku)
+    trips = jnp.asarray(trips_h)
+    codes = jnp.asarray(codes_h)
     if precision in ("bf16", "bf16x3", "bf16x4"):
         a_args = split_bf16x2(a_panels)
     else:
         a_args = (a_panels,)
-    return PairPanelMultiply(call, (wsel, trips, xloc) + tuple(a_args),
+    return PairPanelMultiply(call, (wsel, trips, codes) + tuple(a_args),
                              plan.ntiles * r * lm, 2 * ln,
                              plan.n_windows, plan.s_window * lm,
-                             precision in ("bf16", "bf16x3", "bf16x4"))
+                             precision in ("bf16", "bf16x3", "bf16x4"),
+                             plan.copy_g * lm)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
@@ -844,18 +900,17 @@ class BucketedPairPlan:
     ku_b: list                    # per bucket padded ku
     tile_ids: list                # per bucket int64[] tile indices (sorted)
     wsel_b: list                  # per bucket int32[ntiles_b (+1 pipeline)]
-    xloc_b: list                  # per bucket flat int32[(ntiles_b+1)*ku_b]
+    codes_b: list                 # per bucket flat int32[(ntiles_b+1)*cmax]
+    trips_b: list                 # per bucket int32[ntiles_b+1]
     gather_order: np.ndarray      # int32[ntiles]: concat-bucket row -> tile
 
 
 def bucketize(plan: PairPanelPlan, n_buckets: int = 3) -> BucketedPairPlan:
-    # true union size per tile: count of slots whose window-relative id is
-    # used (pad slots repeat 0; slot 0 of each tile is always real)
-    kus = np.minimum((plan.xloc > 0).sum(axis=1) + 1, plan.ku)
+    kus = plan.kcount.astype(np.int64)
     qs = np.unique(np.quantile(kus, np.linspace(0, 1, n_buckets + 1)[1:])
                    .astype(np.int64))
     qs[-1] = plan.ku
-    ku_b, tile_ids, wsel_b, xloc_b = [], [], [], []
+    ku_b, tile_ids, wsel_b, codes_b, trips_b = [], [], [], [], []
     lo = 0
     for q in qs:
         sel = np.flatnonzero((kus > lo) & (kus <= q))
@@ -867,14 +922,14 @@ def bucketize(plan: PairPanelPlan, n_buckets: int = 3) -> BucketedPairPlan:
         tile_ids.append(sel)
         ws = plan.wsel[sel]
         wsel_b.append(np.concatenate([ws, ws[-1:]]).astype(np.int32))
-        xl = plan.xloc[sel][:, :ku]
-        xloc_b.append(np.concatenate(
-            [xl.reshape(-1), np.zeros(ku, np.int32)]).astype(np.int32))
+        codes, trips = _program_tables(plan, sel, ku)
+        codes_b.append(codes)
+        trips_b.append(trips)
     concat_tiles = np.concatenate(tile_ids)
     gather_order = np.zeros(plan.ntiles, np.int64)
     gather_order[concat_tiles] = np.arange(plan.ntiles)
     return BucketedPairPlan(base=plan, ku_b=ku_b, tile_ids=tile_ids,
-                            wsel_b=wsel_b, xloc_b=xloc_b,
+                            wsel_b=wsel_b, codes_b=codes_b, trips_b=trips_b,
                             gather_order=gather_order.astype(np.int32))
 
 
@@ -917,24 +972,23 @@ class BucketedMultiply:
         self._n_windows = plan.n_windows
         self._swrows = plan.s_window * plan.lm
         self._split = precision in ("bf16", "bf16x3", "bf16x4")
+        self._g_rows = plan.copy_g * plan.lm
         self._calls = []
         consts = []
-        for ku, tiles, ws, xl, pan in zip(bp.ku_b, bp.tile_ids, bp.wsel_b,
-                                          bp.xloc_b, panels):
+        for ku, tiles, ws, codes, trips, pan in zip(
+                bp.ku_b, bp.tile_ids, bp.wsel_b, bp.codes_b, bp.trips_b,
+                panels):
             call = _make_call(int(tiles.size), plan.r_tile, int(ku),
                               plan.lm, plan.ln, plan.s_window,
-                              plan.x_rows_padded, precision, interpret)
+                              plan.x_rows_padded, precision, interpret,
+                              copy_g=plan.copy_g, cmax=plan.cmax)
             self._calls.append(call)
             if self._split:
                 a_args = split_bf16x2(pan)
             else:
                 a_args = (pan,)
-            tr = np.minimum((plan.kcount[tiles] + 1) // 2,
-                            ku // 2).astype(np.int32)
-            tr[: min(2, tr.shape[0])] = ku // 2
-            tr = np.concatenate([tr, np.zeros(1, np.int32)])
-            consts.append((jnp.asarray(ws), jnp.asarray(tr),
-                           jnp.asarray(xl)) + tuple(a_args))
+            consts.append((jnp.asarray(ws), jnp.asarray(trips),
+                           jnp.asarray(codes)) + tuple(a_args))
         consts.append(jnp.asarray(bp.gather_order))
         self.consts = tuple(consts)
 
@@ -942,19 +996,12 @@ class BucketedMultiply:
         import jax.numpy as jnp
 
         *bucket_consts, order = consts
-        if self._split:
-            hi, lo = split_bf16x2(x_fused)
-            xw = jnp.concatenate([hi, lo], axis=1)
-            lanes = 2 * self._two_ln
-        else:
-            xw = x_fused
-            lanes = self._two_ln
-        seg = xw.reshape(self._n_windows, self._swrows, lanes)
-        xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
+        xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
+                                self._two_ln, self._split, self._g_rows)
         ys = []
         for call, bc in zip(self._calls, bucket_consts):
-            wsel, tr, xloc, *a_args = bc
-            ys.append(call(wsel, tr, xloc, *a_args, xrep))
+            wsel, tr, codes, *a_args = bc
+            ys.append(call(wsel, tr, codes, *a_args, xrep))
         y = jnp.concatenate(ys, axis=0)[order]      # back to tile order
         return y.reshape(self._plan.ntiles * self._m, self._two_ln)
 

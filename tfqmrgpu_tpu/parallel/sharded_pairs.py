@@ -66,29 +66,34 @@ class ShardedPairsSolver:
         self.rows_local = self.tiles_local * r_tile * self.lm
         self.ny_rows = self.ntiles_pad * r_tile * self.lm
 
-        def pad_tiles(arr, fill):
-            out = np.full((self.ntiles_pad,) + arr.shape[1:], fill,
-                          arr.dtype)
-            out[: p0.ntiles] = arr
-            return out
-
-        # per-shard scalar tables (+1 pipeline step each)
-        wsel = pad_tiles(p0.wsel, p0.wsel[-1] if p0.ntiles else 0)
-        kc = pad_tiles(p0.kcount, 0)
-        xloc = pad_tiles(p0.xloc, 0)
+        # per-shard scalar tables (+1 pipeline step each); pad tiles beyond
+        # the real schedule carry zero-trip pad programs and zero A panels
+        wsel = np.full(self.ntiles_pad, p0.wsel[-1] if p0.ntiles else 0,
+                       np.int32)
+        wsel[: p0.ntiles] = p0.wsel
+        cm = p0.cmax
         self.wsel_sh = np.zeros((self.pr, self.tiles_local + 1), np.int32)
         self.trips_sh = np.zeros((self.pr, self.tiles_local + 1), np.int32)
-        self.xloc_sh = np.zeros((self.pr, (self.tiles_local + 1) * p0.ku),
-                                np.int32)
+        self.codes_sh = np.full(
+            (self.pr, (self.tiles_local + 1) * cm), p0.ku, np.int32)
+        # full-coverage program for first-use tiles of shards whose chunk is
+        # shorter than 2 real tiles (uninitialized-VMEM NaN guard)
+        cover = np.arange(0, p0.ku, p0.copy_g, dtype=np.int32)
         for s in range(self.pr):
-            sl = slice(s * self.tiles_local, (s + 1) * self.tiles_local)
-            self.wsel_sh[s, :-1] = wsel[sl]
-            self.wsel_sh[s, -1] = wsel[sl][-1]
-            tr = (kc[sl] + 1) // 2
-            tr[: min(2, tr.shape[0])] = p0.ku // 2    # first-use NaN guard
-            self.trips_sh[s, :-1] = tr
-            self.xloc_sh[s, : self.tiles_local * p0.ku] = \
-                xloc[sl].reshape(-1)
+            lo = s * self.tiles_local
+            hi = min((s + 1) * self.tiles_local, p0.ntiles)
+            tiles = np.arange(lo, max(hi, lo))
+            nt = tiles.shape[0]
+            self.wsel_sh[s, :-1] = wsel[lo: lo + self.tiles_local]
+            self.wsel_sh[s, -1] = self.wsel_sh[s, -2] if self.tiles_local \
+                else 0
+            if nt:
+                codes, trips = pp._program_tables(p0, tiles, p0.ku)
+                self.codes_sh[s, : nt * cm] = codes[: nt * cm]
+                self.trips_sh[s, :nt] = trips[:nt]
+            for j in range(nt, min(2, self.tiles_local)):
+                self.codes_sh[s, j * cm: j * cm + cover.shape[0]] = cover
+                self.trips_sh[s, j] = (cover.shape[0] + 1) // 2
 
         # one-hot column map per local row (for reductions + scaling)
         ncc = plan.ncols
@@ -132,7 +137,8 @@ class ShardedPairsSolver:
             self._a_panels = (panels,)
         self._call = pp._make_call(
             self.tiles_local, p0.r_tile, p0.ku, self.lm, self.ln,
-            p0.s_window, p0.x_rows_padded, self.precision, self.interpret)
+            p0.s_window, p0.x_rows_padded, self.precision, self.interpret,
+            copy_g=p0.copy_g, cmax=p0.cmax)
 
     def _pack_vec(self, re_blocks: np.ndarray, im_blocks: np.ndarray,
                   scatter=None):
@@ -165,7 +171,7 @@ class ShardedPairsSolver:
         out = self._solve_core(
             self.mesh, b_sh, v3_sh, jnp.asarray(self.onehot_sh),
             jnp.asarray(self.wsel_sh), jnp.asarray(self.trips_sh),
-            jnp.asarray(self.xloc_sh), *self._a_panels,
+            jnp.asarray(self.codes_sh), *self._a_panels,
             tolerance=float(tolerance),
             max_iterations=int(max_iterations))
         x_sh, status, iters, resid, rhs_status, n_probes = out
@@ -208,15 +214,9 @@ class ShardedPairsSolver:
                     xg = jnp.pad(xg, ((0, nxrows - xg.shape[0]), (0, 0)))
                 else:
                     xg = xg[:nxrows]
-                if len(ap) == 2:
-                    hi, lo = pp.split_bf16x2(xg)
-                    xw = jnp.concatenate([hi, lo], axis=1)
-                    lanes = 4 * ln
-                else:
-                    xw = xg
-                    lanes = 2 * ln
-                seg = xw.reshape(p0.n_windows, p0.s_window * lm, lanes)
-                xrep = jnp.concatenate([seg[:-1], seg[1:]], axis=1)
+                xrep = pp._window_replicas(
+                    xg, p0.n_windows, p0.s_window * lm, 2 * ln,
+                    split=(len(ap) == 2), g_rows=p0.copy_g * lm)
                 y = call(ws, tr, xl, *ap, xrep)
                 return y.reshape(vrl, 2 * ln)
 
