@@ -13,7 +13,7 @@ vs_baseline compares against the reference's best in-source V100 anchor for
 LM=LN=32 double: 4.3 TFlop/s (bench_tfqmrgpu.cu:319).
 
 Env knobs: TFQ_BENCH_LM/LN (default 32/32), TFQ_BENCH_PREC (c|z, default c),
-TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 2),
+TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 1), TFQ_BENCH_TSTEP (default 16),
 TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for padding),
 TFQ_BENCH_ENGINE (pairpanel|xla|auto, default auto),
 TFQ_BENCH_MM_PREC (bf16|bf16x3|highest; default 'high' = bf16_3x passes,
@@ -134,8 +134,9 @@ def main():
     ln = int(os.environ.get("TFQ_BENCH_LN", "32"))
     prec = os.environ.get("TFQ_BENCH_PREC", "c")
     nrep = int(os.environ.get("TFQ_BENCH_NREP", "64"))
-    r_tile = int(os.environ.get("TFQ_BENCH_RTILE", "2"))
+    r_tile = int(os.environ.get("TFQ_BENCH_RTILE", "1"))
     copy_g = int(os.environ.get("TFQ_BENCH_COPYG", "2"))
+    t_step = int(os.environ.get("TFQ_BENCH_TSTEP", "16"))
     n_buckets = int(os.environ.get("TFQ_BENCH_BUCKETS", "1"))
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
     # 'bf16x4' (4 bf16 passes over round-to-nearest hi/lo operand splits)
@@ -225,10 +226,12 @@ def main():
                 panels = pp.build_a_panels_device(pplan, *a_dev)
                 panels.block_until_ready()
                 mult2 = pp.make_pairpanel_multiply(
-                    pplan, panels, precision=mm_prec, interpret=interp)
+                    pplan, panels, precision=mm_prec, interpret=interp,
+                    t_step=t_step)
                 log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
                     f"ntiles={pplan.ntiles} ku={pplan.ku} S={pplan.s_window} "
-                    f"inflation={pplan.inflation:.2f}x prec={mm_prec}")
+                    f"inflation={pplan.inflation:.2f}x prec={mm_prec} "
+                    f"t_step={t_step}")
             consts = mult2.consts
             nxrows = pplan.x_rows_padded
             nyrows = pplan.ntiles * r_tile * lm
@@ -241,7 +244,8 @@ def main():
                 return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
 
             x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
-            eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-b{n_buckets}-{mm_prec}")
+            eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
+                        f"b{n_buckets}-{mm_prec}")
         except ValueError as e:
             if engine == "pairpanel":
                 raise

@@ -71,6 +71,33 @@ def test_pairpanel_multiply_matches_pairwalk(rng, r_tile):
     assert np.max(np.abs(got - want)) / scale < 1e-5
 
 
+@pytest.mark.parametrize("t_step,r_tile", [(2, 1), (4, 1), (3, 2), (8, 1)])
+def test_pairpanel_multiply_t_step(rng, t_step, r_tile):
+    """Multi-tile grid steps produce bit-identical semantics to t_step=1."""
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=14, ncols=2, lm=lm, ln=ln)
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=r_tile)
+
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    mult = pp.make_pairpanel_multiply(plan, panels, precision="highest",
+                                      interpret=True, t_step=t_step)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
 def test_geometry_recovery_counts(rng):
     pa, px, py, na, nx = _bsr_pair_plan(rng, mb=16, ncols=4)
     frag, col = pp.recover_geometry(pa, px, py, nx)

@@ -269,8 +269,8 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
 
     # run-aware copy program (see PairPanelPlan.copy_codes)
     g = max(int(copy_g), 1)
-    if ku + g > 255:
-        raise ValueError(f"union size {ku}+{g} exceeds the 8-bit dst field")
+    if ku + g > 0xFFFF:
+        raise ValueError(f"union size {ku}+{g} exceeds the 16-bit dst field")
     progs, n_copies, n_copies_full = [], [], []
     for t, u in enumerate(unions):
         rel = (u - wsel[t] * s_window).astype(np.int64)
@@ -278,7 +278,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         codes, dst = [], 0
         for run in np.split(rel, cuts):
             for off in range(0, run.shape[0], g):
-                codes.append((int(run[off]) << 8) | (dst + off))
+                codes.append((int(run[off]) << 16) | (dst + off))
             dst += run.shape[0]
         n_copies.append(len(codes))
         # first-use coverage: fill [kcount, ku) so every slot the MXU reads
@@ -339,10 +339,64 @@ def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
         n = int(plan.n_copies_full[t] if j < 2 else plan.n_copies[t])
         c = plan.copy_codes[t, :n]
         if ku_cap < plan.ku:
-            c = np.where((c & 255) > ku_cap, np.int32(ku_cap), c)
+            c = np.where((c & 0xFFFF) > ku_cap, np.int32(ku_cap), c)
         codes[j, :n] = c
         trips[j] = (n + 1) // 2
     return codes.reshape(-1), trips
+
+
+def make_step_tables(plan: PairPanelPlan, t_step: int):
+    """Group ``t_step`` consecutive tiles into one grid step.
+
+    Per-grid-step fixed costs (DMA issue + scalar bookkeeping, ~1 us on
+    v5e) dominate the pair-panel stream once tiles are small; fetching T
+    tiles' A panels per step amortizes them T-fold.  All T tiles of a step
+    share ONE window (their unions are consecutive in the relabeled order,
+    so the overlapping 2S window almost always covers the union of unions);
+    raises ValueError when it does not -- caller falls back to t_step=1.
+
+    Returns (nsteps, wsel_step[nsteps+1], codes_flat, trips[nsteps+1],
+    cmax_step): the copy program of a step concatenates its tiles' programs
+    with dst offsets j*ku; the first two steps carry full coverage of all
+    T*ku slots (uninitialized-VMEM guard, including pad tiles)."""
+    T = int(t_step)
+    ku, S, g = plan.ku, plan.s_window, plan.copy_g
+    if T * ku + g > 0xFFFF:
+        raise ValueError("step dst space exceeds the 16-bit field")
+    nsteps = (plan.ntiles + T - 1) // T
+    wsel_step = np.zeros(nsteps + 1, np.int32)
+    progs = []
+    for s in range(nsteps):
+        tiles = range(s * T, min((s + 1) * T, plan.ntiles))
+        w = int(min(plan.wsel[t] for t in tiles))
+        wsel_step[s] = w
+        codes = []
+        for j, t in enumerate(tiles):
+            shift = (int(plan.wsel[t]) - w) * S
+            for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
+                rel, dst = (c >> 16) + shift, c & 0xFFFF
+                if rel > 2 * S:
+                    raise ValueError(
+                        f"t_step={T}: window span overflow at step {s}")
+                codes.append((rel << 16) | (j * ku + dst))
+            if s < 2:                       # coverage: [kcount, ku) pads
+                for d in range(int(plan.kcount[t]), ku, g):
+                    codes.append(j * ku + d)
+        if s < 2:                           # coverage: pad tiles of step
+            for j in range(len(range(s * T, min((s + 1) * T,
+                                                plan.ntiles))), T):
+                for d in range(0, ku, g):
+                    codes.append(j * ku + d)
+        progs.append(codes)
+    wsel_step[nsteps] = wsel_step[nsteps - 1] if nsteps else 0
+    cmax = max((len(c) for c in progs), default=1)
+    cmax += cmax % 2
+    codes_flat = np.full((nsteps + 1, cmax), T * ku, np.int32)
+    trips = np.zeros(nsteps + 1, np.int32)
+    for s, codes in enumerate(progs):
+        codes_flat[s, : len(codes)] = codes
+        trips[s] = (len(codes) + 1) // 2
+    return nsteps, wsel_step, codes_flat.reshape(-1), trips, cmax
 
 
 def build_a_panels(plan: PairPanelPlan, a_re: np.ndarray,
@@ -441,12 +495,15 @@ def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
 @functools.lru_cache(maxsize=32)
 def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
-               copy_g: int = 1, cmax: int = 0):
+               copy_g: int = 1, cmax: int = 0, t_step: int = 1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # ``ntiles`` is the GRID length (number of steps); each step carries
+    # ``t_step`` tiles' A panels, outputs and scratch slots.
+    T = max(int(t_step), 1)
     m2 = 2 * r_tile * lm
     k = ku * lm
     g = max(int(copy_g), 1)
@@ -475,8 +532,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         overhead dominates; full static unroll -- compile-time explosion.)"""
         def copy_one(j):
             code = code_ref[i * cmax + j]
-            rel = jax.lax.shift_right_logical(code, np.int32(8))
-            dst = jax.lax.bitwise_and(code, np.int32(255))
+            rel = jax.lax.shift_right_logical(code, np.int32(16))
+            dst = jax.lax.bitwise_and(code, np.int32(0xFFFF))
             xs2[pl.ds(pl.multiple_of(dst * lm, lm), g * lm), :] = \
                 xw[0, pl.ds(pl.multiple_of(rel * lm, lm), g * lm), :]
 
@@ -497,15 +554,16 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             precision=(jax.lax.Precision.HIGHEST if precision == "highest"
                        else jax.lax.Precision.DEFAULT))
 
-    def finish(y2, y_ref):
-        """[2M, 2LN] raw product -> fused complex result in y_ref:
+    def finish(y2, y_ref, j):
+        """[2M, 2LN] raw product -> fused complex result in y_ref[j]:
         top half P = a_re @ [xr|xi], bottom half Q = a_im @ [xr|xi];
-        y = [P1 - Q2 | P2 + Q1]."""
+        y = [P1 - Q2 | P2 + Q1].  One full-block store: Mosaic cannot
+        lane-slice a >=3-D memref view at sub-128 offsets."""
         m = r_tile * lm
         p = y2[:m, :]
         q = y2[m:, :]
-        y_ref[0, :, 0:ln] = p[:, 0:ln] - q[:, ln:]
-        y_ref[0, :, ln:] = p[:, ln:] + q[:, 0:ln]
+        y_ref[j] = jnp.concatenate(
+            [p[:, 0:ln] - q[:, ln:], p[:, ln:] + q[:, 0:ln]], axis=1)
 
     # Software pipeline: step i gathers tile i's operand into one of the two
     # scratch buffers while the MXU contracts tile i-1 from the other -- the
@@ -515,21 +573,24 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # In the split modes, X windows arrive PRE-SPLIT as packed bf16 lanes
     # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
     # the kernel does no conversion.
-    def dots(a_refs, xs2):
+    def dots(a_refs, xs2, j):
         if split:
-            xs = xs2[0:k, :]
-            xh = xs[:, : 2 * ln]
-            ah = a_refs[0][0]
+            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            ah = a_refs[0][j]
             if precision == "bf16":
-                return dot(ah, xh)
-            if precision == "bf16x3":
-                return (dot(ah, xh) + dot(ah, xs[:, 2 * ln:])
-                        + dot(a_refs[1][0], xh))
-            xl = xs[:, 2 * ln:]                    # bf16x4: + lo@lo
-            al = a_refs[1][0]
-            return (dot(ah, xh) + dot(ah, xl) + dot(al, xh)
-                    + dot(al, xl))
-        return dot(a_refs[0][0], xs2[0:k, :])
+                return dot(ah, xs[:, : 2 * ln])
+            # The scratch packs [hi | lo] X lanes side by side, so one
+            # FULL-lane-width dot computes a@xh and a@xl together; folding
+            # the halves in f32 is numerically identical to separate dots
+            # (each product accumulates in f32 before the add).  For
+            # 2*ln <= 64 this halves the MXU pass count vs half-width dots.
+            d1 = dot(ah, xs)
+            y = d1[:, : 2 * ln] + d1[:, 2 * ln:]
+            if precision == "bf16x3":              # + lo@hi only
+                return y + dot(a_refs[1][j], xs[:, : 2 * ln])
+            d2 = dot(a_refs[1][j], xs)             # bf16x4: + lo@(hi+lo)
+            return y + d2[:, : 2 * ln] + d2[:, 2 * ln:]
+        return dot(a_refs[0][j], xs2[j * ku * lm: j * ku * lm + k, :])
 
     n_a = 2 if split else 1
 
@@ -540,30 +601,30 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         i = pl.program_id(0)
         # Two SEPARATE scratch refs (not halves of one): Mosaic tracks
         # read/write dependencies per ref, so gather(i) and the MXU work on
-        # tile i-1 only overlap when they touch different refs.  Each branch
-        # ISSUES the dots first, runs the scalar gather loop while the MXU
-        # pipeline drains, and only then stores the result -- the store is
-        # the first op that waits on the MXU, so the gather hides behind it.
-        # Step 0 contracts an uninitialized buffer into output block 0;
-        # step 1 recomputes block 0 from real data and the revisiting output
-        # block is flushed after the last write.
+        # step i-1 only overlap when they touch different refs.  Each branch
+        # ISSUES all T steps' dots first, runs the scalar gather loop while
+        # the MXU pipeline drains, and only then stores the results -- the
+        # stores are the first ops that wait on the MXU, so the gather hides
+        # behind them.  Step 0 contracts an uninitialized buffer into output
+        # block 0; step 1 recomputes block 0 from real data and the
+        # revisiting output block is flushed after the last write.
         parity = i % 2
+
+        def run(xs_mine, xs_other):
+            if not no_dot:
+                ys = [dots(a_refs, xs_other, j) for j in range(T)]
+            gather_xs(i, trips_ref, code_ref, xw, xs_mine)
+            if not no_dot:
+                for j in range(T):
+                    finish(ys[j], y_ref, j)
 
         @pl.when(parity == 0)
         def _():
-            if not no_dot:
-                y2 = dots(a_refs, xs_b)
-            gather_xs(i, trips_ref, code_ref, xw, xs_a)
-            if not no_dot:
-                finish(y2, y_ref)
+            run(xs_a, xs_b)
 
         @pl.when(parity == 1)
         def _():
-            if not no_dot:
-                y2 = dots(a_refs, xs_a)
-            gather_xs(i, trips_ref, code_ref, xw, xs_b)
-            if not no_dot:
-                finish(y2, y_ref)
+            run(xs_b, xs_a)
 
         # NOTE: pad rows of xs (between the tile's true union and ku) hold
         # stale data from earlier tiles; their A panel columns are zero, so
@@ -572,7 +633,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     def a_map(i, ws, tr, xl):
         return (jnp.maximum(i - 1, 0), 0, 0)
 
-    a_specs = [pl.BlockSpec((1, m2, k), a_map,
+    a_specs = [pl.BlockSpec((T, m2, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
     w_lanes = 4 * ln if split else 2 * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
@@ -586,19 +647,20 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         num_scalar_prefetch=3,                    # wsel, trips, codes
         grid=(ntiles + 1,),
         in_specs=a_specs + win_specs,
-        out_specs=pl.BlockSpec((1, m, 2 * ln), a_map,
+        out_specs=pl.BlockSpec((T, m, 2 * ln), a_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(((ku + g) * lm, w_lanes), w_dt),
-                        pltpu.VMEM(((ku + g) * lm, w_lanes), w_dt)],
+        scratch_shapes=[pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt),
+                        pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt)],
     )
 
-    a_bytes = ntiles * m2 * k * (2 if split else 4) * n_a
+    a_bytes = ntiles * T * m2 * k * (2 if split else 4) * n_a
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles, m, 2 * ln), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntiles * T, m, 2 * ln),
+                                       jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ntiles * m2 * k * 2 * ln
+            flops=2 * ntiles * T * m2 * k * 2 * ln
             * (3 if precision == "bf16x3" else 1),
             bytes_accessed=int(a_bytes + 4 * 2 * x_rows * ln),
             transcendentals=0),
@@ -635,7 +697,8 @@ class PairPanelMultiply:
         xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
                                 self._two_ln, self._split, self._g_rows)
         y = self._call(wsel, trips, codes, *a_args, xrep)
-        return y.reshape(self._n_rows_out, self._two_ln)
+        # t_step padding adds whole zero tiles at the end; drop them
+        return y.reshape(-1, self._two_ln)[: self._n_rows_out]
 
     def __call__(self, x_fused):
         return self.apply(self.consts, x_fused)
@@ -666,7 +729,8 @@ def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows):
 
 def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
                             precision: str = "bf16x3",
-                            interpret: bool = False) -> PairPanelMultiply:
+                            interpret: bool = False,
+                            t_step: int = 1) -> PairPanelMultiply:
     """Build the multiply on flat permuted FUSED panels
     [x_rows_padded, 2*LN] (re in lanes [:ln], im in [ln:]) ->
     y_fused [ntiles*r_tile*LM, 2*LN] (new block order).
@@ -674,19 +738,29 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     a_panels: f32 device array from build_a_panels / build_a_panels_device.
     precision: 'bf16' (1 MXU pass, ~4e-3 relative), 'bf16x3' (3 passes,
     fp32-quality ~1e-7 -- the default), 'highest' (6 passes, exact fp32).
+    t_step: tiles fetched + contracted per grid step (amortizes per-step
+    DMA/bookkeeping overhead; all tiles of a step share one X window).
     """
     import jax.numpy as jnp
 
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
-    call = _make_call(plan.ntiles, r, plan.ku, lm, ln, plan.s_window,
+    T = max(int(t_step), 1)
+    if T > 1:
+        nsteps, wsel_h, codes_h, trips_h, cmax = make_step_tables(plan, T)
+        a_panels = jnp.pad(
+            a_panels, ((0, nsteps * T - plan.ntiles), (0, 0), (0, 0)))
+    else:
+        nsteps, cmax = plan.ntiles, plan.cmax
+        wsel_h = np.concatenate([plan.wsel, plan.wsel[-1:]])
+        codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
+                                           plan.ku)
+    call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, precision, interpret,
-                      copy_g=plan.copy_g, cmax=plan.cmax)
+                      copy_g=plan.copy_g, cmax=cmax, t_step=T)
     # one extra (dummy) step for the software pipeline; 1-D code table
     # because 2-D SMEM operands pad every row to 128 lanes, overflowing
     # ~1 MB SMEM
-    wsel = jnp.asarray(np.concatenate([plan.wsel, plan.wsel[-1:]]))
-    codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
-                                       plan.ku)
+    wsel = jnp.asarray(wsel_h)
     trips = jnp.asarray(trips_h)
     codes = jnp.asarray(codes_h)
     if precision in ("bf16", "bf16x3", "bf16x4"):
