@@ -399,6 +399,33 @@ def make_step_tables(plan: PairPanelPlan, t_step: int):
     return nsteps, wsel_step, codes_flat.reshape(-1), trips, cmax
 
 
+def auto_t_step(plan: PairPanelPlan, precision: str,
+                vmem_budget: int = 14 << 20, t_max: int = 16) -> int:
+    """Largest t_step whose VMEM working set fits ``vmem_budget`` and whose
+    step windows validate (v5e scoped VMEM is 16 MB; leave headroom)."""
+    split = precision in ("bf16", "bf16x3", "bf16x4")
+    a_b, n_a = (2, 2) if split else (4, 1)
+    w_lanes = (4 if split else 2) * plan.ln
+    w_b = 2 if split else 4
+    lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
+    m2 = 2 * plan.r_tile * lm
+    m = plan.r_tile * lm
+    win = 2 * (2 * S + g) * lm * w_lanes * w_b
+    t = int(t_max)
+    while t > 1:
+        need = (2 * n_a * t * m2 * ku * lm * a_b
+                + 2 * (t * ku + g) * lm * w_lanes * w_b
+                + win + 2 * t * m * 2 * plan.ln * 4)
+        if need <= vmem_budget:
+            try:
+                make_step_tables(plan, t)
+                return t
+            except ValueError:
+                pass
+        t //= 2
+    return 1
+
+
 def build_a_panels(plan: PairPanelPlan, a_re: np.ndarray,
                    a_im: np.ndarray) -> np.ndarray:
     """Scatter A block data into stacked complex panels

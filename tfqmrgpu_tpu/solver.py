@@ -12,6 +12,7 @@ shim on top of this for users porting from the reference.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Optional
 
 import jax
@@ -214,9 +215,13 @@ class Solver:
 
                 panels = jnp.asarray(pp_ops.build_a_panels(
                     self._pp_plan, re, im))
+                t_env = _os.environ.get("TFQ_PAIRS_TSTEP")
+                t_step = (int(t_env) if t_env else
+                          pp_ops.auto_t_step(self._pp_plan, self._pp_prec))
                 self._pp = pp_ops.make_pairpanel_multiply(
                     self._pp_plan, panels, precision=self._pp_prec,
-                    interpret=jax.default_backend() not in ("tpu",))
+                    interpret=jax.default_backend() not in ("tpu",),
+                    t_step=t_step)
             elif self.engine == "dense":
                 dr, di = self._layout.densify_a(self.plan, re, im)
                 self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
