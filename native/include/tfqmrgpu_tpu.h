@@ -120,6 +120,17 @@ tfqmrgpuStatus_t tfqmrgpu_bsrsv_c(int mb, int ldA, int ldB,
     const float* Bmat, char transB,
     int32_t* iterations, float* residual, int indexOffset, int echo);
 
+/* Mixed precision: complex64 iterations + complex128 refinement; data in
+ * double like _z.  (The reference declares 'm' but disables it.) */
+tfqmrgpuStatus_t tfqmrgpu_bsrsv_m(int mb, int ldA, int ldB,
+    const int32_t* rowPtrA, int nnzbA, const int32_t* colIndA,
+    const double* Amat, char transA,
+    const int32_t* rowPtrX, int nnzbX, const int32_t* colIndX,
+    double* Xmat, char transX,
+    const int32_t* rowPtrB, int nnzbB, const int32_t* colIndB,
+    const double* Bmat, char transB,
+    int32_t* iterations, float* residual, int indexOffset, int echo);
+
 /* ---------------------------------------------------------- constants -- */
 #define TFQMRGPU_STATUS_SUCCESS            0
 #define TFQMRGPU_STATUS_LAUNCH_FAILED      2

@@ -335,4 +335,24 @@ tfqmrgpuStatus_t tfqmrgpu_bsrsv_c(int mb, int ldA, int ldB,
         indexOffset, echo));
 }
 
+tfqmrgpuStatus_t tfqmrgpu_bsrsv_m(int mb, int ldA, int ldB,
+    const int32_t* rowPtrA, int nnzbA, const int32_t* colIndA,
+    const double* Amat, char transA,
+    const int32_t* rowPtrX, int nnzbX, const int32_t* colIndX,
+    double* Xmat, char transX,
+    const int32_t* rowPtrB, int nnzbB, const int32_t* colIndB,
+    const double* Bmat, char transB,
+    int32_t* iterations, float* residual, int indexOffset, int echo) {
+    return as_status(call_bridge(
+        "bsrsv_m", "(iiiLiLLiLiLLiLiLLiLLii)", mb, ldA, ldB,
+        (long long)addr(rowPtrA), nnzbA, (long long)addr(colIndA),
+        (long long)addr(Amat), (int)transA,
+        (long long)addr(rowPtrX), nnzbX, (long long)addr(colIndX),
+        (long long)addr(Xmat), (int)transX,
+        (long long)addr(rowPtrB), nnzbB, (long long)addr(colIndB),
+        (long long)addr(Bmat), (int)transB,
+        (long long)addr(iterations), (long long)addr(residual),
+        indexOffset, echo));
+}
+
 }  // extern "C"

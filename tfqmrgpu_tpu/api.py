@@ -67,7 +67,9 @@ class _PlanState:
     precision: str = "?"
     buffer_token: int = 0          # 0 = setBuffer not called yet
     solver: Optional[Solver] = None
+    solver_z: Optional[Solver] = None   # refine stage of the mixed 'm' path
     pending: Dict[str, Any] = field(default_factory=dict)  # matrices set
+    raw: Dict[str, Any] = field(default_factory=dict)      # host copies for 'm'
     bsr_a: Optional[Bsr] = None
     bsr_x: Optional[Bsr] = None
     bsr_b: Optional[Bsr] = None
@@ -189,7 +191,8 @@ def bsrsv_create_plan(
     a = Bsr(mb, mb, as_i32(rowptr_a), as_i32(colind_a), name="A")
     x = Bsr(mb, 0, as_i32(rowptr_x), as_i32(colind_x), name="X")
     b = Bsr(mb, 0, as_i32(rowptr_b), as_i32(colind_b), name="B")
-    x.ncols = int(x.colind.max(initial=0)) + 1
+    off = int(index_offset)
+    x.ncols = int(x.colind.max(initial=off)) + 1 - off
     b.ncols = x.ncols
     plan = create_plan(a, x, b, index_offset=int(index_offset), echo=int(echo))
     pid = next(_ids)
@@ -221,10 +224,7 @@ def bsrsv_buffer_size(
     ps = _PLANS[int(plan)]
     if isinstance(precision, int):
         precision = chr(precision)
-    precision = {"m": "c"}.get(precision, precision)  # 'm' declared, maps to
-    # the float32 compute path (the reference declares 'm' but disables it,
-    # tfqmrgpu.cu:42)
-    if precision not in ("c", "z"):
+    if precision not in ("c", "z", "m"):
         return encode_status(Status.PRECISION_MISSMATCH, 0, precision)
     lm, ln = int(block_dim), int(rhs_block_dim)
     if int(ld_a) != lm or int(ld_b) != ln:
@@ -234,7 +234,10 @@ def bsrsv_buffer_size(
         return encode_status(Status.BLOCKSIZE_MISSING, 0)
     ps.lm, ps.ln, ps.precision = lm, ln, precision
     ps.plan.lm, ps.plan.ln, ps.plan.precision = lm, ln, precision
-    return SUCCESS, ps.plan.memory_requirement_bytes(lm, ln, precision)
+    # 'm' iterates in 'c' and refines in 'z'; report the 'z' (upper-bound)
+    # footprint so callers allocating by this number are always safe
+    est = "z" if precision in ("z", "m") else "c"
+    return SUCCESS, ps.plan.memory_requirement_bytes(lm, ln, est)
 
 
 @_catch
@@ -246,16 +249,20 @@ def bsrsv_set_buffer(handle: int, plan: int, buffer_token: int = 1) -> int:
     ps = _PLANS[int(plan)]
     if ps.lm == 0:
         return encode_status(Status.NO_INFO_PASSED, 1)
-    if ps.precision == "z":
+    if ps.precision in ("z", "m"):
         import jax
 
         if not jax.config.read("jax_enable_x64"):
             from . import enable_x64
 
             enable_x64()
+    # 'm' (mixed) iterates in 'c' -- the refine-stage 'z' solver is built
+    # lazily at solve time from the recorded host matrices
+    iter_prec = "c" if ps.precision == "m" else ps.precision
     ps.solver = Solver(ps.bsr_a, ps.bsr_x, ps.bsr_b,
-                       precision=ps.precision, echo=ps.echo,
+                       precision=iter_prec, echo=ps.echo,
                        lm=ps.lm, ln=ps.ln, plan=ps.plan)
+    ps.solver_z = None
     ps.buffer_token = int(buffer_token) or 1
     for var, args in ps.pending.items():
         ps.solver.set_matrix(var, *args[:-1], **args[-1])
@@ -295,11 +302,14 @@ def bsrsv_set_matrix(
         trans = chr(trans)
     if isinstance(precision, int):
         precision = chr(precision)
-    if precision not in ("?", ps.precision):
+    ok_prec = ("?", ps.precision) + (("z", "c") if ps.precision == "m" else ())
+    if precision not in ok_prec:
         return encode_status(Status.PRECISION_MISSMATCH, 2, precision)
     args = (val, {"trans": trans, "layout": layout})
+    ps.raw[var.upper()] = args      # kept for the 'm' refine stage
+    ps.solver_z = None              # new data invalidates a built refiner
     if ps.solver is None:
-        ps.pending[var.upper()] = (val, {"trans": trans, "layout": layout})
+        ps.pending[var.upper()] = args
         return SUCCESS
     ps.solver.set_matrix(var, *args[:-1], **args[-1])
     return SUCCESS
@@ -327,9 +337,11 @@ def bsrsv_get_matrix(
         precision = chr(precision)
     if ps.solver is None:
         return encode_status(Status.NO_INFO_PASSED, 3)
-    if precision not in ("?", ps.precision):
+    ok_prec = ("?", ps.precision) + (("z", "c") if ps.precision == "m" else ())
+    if precision not in ok_prec:
         return encode_status(Status.PRECISION_MISSMATCH, 4, precision)
-    val = ps.solver.get_matrix(var, trans=trans, layout=layout)
+    src = ps.solver_z if ps.solver_z is not None else ps.solver
+    val = src.get_matrix(var, trans=trans, layout=layout)
     return SUCCESS, val
 
 
@@ -343,8 +355,39 @@ def bsrsv_solve(handle: int, plan: int, threshold: float = 1e-6,
     ps = _PLANS[int(plan)]
     if ps.solver is None:
         return encode_status(Status.NO_INFO_PASSED, 5)
+    if ps.precision == "m":
+        return _solve_mixed_plan(ps, float(threshold), int(max_iterations))
     info = ps.solver.solve(tolerance=float(threshold),
                            max_iterations=int(max_iterations))
+    return int(info.return_status)
+
+
+def _solve_mixed_plan(ps: _PlanState, threshold: float,
+                      max_iterations: int) -> int:
+    """The real mixed-precision path through the plan API: iterate in 'c'
+    (fast MXU), then refine in 'z' restarting from the float solution via
+    the shifted-system initial guess.  This implements the mode the
+    reference declares but disables (tfqmrgpu.cu:42)."""
+    info_c = ps.solver.solve(tolerance=max(1e-5, threshold),
+                             max_iterations=max_iterations)
+    xc = ps.solver.get_matrix("X").astype(np.complex128)
+    if ps.solver_z is None:
+        ps.solver_z = Solver(ps.bsr_a, ps.bsr_x, ps.bsr_b, precision="z",
+                             echo=ps.echo, lm=ps.lm, ln=ps.ln)
+        for var, args in ps.raw.items():
+            ps.solver_z.set_matrix(var, *args[:-1], **args[-1])
+    ps.solver_z.set_matrix("X", xc)
+    info = ps.solver_z.solve(tolerance=threshold,
+                             max_iterations=max_iterations)
+    # fold both stages into the shared plan stats (getInfo reads ps.plan)
+    ps.plan.residuum_reached = info.residuum_reached
+    ps.plan.iterations_needed = (info.iterations_needed
+                                 + info_c.iterations_needed)
+    ps.plan.flops_performed = (info.flops_performed
+                               + info_c.flops_performed)
+    # the 'c' stage shares ps.plan (its flops_performed_all already counted
+    # there); add the refine stage, which ran on the z-solver's own plan
+    ps.plan.flops_performed_all += info.flops_performed
     return int(info.return_status)
 
 
@@ -428,6 +471,20 @@ def bsrsv_c(mb, ld_a, ld_b, rowptr_a, colind_a, amat, trans_a,
             max_iterations=999, threshold=1e-5, index_offset=0, echo=0):
     """tfqmrgpu_bsrsv_c (tfqmrgpu.cu:812-822): complex64 one-call solve."""
     return _bsrsv_onecall("c", mb, ld_a, ld_b,
+                          rowptr_a, colind_a, amat, trans_a,
+                          rowptr_x, colind_x, xmat, trans_x,
+                          rowptr_b, colind_b, bmat, trans_b,
+                          max_iterations, threshold, index_offset, echo)
+
+
+def bsrsv_m(mb, ld_a, ld_b, rowptr_a, colind_a, amat, trans_a,
+            rowptr_x, colind_x, xmat, trans_x,
+            rowptr_b, colind_b, bmat, trans_b,
+            max_iterations=999, threshold=1e-9, index_offset=0, echo=0):
+    """Mixed-precision one-call solve on double (RIRIRIRI) arrays:
+    complex64 iterations on the MXU fast path + complex128 refinement.
+    The mode the reference declares but never enabled (tfqmrgpu.cu:42)."""
+    return _bsrsv_onecall("m", mb, ld_a, ld_b,
                           rowptr_a, colind_a, amat, trans_a,
                           rowptr_x, colind_x, xmat, trans_x,
                           rowptr_b, colind_b, bmat, trans_b,

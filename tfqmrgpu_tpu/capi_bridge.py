@@ -198,12 +198,12 @@ def _onecall(precision: str, mb: int, ld_a: int, ld_b: int,
              addr_bmat: int, trans_b: int,
              addr_iterations: int, addr_residual: int,
              index_offset: int, echo: int) -> int:
-    dt = np.float64 if precision == "z" else np.float32
+    dt = np.float64 if precision in ("z", "m") else np.float32
     it_ptr = ctypes.cast(int(addr_iterations), ctypes.POINTER(ctypes.c_int32))
     res_ptr = ctypes.cast(int(addr_residual), ctypes.POINTER(ctypes.c_float))
     maxiter = int(it_ptr[0])
     threshold = float(res_ptr[0])
-    fn = api.bsrsv_z if precision == "z" else api.bsrsv_c
+    fn = {"z": api.bsrsv_z, "m": api.bsrsv_m}.get(precision, api.bsrsv_c)
     st, xval, iters, resid = fn(
         mb, ld_a, ld_b,
         _view(addr_rowptr_a, mb + 1, np.int32).copy(),
@@ -231,3 +231,8 @@ def bsrsv_z(*args) -> int:
 
 def bsrsv_c(*args) -> int:
     return _onecall("c", *args)
+
+
+def bsrsv_m(*args) -> int:
+    """Mixed precision: 'c' iterations + 'z' refinement on double arrays."""
+    return _onecall("m", *args)

@@ -46,6 +46,25 @@ def build(verbose: bool = False) -> bool:
         return False
 
 
+def _needs_build(path: str) -> bool:
+    """True when the library is missing or older than any native source
+    (stale binaries must never be silently loaded -- the libraries are not
+    committed, they are built on first use)."""
+    if not os.path.exists(path):
+        return True
+    lib_mtime = os.path.getmtime(path)
+    for sub in ("src", "include", "Makefile"):
+        p = os.path.join(_NATIVE_DIR, sub)
+        if os.path.isfile(p):
+            if os.path.getmtime(p) > lib_mtime:
+                return True
+        elif os.path.isdir(p):
+            for name in os.listdir(p):
+                if os.path.getmtime(os.path.join(p, name)) > lib_mtime:
+                    return True
+    return False
+
+
 def _load_plan_lib() -> Optional[ctypes.CDLL]:
     global _plan_lib, _plan_tried
     if _plan_tried:
@@ -54,8 +73,8 @@ def _load_plan_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("TFQ_NATIVE", "1") == "0":
         return None
     path = os.path.join(_LIB_DIR, "libtfqmrgpu_plan.so")
-    if not os.path.exists(path):
-        if not build():
+    if _needs_build(path):
+        if not build() or not os.path.exists(path):
             return None
     try:
         lib = ctypes.CDLL(path)
@@ -147,8 +166,8 @@ def load_capi() -> Optional[ctypes.CDLL]:
         return _capi_lib
     _capi_tried = True
     path = os.path.join(_LIB_DIR, "libtfqmrgpu_tpu.so")
-    if not os.path.exists(path):
-        if not build():
+    if _needs_build(path):
+        if not build() or not os.path.exists(path):
             return None
     try:
         _capi_lib = ctypes.CDLL(path, mode=ctypes.RTLD_GLOBAL)

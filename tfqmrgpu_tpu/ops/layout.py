@@ -27,6 +27,27 @@ LAYOUT_RIRIRIRI = 0x55
 _LAYOUTS = (LAYOUT_RRRRIIII, LAYOUT_RRIIRRII, LAYOUT_RIRIRIRI)
 
 
+def resolve_transposition(trans: str, conjugate: bool = False):
+    """Resolve a reference transposition char into (trans, conjugate).
+
+    Accepts (case-insensitively) 'n', 't', 'h'/'c' (transpose + conjugate,
+    the LAPACK Hermitian adjoint) and '*' (conjugate only), exactly as
+    tfqmrgpu.cu:492-500 resolves them into a 'n'/'t' flag plus an imaginary
+    scale of -1.  An explicit ``conjugate`` request composes (XOR) with the
+    conjugation implied by the char.
+    """
+    t = trans.lower() if isinstance(trans, str) else trans
+    if t in ("h", "c"):
+        return "t", (not conjugate)
+    if t == "*":
+        return "n", (not conjugate)
+    if t in ("n", "t"):
+        return t, conjugate
+    raise TfqmrgpuError(
+        encode_status(Status.TANSPOSITION_UNKNOWN, 0, trans if isinstance(trans, str) and len(trans) == 1 else "?"),
+        f"trans={trans!r}")
+
+
 def to_planes(
     val: np.ndarray,
     nnzb: int,
@@ -45,7 +66,8 @@ def to_planes(
         or a complex array of shape ``[nnzb, ld, d2]``.
       ld, d2: slow/fast block dims as stored in ``val``.
       trans: 'n' keeps blocks as [ld, d2]; 't' transposes each block (the
-        result block shape is then [d2, ld]).
+        result block shape is then [d2, ld]); 'h'/'c' = transpose +
+        conjugate; '*' = conjugate only (tfqmrgpu.cu:492-500).
       layout: one of the three reference layouts for real-valued input.
       conjugate: negate the imaginary part.
       scale: global real scaling factor.
@@ -53,6 +75,7 @@ def to_planes(
     Returns:
       (re, im): np arrays of shape [nnzb, slow, fast] in ``dtype``.
     """
+    trans, conjugate = resolve_transposition(trans, conjugate)
     val = np.asarray(val)
     if np.iscomplexobj(val):
         blocks = val.reshape(nnzb, ld, d2)
@@ -82,9 +105,6 @@ def to_planes(
     if trans == "t":
         re = np.swapaxes(re, 1, 2)
         im = np.swapaxes(im, 1, 2)
-    elif trans != "n":
-        raise TfqmrgpuError(encode_status(Status.TANSPOSITION_UNKNOWN),
-                            f"trans={trans!r}")
     sign = -1.0 if conjugate else 1.0
     if scale != 1.0 or conjugate:
         re = re * scale
@@ -101,15 +121,14 @@ def from_planes(
     dtype=np.float64,
 ):
     """Convert device re/im planes back to a host real array in ``layout``
-    (the getMatrix('X') direction, tfqmrgpu.cu:624-645)."""
+    (the getMatrix('X') direction, tfqmrgpu.cu:624-645).  ``trans``
+    accepts the full 'n'/'t'/'h'/'c'/'*' vocabulary."""
+    trans, conjugate = resolve_transposition(trans, conjugate)
     re = np.asarray(re, dtype=dtype)
     im = np.asarray(im, dtype=dtype)
     if trans == "t":
         re = np.swapaxes(re, 1, 2)
         im = np.swapaxes(im, 1, 2)
-    elif trans != "n":
-        raise TfqmrgpuError(encode_status(Status.TANSPOSITION_UNKNOWN),
-                            f"trans={trans!r}")
     if conjugate:
         im = -im
     if layout == LAYOUT_RIRIRIRI:

@@ -156,7 +156,7 @@ class PairPanelPlan:
     col_of_new: np.ndarray
     r_col: int = 0           # blocks per column in col_pad layout (0 = off)
     n_slots: int = 0         # relabeled block-slot count (>= nnzb_x) = None
-    # Run-aware copy program: each code = (src_rel << 8) | dst_slot moves
+    # Run-aware copy program: each code = (src_rel << 16) | dst_slot moves
     # ``copy_g`` consecutive blocks from the window into the union scratch.
     # Unions decompose into runs of consecutive relabeled ids; one copy per
     # ceil(run/g) instead of one per block cuts the scalar-core issue count
@@ -547,7 +547,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     def gather_xs(i, trips_ref, code_ref, xw, xs2):
         """Stage tile i's union X blocks from the VMEM window into the
         scratch via the run-aware copy program: each code moves ``g``
-        consecutive blocks (src_rel << 8 | dst_slot).  The window is an
+        consecutive blocks (src_rel << 16 | dst_slot).  The window is an
         OVERLAPPING (2S+g)-block replica (built by XLA around the kernel),
         so every copy resolves unconditionally -- branch-free, which matters
         because the scalar core's per-copy bookkeeping is the kernel's

@@ -8,8 +8,10 @@ a ``psum`` over the mesh.  Scalar recurrences are replicated.
 """
 
 from .partition import RowPartition, partition_plan
-from .sharded import ShardedAction, sharded_solve_core, make_mesh
+from .sharded import ShardedAction, sharded_solve, sharded_solve_core, \
+    make_mesh
 from .sharded_panel import ShardedPanelSolver
 
 __all__ = ["RowPartition", "partition_plan", "ShardedAction",
-           "sharded_solve_core", "make_mesh", "ShardedPanelSolver"]
+           "sharded_solve", "sharded_solve_core", "make_mesh",
+           "ShardedPanelSolver"]

@@ -199,17 +199,20 @@ class Solver:
 
     def set_matrix(self, var: str, val, *, trans: str = "n",
                    layout: int = layout_ops.LAYOUT_RIRIRIRI,
-                   scale: float = 1.0):
+                   scale: float = 1.0, conjugate: bool = False):
         """Upload operator data ('A' or 'B'); accepts complex ndarrays
         [nnzb, d1, d2] or real interleaved arrays in any reference layout
-        (setMatrix parity, tfqmrgpu.cu:609-621)."""
+        (setMatrix parity, tfqmrgpu.cu:609-621).  ``trans`` accepts the
+        reference's full vocabulary 'n'/'t'/'h'/'c'/'*' (case-insensitive;
+        'h'/'c' = adjoint, '*' = conjugate only, tfqmrgpu.cu:492-500), and
+        an explicit ``conjugate`` flag composes with it."""
         var = var.upper()
         val = np.asarray(val)
         npdt = np.float64 if self.dtype == jnp.float64 else np.float32
         if var == "A":
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_a, self.lm, self.lm, trans=trans,
-                layout=layout, scale=scale, dtype=npdt)
+                layout=layout, scale=scale, conjugate=conjugate, dtype=npdt)
             if self.engine == "pairs":
                 from .ops import pairpanel as pp_ops
 
@@ -222,6 +225,10 @@ class Solver:
                     self._pp_plan, panels, precision=self._pp_prec,
                     interpret=jax.default_backend() not in ("tpu",),
                     t_step=t_step)
+                # the cached jitted steps close over the previous
+                # PairPanelMultiply (its t_step/precision/consts structure);
+                # drop them so a re-set A cannot execute a stale closure
+                self._pairs_jit = {}
             elif self.engine == "dense":
                 dr, di = self._layout.densify_a(self.plan, re, im)
                 self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
@@ -244,7 +251,7 @@ class Solver:
         elif var == "B":
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_b, self.lm, self.ln, trans=trans,
-                layout=layout, scale=scale, dtype=npdt)
+                layout=layout, scale=scale, conjugate=conjugate, dtype=npdt)
             if self._panel:
                 self._b = (jnp.asarray(self._layout.pack_b(re)),
                            jnp.asarray(self._layout.pack_b(im)))
@@ -266,7 +273,7 @@ class Solver:
             # tfqmrgpu_core.hxx:125 / bench_tfqmrgpu.cu:159 step 8x.)
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_x, self.lm, self.ln, trans=trans,
-                layout=layout, scale=scale, dtype=npdt)
+                layout=layout, scale=scale, conjugate=conjugate, dtype=npdt)
             if self._panel:
                 self._x0 = (jnp.asarray(self._layout.pack_x(re)),
                             jnp.asarray(self._layout.pack_x(im)))
@@ -283,10 +290,12 @@ class Solver:
                 f"var={var!r}")
 
     def get_matrix(self, var: str = "X", *, trans: str = "n",
-                   layout: Optional[int] = None) -> np.ndarray:
+                   layout: Optional[int] = None,
+                   conjugate: bool = False) -> np.ndarray:
         """Retrieve the solution X as a complex ndarray [nnzbX, LM, LN]
         (or reference-layout real array when ``layout`` is given);
-        getMatrix parity (tfqmrgpu.cu:624-645, restricted to 'X')."""
+        getMatrix parity (tfqmrgpu.cu:624-645, restricted to 'X').
+        ``trans`` accepts 'n'/'t'/'h'/'c'/'*' like set_matrix."""
         if var.upper() != "X":
             raise TfqmrgpuError(
                 encode_status(Status.VARIABLENAME_UNKNOWN, 0, var),
@@ -306,10 +315,14 @@ class Solver:
             re = np.asarray(self._x_result[0])
             im = np.asarray(self._x_result[1])
         if layout is None:
-            if trans == "t":
+            t, conj = layout_ops.resolve_transposition(trans, conjugate)
+            if t == "t":
                 re, im = np.swapaxes(re, 1, 2), np.swapaxes(im, 1, 2)
+            if conj:
+                im = -im
             return layout_ops.planes_to_complex(re, im)
-        return layout_ops.from_planes(re, im, trans=trans, layout=layout)
+        return layout_ops.from_planes(re, im, trans=trans, layout=layout,
+                                      conjugate=conjugate)
 
     # ---------------------------------------------------------------- solve
 
@@ -567,12 +580,23 @@ class Solver:
         """
         import os
 
+        if state_path and not state_path.endswith(".npz"):
+            state_path += ".npz"    # np.savez appends it; keep exists/remove
+            # checks consistent with what savez actually wrote
         if state_path and os.path.exists(state_path):
             with np.load(state_path) as st:
                 self.set_matrix("X", st["x_re"] + 1j * st["x_im"])
                 done = int(st["iterations"])
         else:
             done = 0
+        if done >= max_iterations:
+            info = SolveInfo(
+                residuum_reached=float("nan"), iterations_needed=done,
+                flops_performed=0.0,
+                flops_performed_all=self.plan.flops_performed_all,
+                return_status=int(Status.MAX_ITERATIONS))
+            self._info = info
+            return info
         total = done
         info = None
         while total < max_iterations:
