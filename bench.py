@@ -84,7 +84,9 @@ def cos_sin_fill(nnzb, d1, d2, dtype):
 
 def main_fd():
     """TFQ_BENCH_MODE=fd: full tfQMR solve on a generated FD problem --
-    time-to-residual + iteration count (BASELINE config 2)."""
+    time-to-residual + iteration count + maxdev vs the generator's dense
+    reference solution (the reference driver's gate: maxdev < 1e-5,
+    bench_tfqmrgpu.cu:178-206).  BASELINE config 2."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -94,37 +96,77 @@ def main_fd():
 
     prec = os.environ.get("TFQ_BENCH_PREC", "z")
     rtb = float(os.environ.get("TFQ_FD_RTB", "6.75"))
-    import tempfile
+    engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
+    repeats = int(os.environ.get("TFQ_BENCH_NREP", "4"))
 
     from tfqmrgpu_tpu import Solver, enable_x64, profiling
     from tfqmrgpu_tpu.generator import generate_fd_problem
+    from tfqmrgpu_tpu.solver import solve_mixed
 
-    if prec == "z":
+    if prec in ("z", "m"):
         enable_x64()
     t0 = time.time()
-    prob = generate_fd_problem(rtb=rtb, reference=False)
+    prob = generate_fd_problem(rtb=rtb, reference=True)
     a = prob.a.with_data((prob.a_stencil[prob.a_indirection]
                           * prob.a_scale).astype(np.complex128))
     b = prob.b.with_data(
         prob.b_blocks[prob.b_indirection].astype(np.complex128))
-    log(f"# FD problem: mb={a.nrows} nnzbA={a.nnzb} "
-        f"generated in {time.time()-t0:.1f}s")
-    solver = Solver(a, prob.x, b, precision=prec)
-    tol = prob.tolerance if prec == "z" else 1e-5
-    info, best, roof = profiling.timed_solve(
-        solver, tolerance=tol, max_iterations=500, repeats=3)
-    log(f"# {roof}")
+    log(f"# FD problem: mb={a.nrows} nnzbA={a.nnzb} nnzbX={prob.x.nnzb} "
+        f"BS={prob.params['bs']} generated in {time.time()-t0:.1f}s")
+    tol = prob.tolerance if prec in ("z", "m") else 1e-5
+
+    if prec == "m":
+        # first call pays the (remote) compiles; time the warm second call
+        solve_mixed(a, prob.x, b, tolerance=tol, max_iterations=500,
+                    engine=engine)
+        t0 = time.time()
+        xsol, info = solve_mixed(a, prob.x, b, tolerance=tol * (1 - 1e-9),
+                                 max_iterations=500, engine=engine)
+        best = time.time() - t0
+        xc = xsol.data
+        solver = None
+        roof = None
+        eng = f"mixed({engine})"
+    else:
+        solver = Solver(a, prob.x, b, precision=prec, engine=engine)
+        # warm-up (compile)
+        info = solver.solve(tolerance=tol, max_iterations=500)
+        # the TPU relay memoizes identical dispatches: vary the tolerance by
+        # a negligible relative amount so every timed solve really executes
+        best = 1e30
+        for i in range(max(1, repeats - 1)):
+            t0 = time.perf_counter()
+            info = solver.solve(tolerance=tol * (1.0 - 1e-9 * (i + 1)),
+                                max_iterations=500)
+            best = min(best, time.perf_counter() - t0)
+        iters = max(info.iterations_needed, 1)
+        roof = profiling.solver_roofline(solver, best / iters)
+        log(f"# {roof}")
+        xc = solver.get_matrix("X")
+        eng = solver.engine
+
+    # the reference driver's correctness gate vs the dense LAPACK solution
+    ref = prob.x_reference.astype(np.float64)
+    scale = max(float(np.max(np.abs(ref))), 1e-300)
+    maxdev = float(np.max(np.abs(xc - ref)) / scale)
+    gate = 1e-5 if prec in ("z", "m") else 1e-4
+    log(f"# maxdev vs dense reference: {maxdev:.3e} (gate {gate})")
+    gate_pass = maxdev < gate
+
     print(json.dumps({
         "metric": f"fd_solve_rtb{rtb:g}_{prec}",
         "value": round(best * 1e3, 2),
         "unit": "ms_to_residual",
-        "vs_baseline": round(roof.fraction_of_light or 0.0, 3),
+        "vs_baseline": round((roof.fraction_of_light or 0.0)
+                             if roof else 0.0, 3),
         "iterations": info.iterations_needed,
         "residuum": info.residuum_reached,
-        "engine": solver.engine,
+        "maxdev": maxdev,
+        "gate_pass": bool(gate_pass),
+        "engine": eng,
         "tflops": round(info.flops_performed / best / 1e12, 3),
     }))
-    return 0 if info.return_status in (0, 9) else 1
+    return 0 if (info.return_status in (0, 9) and gate_pass) else 1
 
 
 def main():

@@ -365,30 +365,57 @@ def bsrsv_solve(handle: int, plan: int, threshold: float = 1e-6,
 def _solve_mixed_plan(ps: _PlanState, threshold: float,
                       max_iterations: int) -> int:
     """The real mixed-precision path through the plan API: iterate in 'c'
-    (fast MXU), then refine in 'z' restarting from the float solution via
-    the shifted-system initial guess.  This implements the mode the
-    reference declares but disables (tfqmrgpu.cu:42)."""
-    info_c = ps.solver.solve(tolerance=max(1e-5, threshold),
-                             max_iterations=max_iterations)
-    xc = ps.solver.get_matrix("X").astype(np.complex128)
-    if ps.solver_z is None:
-        ps.solver_z = Solver(ps.bsr_a, ps.bsr_x, ps.bsr_b, precision="z",
-                             echo=ps.echo, lm=ps.lm, ln=ps.ln)
-        for var, args in ps.raw.items():
-            ps.solver_z.set_matrix(var, *args[:-1], **args[-1])
-    ps.solver_z.set_matrix("X", xc)
-    info = ps.solver_z.solve(tolerance=threshold,
-                             max_iterations=max_iterations)
-    # fold both stages into the shared plan stats (getInfo reads ps.plan)
+    (fast MXU), then reach f64 residuals by iterative refinement (one
+    emulated-f64 SpMM per round + f32 correction solves,
+    solver.refine_mixed), with a complex128 re-solve fallback if
+    refinement stalls.  Implements the mode the reference declares but
+    disables (tfqmrgpu.cu:42)."""
+    from .solver import refine_mixed, _scatter_to_x
+
+    maxit_c = min(max_iterations, max(150, max_iterations // 4))
+    info_c = ps.solver.solve(tolerance=max(1e-4, threshold),
+                             max_iterations=maxit_c)
+
+    # f64 views of the recorded host matrices for the residual operator
+    a_args = ps.raw.get("A")
+    b_args = ps.raw.get("B")
+    if a_args is None or b_args is None:
+        return encode_status(Status.NO_INFO_PASSED, 6)
+    a_re64, a_im64 = layout_ops.to_planes(
+        a_args[0], ps.plan.nnzb_a, ps.lm, ps.lm, dtype=np.float64,
+        **a_args[-1])
+    b_re64, b_im64 = layout_ops.to_planes(
+        b_args[0], ps.plan.nnzb_b, ps.lm, ps.ln, dtype=np.float64,
+        **b_args[-1])
+    bx64 = _scatter_to_x(ps.plan, b_re64 + 1j * b_im64, ps.lm, ps.ln)
+
+    xm, info, converged = refine_mixed(
+        ps.solver, a_re64, a_im64, bx64, threshold, max_iterations, info_c,
+        echo=ps.echo)
+    status = info.return_status
+    if not converged and info.iterations_needed < max_iterations:
+        if ps.solver_z is None:
+            ps.solver_z = Solver(ps.bsr_a, ps.bsr_x, ps.bsr_b, precision="z",
+                                 echo=ps.echo, lm=ps.lm, ln=ps.ln)
+            for var, args in ps.raw.items():
+                ps.solver_z.set_matrix(var, *args[:-1], **args[-1])
+        ps.solver_z.set_matrix("X", xm)
+        info_z = ps.solver_z.solve(
+            tolerance=threshold,
+            max_iterations=max_iterations - info.iterations_needed)
+        info = info_z
+        info.iterations_needed += info_c.iterations_needed
+        status = info.return_status
+    else:
+        # refinement produced the solution: stash the refined complex128
+        # iterate on the 'c' solver so getMatrix returns it
+        ps.solver_z = None
+        ps.solver._x_override = xm
+    # fold stages into the shared plan stats (getInfo reads ps.plan)
     ps.plan.residuum_reached = info.residuum_reached
-    ps.plan.iterations_needed = (info.iterations_needed
-                                 + info_c.iterations_needed)
-    ps.plan.flops_performed = (info.flops_performed
-                               + info_c.flops_performed)
-    # the 'c' stage shares ps.plan (its flops_performed_all already counted
-    # there); add the refine stage, which ran on the z-solver's own plan
-    ps.plan.flops_performed_all += info.flops_performed
-    return int(info.return_status)
+    ps.plan.iterations_needed = info.iterations_needed
+    ps.plan.flops_performed = info.flops_performed
+    return int(status)
 
 
 def bsrsv_get_info(handle: int, plan: int) -> tuple[int, float, int, float, float]:

@@ -146,7 +146,9 @@ def tfqmr_loop(
         var=jnp.zeros((ncols, ln), dtype=f64),
         status=jnp.zeros((ncols, ln), dtype=jnp.int32),
         target_bound2=tol2 * 100.0 * 100.0,   # init test_factor=100 (:130)
-        residual2=jnp.asarray(jnp.finfo(f64).max / 8, f64),
+        # the reference inits to DBL_MAX/8; that overflows the f32 exponent
+        # range of TPU-emulated f64, so use a large-but-representable value
+        residual2=jnp.asarray(1e30, f64),
         stop_code=jnp.int32(0),
         iters_needed=maxit,
         n_probes=jnp.int32(0),
@@ -195,7 +197,10 @@ def tfqmr_loop(
             y = prim.multiply(v1)                          # v9 := A @ v1
             y = prim.add_rhs(y, v2, -1.0)                  # v9 -= B
             res2 = prim.nrm2(y) * inv_bn2
-            max_res2 = jnp.maximum(prim.allmax(jnp.max(res2)), 1.4e-76)
+            # underflow guard: 1.4e-76 in the reference, but that flushes to
+            # zero in TPU-emulated f64 -- use the backend-aware epsilon
+            max_res2 = jnp.maximum(prim.allmax(jnp.max(res2)),
+                                   decisions.breakdown_eps())
             # isDone evaluated with the status BEFORE the res2<=0 update,
             # matching the reference's loop (tfqmrgpu_core.hxx:276-286)
             is_done = prim.alland(jnp.all((res2 <= tol2) | (status != 0)))

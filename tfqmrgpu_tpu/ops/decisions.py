@@ -35,7 +35,20 @@ def scalar_dtype():
 
 
 def breakdown_eps():
-    return EPSILON if scalar_dtype() == jnp.float64 else EPSILON_F32
+    """Breakdown guard for |rho|^2/|z|^2/tau.
+
+    TPU has no native float64: XLA emulates it with float32 pairs, which
+    keeps ~f64 precision but only the f32 EXPONENT range.  There the
+    reference's 2.5e-308 constant itself flushes to zero, breakdown
+    detection goes dead, 1/|rho|^2 overflows to inf and the stalled columns
+    poison the iterate with NaNs (observed on v5e).  So the guard must sit
+    above the f32 underflow floor whenever f64 is emulated -- i.e. whenever
+    the backend is a TPU -- not only when x64 is off."""
+    if scalar_dtype() != jnp.float64:
+        return EPSILON_F32
+    if jax.default_backend() == "tpu":
+        return EPSILON_F32
+    return EPSILON
 
 
 def _f64(x):
@@ -55,7 +68,12 @@ def dec35(status, rho: Pair, z35: Pair, out_dtype):
     eps = breakdown_eps()
     rho_re, rho_im = _f64(rho[0]), _f64(rho[1])
     z_re, z_im = z35
-    breakdown = (_abs2(z_re, z_im) < eps) | (_abs2(rho_re, rho_im) < eps)
+    abs2z = _abs2(z_re, z_im)
+    abs2rho = _abs2(rho_re, rho_im)
+    # ~isfinite: insurance against overflowed upstream scalars (emulated-f64
+    # exponent range on TPU), which must freeze the RHS, not poison it
+    breakdown = ((abs2z < eps) | (abs2rho < eps)
+                 | ~jnp.isfinite(abs2z) | ~jnp.isfinite(abs2rho))
     denom = 1.0 / jnp.where(breakdown, 1.0, _abs2(rho_re, rho_im))
     bet_re = (z_re * rho_re + z_im * rho_im) * denom
     bet_im = (z_im * rho_re - z_re * rho_im) * denom
@@ -81,7 +99,9 @@ def dec34(status, rho: Pair, eta: Pair, z34: Pair, var, out_dtype):
     z_re, z_im = z34
     abs2rho = _abs2(rho_re, rho_im)
     abs2z34 = _abs2(z_re, z_im)
-    breakdown = (abs2z34 < eps) | (abs2rho < eps)
+    breakdown = ((abs2z34 < eps) | (abs2rho < eps)
+                 | ~jnp.isfinite(abs2z34) | ~jnp.isfinite(abs2rho)
+                 | ~jnp.isfinite(var))
     z_denom = -1.0 / jnp.where(breakdown, 1.0, abs2z34)
     alf_re = (rho_re * z_re + rho_im * z_im) * z_denom
     alf_im = (rho_im * z_re - rho_re * z_im) * z_denom
@@ -111,7 +131,7 @@ def dect(status, var, tau, alfa: Pair, d55, out_dtype, with_c67: bool):
     Reference: tfQMRdecT_kernel (tfqmrgpu_linalg.hxx:176-235).
     Returns (status, c67_or_None, eta, var, tau).
     """
-    ok = jnp.abs(tau) > breakdown_eps()
+    ok = (jnp.abs(tau) > breakdown_eps()) & jnp.isfinite(d55)
     safe_tau = jnp.where(ok, tau, 1.0)
     new_var_if = d55 / safe_tau
     cosi = jnp.where(ok, 1.0 / (1.0 + new_var_if), 0.0)

@@ -173,6 +173,7 @@ class Solver:
         self._bn2: Optional[np.ndarray] = None
         self._x0 = None               # initial guess (engine layout)
         self._x_result = None
+        self._x_override = None       # refined iterate (complex ndarray)
         self._info: Optional[SolveInfo] = None
         v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
         if self._panel:
@@ -300,20 +301,14 @@ class Solver:
             raise TfqmrgpuError(
                 encode_status(Status.VARIABLENAME_UNKNOWN, 0, var),
                 "getMatrix supports only 'X'")
-        if self._x_result is None:
+        if self._x_override is not None:
+            re = np.ascontiguousarray(self._x_override.real)
+            im = np.ascontiguousarray(self._x_override.imag)
+        elif self._x_result is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "solve() has not been called")
-        if self._panel:
-            re = self._layout.unpack_x(np.asarray(self._x_result[0]))
-            im = self._layout.unpack_x(np.asarray(self._x_result[1]))
-        elif self.engine == "pairs":
-            from .ops import pairpanel as pp_ops
-
-            re, im = pp_ops.unpermute_y(self._pp_plan,
-                                        np.asarray(self._x_result))
         else:
-            re = np.asarray(self._x_result[0])
-            im = np.asarray(self._x_result[1])
+            re, im = self._unpack_x(self._x_result)
         if layout is None:
             t, conj = layout_ops.resolve_transposition(trans, conjugate)
             if t == "t":
@@ -323,6 +318,44 @@ class Solver:
             return layout_ops.planes_to_complex(re, im)
         return layout_ops.from_planes(re, im, trans=trans, layout=layout,
                                       conjugate=conjugate)
+
+    def _unpack_x(self, x_engine) -> tuple:
+        """Engine-layout X vector -> (re, im) ndarrays [nnzbX, LM, LN]."""
+        if self._panel:
+            return (self._layout.unpack_x(np.asarray(x_engine[0])),
+                    self._layout.unpack_x(np.asarray(x_engine[1])))
+        if self.engine == "pairs":
+            from .ops import pairpanel as pp_ops
+
+            return pp_ops.unpermute_y(self._pp_plan, np.asarray(x_engine))
+        return np.asarray(x_engine[0]), np.asarray(x_engine[1])
+
+    def _solve_xshaped(self, r: np.ndarray, inv_bn2, tolerance,
+                       max_iterations):
+        """Solve A @ dX == r for an X-shaped complex RHS ``r`` (the
+        correction step of iterative refinement), with the convergence
+        normalization ``inv_bn2`` [ncols, LN].  Returns the raw SolveResult
+        (x in engine layout); does NOT touch the solver's stored result."""
+        npdt = np.float64 if self.precision == "z" else np.float32
+        re = np.ascontiguousarray(r.real.astype(npdt))
+        im = np.ascontiguousarray(r.imag.astype(npdt))
+        if self.engine == "pairs":
+            from .ops import pairpanel as pp_ops
+
+            b_over = jnp.asarray(pp_ops.permute_x(self._pp_plan, re, im))
+            return self._solve_pairs(tolerance, max_iterations, False,
+                                     b_override=b_over, inv_bn2=inv_bn2)
+        if self._panel:
+            b_over = (jnp.asarray(self._layout.pack_x(re)),
+                      jnp.asarray(self._layout.pack_x(im)))
+            return self._solve_panel(tolerance, max_iterations, False,
+                                     b_override=b_over, inv_bn2=inv_bn2)
+        ident = jnp.arange(self.plan.nnzb_x, dtype=jnp.int32)
+        return core.solve_core(
+            self.action, (jnp.asarray(re), jnp.asarray(im)), self._v3,
+            self._colindx, ident, tolerance, max_iterations, inv_bn2,
+            ncols=self.plan.ncols, lm=self.lm, ln=self.ln,
+            rhs_trivial=False)
 
     # ---------------------------------------------------------------- solve
 
@@ -492,6 +525,7 @@ class Solver:
 
     def _finish_solve(self, result, max_iterations) -> SolveInfo:
         self._x_result = result.x
+        self._x_override = None
         iters = int(result.iterations)
         n_probes = int(result.n_probes)
         status = int(result.return_status)
@@ -625,40 +659,152 @@ class Solver:
 
 # ------------------------------------------------------------- one-callers
 
+def refine_mixed(sc: Solver, a_re64: np.ndarray, a_im64: np.ndarray,
+                 bx64: np.ndarray, tolerance: float, max_iterations: int,
+                 info_c: SolveInfo, echo: int = 0, max_rounds: int = 12):
+    """Mixed-precision iterative refinement: the TPU-native 'm' core.
+
+    f64 matmuls are software-emulated on TPU (~40x slower than bf16), so a
+    full complex128 re-solve wastes the hardware.  Classic iterative
+    refinement sidesteps it: per round, ONE f64 SpMM computes the true
+    residual r = B - A@x, and the fast f32 engine solves the correction
+    A dX == r.  Each round gains roughly the f32 engine's stall factor in
+    residual until the f64 floor, so a handful of rounds reaches 'z'
+    quality at f32 iteration cost.
+
+    Args:
+      sc: the 'c' Solver, solved once already (its iterate is the start).
+      a_re64/a_im64: f64 planes of A [nnzbA, LM, LM] (for the residual op).
+      bx64: B scattered into X shape, complex128 [nnzbX, LM, LN].
+      info_c: the c-stage SolveInfo (iteration/flop accounting baseline).
+
+    Returns (x complex128 [nnzbX, LM, LN], SolveInfo, converged: bool).
+    """
+    from .ops.blocksparse import BlockSparseAction
+
+    plan = sc.plan
+    act = BlockSparseAction.from_plan(plan, a_re64, a_im64, engine="xla",
+                                      ln=sc.ln)
+    apply64 = jax.jit(lambda xr, xi: act.multiply((xr, xi)))
+    colindx = plan.colindx.astype(np.int64)
+    bn2 = sc._bn2
+    if bn2 is None:
+        raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
+                            "matrix 'B' has not been set")
+    inv = np.where(bn2 > 0, 1.0 / np.where(bn2 > 0, bn2, 1.0), 0.0)
+
+    x_cur = sc.get_matrix("X").astype(np.complex128)
+    # per-round achievable reduction ~ the f32 engine's stall level; seed it
+    # from what the c stage actually reached and keep it away from the
+    # extremes (pure-f32 floors sit around 1e-5..1e-2 depending on cond(A))
+    stall = float(np.clip(2.0 * max(info_c.residuum_reached, 0.0),
+                          1e-5, 1e-2))
+    total_iters = info_c.iterations_needed
+    total_flops = info_c.flops_performed
+    prev_ratio = np.inf
+    converged = False
+    ratio = np.inf
+    flops_round = core.flops_per_probe(plan.n_pairs, plan.nnzb_x,
+                                       sc.lm, sc.ln)
+    for rnd in range(max_rounds):
+        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
+        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
+        total_flops += flops_round
+        res2 = np.zeros_like(bn2)
+        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
+        ratio = float(np.sqrt(np.max(res2 * inv)))
+        if echo > 1:
+            print(f"# refine round {rnd}: rel residual {ratio:.3e}")
+        if ratio <= tolerance:
+            converged = True
+            break
+        if ratio > 0.25 * prev_ratio or total_iters >= max_iterations:
+            break                     # stalled; caller may fall back to 'z'
+        prev_ratio = ratio
+        inv_r = np.where(res2 > 0, 1.0 / np.where(res2 > 0, res2, 1.0), 0.0)
+        inner_max = min(max_iterations - total_iters,
+                        min(info_c.iterations_needed, 150) + 50)
+        result = sc._solve_xshaped(r, jnp.asarray(inv_r), stall, inner_max)
+        dre, dim = sc._unpack_x(result.x)
+        x_cur = x_cur + (dre.astype(np.float64)
+                         + 1j * dim.astype(np.float64))
+        inner_iters = int(result.iterations)
+        if int(result.return_status) != int(Status.SUCCESS):
+            inner_iters = inner_max
+        total_iters += inner_iters
+        total_flops += inner_iters * core.flops_per_iteration(
+            plan.n_pairs, plan.nnzb_x, sc.lm, sc.ln)
+
+    info = SolveInfo(
+        residuum_reached=ratio,
+        iterations_needed=total_iters,
+        flops_performed=total_flops,
+        flops_performed_all=sc.plan.flops_performed_all,
+        return_status=int(Status.SUCCESS) if converged
+        else int(Status.MAX_ITERATIONS),
+    )
+    return x_cur, info, converged
+
+
+def _scatter_to_x(plan, b_data: np.ndarray, lm: int, ln: int) -> np.ndarray:
+    """B blocks [nnzbB, LM, LN] -> X-shaped complex128 [nnzbX, LM, LN]."""
+    bx = np.zeros((plan.nnzb_x, lm, ln), np.complex128)
+    np.add.at(bx, plan.subset.astype(np.int64),
+              np.asarray(b_data, np.complex128))
+    return bx
+
+
 def solve_mixed(a: Bsr, x: Bsr, b: Bsr, *, tolerance: float = 1e-9,
-                max_iterations: int = 999, c_tolerance: float = 1e-5,
+                max_iterations: int = 999, c_tolerance: float = 1e-4,
                 engine: str = "auto", index_offset: int = 0,
                 echo: int = 0) -> tuple[Bsr, SolveInfo]:
     """Mixed precision ('m'): iterate in complex64 on the MXU fast path,
-    then refine in complex128 restarting from the float solution (via the
-    shifted-system initial-guess machinery).  The reference DECLARES this
-    mode but never enabled it (tfqmrgpu.cu:42 "mixed precision is still
-    buggy"); here it is the recommended way to get f64 residuals at f32
-    iteration cost on TPU (f64 matmuls are software-emulated).
+    then reach f64 residuals by iterative refinement (one emulated-f64 SpMM
+    per round + f32 correction solves, see ``refine_mixed``).  Falls back to
+    a complex128 re-solve from the refined iterate only if refinement
+    stalls.  The reference DECLARES this mode but never enabled it
+    (tfqmrgpu.cu:42 "mixed precision is still buggy"); here it is the
+    recommended way to get f64 residuals at f32 iteration cost on TPU.
     """
-    sc = Solver(a, x, b, precision="c", engine=engine,
-                index_offset=index_offset, echo=echo)
-    info_c = sc.solve(tolerance=max(c_tolerance, tolerance),
-                      max_iterations=max_iterations)
-    xc = sc.get_matrix("X").astype(np.complex128)
-
     if not jax.config.read("jax_enable_x64"):
         from . import enable_x64
 
         enable_x64()
-    sz = Solver(a, x, b, precision="z",
-                engine="dense" if engine in ("pallas", "pairs") else engine,
+    sc = Solver(a, x, b, precision="c", engine=engine,
                 index_offset=index_offset, echo=echo)
-    sz.set_matrix("X", xc)
-    info = sz.solve(tolerance=tolerance, max_iterations=max_iterations)
-    info.iterations_needed += info_c.iterations_needed
-    info.flops_performed += info_c.flops_performed
-    info.flops_performed_all += info_c.flops_performed_all
+    # bound the c-stage budget: when f32 stalls above c_tolerance (rounding
+    # floor ~ cond(A)*eps_f32), burning the whole budget here is waste --
+    # refinement only needs a decent initial iterate
+    maxit_c = min(max_iterations, max(150, max_iterations // 4))
+    info_c = sc.solve(tolerance=max(c_tolerance, tolerance),
+                      max_iterations=maxit_c)
+
+    from .ops import layout as lops
+
+    a_re64, a_im64 = lops.complex_to_planes(a.data, np.float64)
+    bx64 = _scatter_to_x(sc.plan, b.data, sc.lm, sc.ln)
+    xm, info, converged = refine_mixed(sc, a_re64, a_im64, bx64, tolerance,
+                                       max_iterations, info_c, echo=echo)
     if echo > 0:
         print(f"# mixed: {info_c.iterations_needed} c-iterations + "
               f"{info.iterations_needed - info_c.iterations_needed} "
-              f"z-iterations -> residuum {info.residuum_reached:.3e}")
-    return x.with_data(sz.get_matrix("X")), info
+              f"refine-iterations -> residuum {info.residuum_reached:.3e}"
+              f"{'' if converged else ' (stalled)'}")
+    if not converged and info.iterations_needed < max_iterations:
+        # guarantee 'z' quality: finish with a complex128 solve restarted
+        # from the refined iterate
+        sz = Solver(a, x, b, precision="z",
+                    engine="dense" if engine in ("pallas", "pairs")
+                    else engine,
+                    index_offset=index_offset, echo=echo)
+        sz.set_matrix("X", xm)
+        info_z = sz.solve(tolerance=tolerance,
+                          max_iterations=max_iterations
+                          - info.iterations_needed)
+        info_z.iterations_needed += info.iterations_needed
+        info_z.flops_performed += info.flops_performed
+        return x.with_data(sz.get_matrix("X")), info_z
+    return x.with_data(xm), info
 
 
 def solve(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "z",
