@@ -1,6 +1,8 @@
-"""Mesh-sharded pairs engine: parity with the single-device pairs solve."""
+"""Mesh-sharded pairs engine: parity with the single-device pairs solve,
+across shard counts, t_step batching, and the halo-overlap tile split."""
 
 import numpy as np
+import pytest
 
 from tfqmrgpu_tpu import Solver, create_plan
 from tfqmrgpu_tpu.parallel import make_mesh
@@ -9,7 +11,21 @@ from tfqmrgpu_tpu.parallel.sharded_pairs import ShardedPairsSolver
 from conftest import dense_from_bsr, make_random_problem
 
 
-def test_sharded_pairs_matches_single_device(rng):
+def _check(sp, a, x, b, tol, i0):
+    got, info = sp.solve(a.data.real, a.data.imag,
+                         b.data.real, b.data.imag,
+                         tolerance=tol, max_iterations=300)
+    assert info["return_status"] == 0
+    assert abs(info["iterations"] - i0.iterations_needed) <= 1
+    ad = dense_from_bsr(a, a.data.shape[1], a.data.shape[1])
+    lm, ln = b.data.shape[1], b.data.shape[2]
+    xd = dense_from_bsr(x.with_data(got), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    assert np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd)) < 50 * tol
+
+
+@pytest.mark.parametrize("pr", [2, 4])
+def test_sharded_pairs_matches_single_device(rng, pr):
     lm = ln = 4
     a, x, b = make_random_problem(rng, mb=12, lm=lm, ln=ln, ncols=3,
                                   x_fill=1.0, dtype=np.complex64)
@@ -19,14 +35,75 @@ def test_sharded_pairs_matches_single_device(rng):
 
     plan = create_plan(a, x, b)
     plan.lm, plan.ln = lm, ln
-    mesh = make_mesh(4, 1)
+    mesh = make_mesh(pr, 1)
     sp = ShardedPairsSolver(plan, mesh, interpret=True)
-    got, info = sp.solve(a.data.real, a.data.imag,
-                         b.data.real, b.data.imag,
-                         tolerance=tol, max_iterations=300)
-    assert info["return_status"] == 0
-    assert abs(info["iterations"] - i0.iterations_needed) <= 1
-    ad = dense_from_bsr(a, lm, lm)
-    xd = dense_from_bsr(x.with_data(got), lm, ln)
-    bd = dense_from_bsr(b, lm, ln)
-    assert np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd)) < 50 * tol
+    _check(sp, a, x, b, tol, i0)
+
+
+def test_sharded_pairs_t_step_batching(rng):
+    """t_step > 1 groups tiles per grid step; results must be identical."""
+    lm = ln = 4
+    a, x, b = make_random_problem(rng, mb=16, lm=lm, ln=ln, ncols=4,
+                                  x_fill=1.0, dtype=np.complex64)
+    tol = 1e-4
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    sp = ShardedPairsSolver(plan, mesh, interpret=True, t_step=4)
+    assert sp.t_step >= 1    # may have been lowered by the window check
+    _check(sp, a, x, b, tol, i0)
+
+
+def test_sharded_pairs_overlap_split(rng):
+    """The local/remote tile split (halo overlap) must not change results;
+    at least one shard must actually have local tiles for this pattern."""
+    lm = ln = 4
+    # banded A keeps pair windows narrow -> interior tiles are local
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    mb, deg, ncols = 96, 3, 2    # big enough that each of the 2 shards
+    # spans several X windows -> interior tiles qualify as local
+    rng2 = np.random.default_rng(7)
+    rowptr_a = np.arange(mb + 1, dtype=np.int32) * deg
+    colind_a = ((np.arange(mb)[:, None] + np.arange(deg)[None, :] - 1)
+                % mb).astype(np.int32)    # circulant band: unique cols/row
+    colind_a = np.sort(colind_a, axis=1).reshape(-1)
+    a_data = (rng2.standard_normal((mb * deg, lm, lm))
+              + 1j * rng2.standard_normal((mb * deg, lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 4.0 * deg * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    rowptr_x = np.arange(mb + 1, dtype=np.int32) * ncols
+    colind_x = np.tile(np.arange(ncols, dtype=np.int32), mb)
+    x = Bsr(mb, ncols, rowptr_x, colind_x, name="X")
+    rowptr_b = np.zeros(mb + 1, np.int32)
+    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+    rowptr_b[ncols + 1:] = ncols
+    colind_b = np.arange(ncols, dtype=np.int32)
+    b_data = (rng2.standard_normal((ncols, lm, ln))
+              + 1j * rng2.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, colind_b, b_data, name="B")
+
+    tol = 1e-4
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    sp = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+    sp_no = ShardedPairsSolver(plan, mesh, interpret=True, overlap=False)
+    assert not sp_no.overlap and sp_no.n_loc == 0
+    _check(sp_no, a, x, b, tol, i0)
+    if sp.overlap:
+        assert sp.n_loc > 0 and sp.p + sp.q < sp.tiles_local
+        _check(sp, a, x, b, tol, i0)
+    else:
+        pytest.skip("pattern yielded no local tiles at this shard count")

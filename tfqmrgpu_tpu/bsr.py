@@ -75,6 +75,20 @@ class Bsr:
         if self.nnzb and (self.colind.min() < 0):
             raise TfqmrgpuError(encode_status(Status.UNDOCUMENTED_ERROR, line),
                                 f"{self.name}: negative column index")
+        if self.nnzb > 1:
+            # the analysis step's searchsorted membership (and the pair-list
+            # semantics) require strictly increasing colind within each row;
+            # duplicates would make the pair list SUM a block twice while
+            # dense assemblies overwrite -- reject early.  (The reference
+            # silently assumes this too: bsr.hxx:34 "ColInd is sorted".)
+            row = self.row_of()
+            same_row = row[1:] == row[:-1]
+            if np.any(same_row
+                      & (np.diff(self.colind.astype(np.int64)) <= 0)):
+                raise TfqmrgpuError(
+                    encode_status(Status.UNDOCUMENTED_ERROR, line),
+                    f"{self.name}: colind not strictly increasing within "
+                    "a row (duplicate or unsorted column indices)")
 
     def row_of(self) -> np.ndarray:
         """int32[nnzb]: block row index of every nonzero block."""

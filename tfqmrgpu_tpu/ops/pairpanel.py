@@ -345,7 +345,8 @@ def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
     return codes.reshape(-1), trips
 
 
-def make_step_tables(plan: PairPanelPlan, t_step: int):
+def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
+                     wsel_base: int = 0):
     """Group ``t_step`` consecutive tiles into one grid step.
 
     Per-grid-step fixed costs (DMA issue + scalar bookkeeping, ~1 us on
@@ -355,6 +356,12 @@ def make_step_tables(plan: PairPanelPlan, t_step: int):
     so the overlapping 2S window almost always covers the union of unions);
     raises ValueError when it does not -- caller falls back to t_step=1.
 
+    ``tiles``: optional explicit tile-id sequence (default: all tiles in
+    order).  Entries of -1 are PAD tiles (zero program, covered in the
+    first two steps) -- used by the sharded engine for per-shard chunks.
+    ``wsel_base``: subtracted from every window index -- used when the
+    window replicas are built from a shard-local slice of X.
+
     Returns (nsteps, wsel_step[nsteps+1], codes_flat, trips[nsteps+1],
     cmax_step): the copy program of a step concatenates its tiles' programs
     with dst offsets j*ku; the first two steps carry full coverage of all
@@ -363,28 +370,41 @@ def make_step_tables(plan: PairPanelPlan, t_step: int):
     ku, S, g = plan.ku, plan.s_window, plan.copy_g
     if T * ku + g > 0xFFFF:
         raise ValueError("step dst space exceeds the 16-bit field")
-    nsteps = (plan.ntiles + T - 1) // T
+    if tiles is None:
+        tiles = np.arange(plan.ntiles, dtype=np.int64)
+    else:
+        tiles = np.asarray(tiles, dtype=np.int64)
+    ntl = tiles.shape[0]
+    nsteps = (ntl + T - 1) // T
     wsel_step = np.zeros(nsteps + 1, np.int32)
     progs = []
+    prev_w = 0
     for s in range(nsteps):
-        tiles = range(s * T, min((s + 1) * T, plan.ntiles))
-        w = int(min(plan.wsel[t] for t in tiles))
+        step_tiles = tiles[s * T: (s + 1) * T]
+        real = [int(t) for t in step_tiles if t >= 0]
+        w = (int(min(plan.wsel[t] for t in real)) - wsel_base) if real \
+            else prev_w
+        prev_w = w
         wsel_step[s] = w
         codes = []
-        for j, t in enumerate(tiles):
-            shift = (int(plan.wsel[t]) - w) * S
-            for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
-                rel, dst = (c >> 16) + shift, c & 0xFFFF
-                if rel > 2 * S:
-                    raise ValueError(
-                        f"t_step={T}: window span overflow at step {s}")
-                codes.append((rel << 16) | (j * ku + dst))
+        for j in range(len(step_tiles)):
+            t = int(step_tiles[j])
+            if t >= 0:
+                shift = (int(plan.wsel[t]) - wsel_base - w) * S
+                for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
+                    rel, dst = (c >> 16) + shift, c & 0xFFFF
+                    if rel > 2 * S:
+                        raise ValueError(
+                            f"t_step={T}: window span overflow at step {s}")
+                    codes.append((rel << 16) | (j * ku + dst))
+                kc = int(plan.kcount[t])
+            else:
+                kc = 0
             if s < 2:                       # coverage: [kcount, ku) pads
-                for d in range(int(plan.kcount[t]), ku, g):
+                for d in range(kc, ku, g):
                     codes.append(j * ku + d)
         if s < 2:                           # coverage: pad tiles of step
-            for j in range(len(range(s * T, min((s + 1) * T,
-                                                plan.ntiles))), T):
+            for j in range(len(step_tiles), T):
                 for d in range(0, ku, g):
                     codes.append(j * ku + d)
         progs.append(codes)

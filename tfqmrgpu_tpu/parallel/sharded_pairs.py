@@ -7,10 +7,19 @@ axis:
 * the pair-plan schedule's Y TILES are split into equal contiguous chunks
   (tiles are window-sorted, so each chunk touches a contiguous window
   range); every device holds its chunk's union-ELL A panels and scalar
-  tables and runs the SAME Pallas kernel on them;
+  tables and runs the SAME Pallas kernel on them, with the single-device
+  engine's ``t_step`` grid-step batching (per-step DMA/bookkeeping is the
+  kernel's fixed cost; batching T tiles amortizes it T-fold);
 * vectors are row-sharded by tile slots; each multiply completes its X
-  operand with one ``all_gather`` over "rows" (the halo — as in the other
-  sharded engines, XLA overlaps the gather with compute);
+  operand with one ``all_gather`` over "rows" (the halo);
+* **halo overlap** (SURVEY §7 hard-part 5): each shard's tile chunk is
+  split into a REMOTE prefix/suffix (tiles whose X window crosses the
+  shard boundary) and a LOCAL middle (window fully inside the shard's own
+  vector rows).  The local tiles run on the shard-local X slice with NO
+  dependency on the all_gather, so XLA's latency-hiding scheduler overlaps
+  the collective with the local Pallas call; only the boundary tiles wait
+  for the gathered X.  Tile chunks stay contiguous and window-sorted, so
+  the recombination is a static concat (no gather);
 * per-column reductions run locally (one-hot MXU matmuls over the local
   row slice) and finish with a ``psum``; scalar recurrences replicate;
 * convergence control takes global maxima, so stopping is bit-identical to
@@ -19,6 +28,8 @@ axis:
 
 from __future__ import annotations
 
+import math
+import os as _os
 from functools import partial
 
 import jax
@@ -38,11 +49,27 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _pad_tables(tabs, cmax):
+    """Per-shard (wsel, trips, codes2d) step tables -> stacked arrays with a
+    common cmax (codes flattened)."""
+    pr = len(tabs)
+    nsp1 = tabs[0][0].shape[0]
+    wsel = np.zeros((pr, nsp1), np.int32)
+    trips = np.zeros((pr, nsp1), np.int32)
+    codes = np.zeros((pr, nsp1 * cmax), np.int32)
+    for s, (w, t, c2) in enumerate(tabs):
+        wsel[s] = w
+        trips[s] = t
+        codes[s].reshape(nsp1, cmax)[:, : c2.shape[1]] = c2
+    return wsel, trips, codes
+
+
 class ShardedPairsSolver:
     """Host driver: packs the pair plan, shards tiles and vectors."""
 
-    def __init__(self, plan, mesh, r_tile: int = 2,
-                 precision: str = "highest", interpret: bool = False):
+    def __init__(self, plan, mesh, r_tile: int = 1,
+                 precision: str = "highest", interpret: bool = False,
+                 t_step: int = 0, overlap: bool = True):
         self.plan = plan
         self.mesh = mesh
         self.pr = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -59,41 +86,72 @@ class ShardedPairsSolver:
             plan.nnzb_x, plan.nnzb_x, self.lm, self.ln, r_tile=r_tile,
             row_of=row_of_x, col_of=plan.colindx)
         p0 = self.pp_plan
+        lm, S, g = self.lm, p0.s_window, p0.copy_g
+        self.swrows = S * lm
 
-        # tiles -> pr equal chunks (pad tile count)
-        self.ntiles_pad = -(-p0.ntiles // self.pr) * self.pr
-        self.tiles_local = self.ntiles_pad // self.pr
-        self.rows_local = self.tiles_local * r_tile * self.lm
-        self.ny_rows = self.ntiles_pad * r_tile * self.lm
+        # tiles -> pr equal contiguous chunks.  The chunk row count must be
+        # a multiple of the window row count so every shard's rows start on
+        # a window boundary (uniform shapes inside shard_map; per-shard
+        # window bases go into the scalar TABLES, which are data)
+        lcm_rows = (S * r_tile) // math.gcd(S, r_tile)   # tiles per window
+        per = -(-p0.ntiles // self.pr)
+        self.tiles_local = -(-per // lcm_rows) * lcm_rows
+        self.ntiles_pad = self.tiles_local * self.pr
+        self.rows_local = self.tiles_local * r_tile * lm
+        self.ny_rows = self.ntiles_pad * r_tile * lm
+        self.vrows_local = self.rows_local
+        self.vec_rows_pad = self.ny_rows
+        assert self.vrows_local % self.swrows == 0
+        self.nwin_local = self.vrows_local // self.swrows
 
-        # per-shard scalar tables (+1 pipeline step each); pad tiles beyond
-        # the real schedule carry zero-trip pad programs and zero A panels
-        wsel = np.full(self.ntiles_pad, p0.wsel[-1] if p0.ntiles else 0,
-                       np.int32)
-        wsel[: p0.ntiles] = p0.wsel
-        cm = p0.cmax
-        self.wsel_sh = np.zeros((self.pr, self.tiles_local + 1), np.int32)
-        self.trips_sh = np.zeros((self.pr, self.tiles_local + 1), np.int32)
-        self.codes_sh = np.full(
-            (self.pr, (self.tiles_local + 1) * cm), p0.ku, np.int32)
-        # full-coverage program for first-use tiles of shards whose chunk is
-        # shorter than 2 real tiles (uninitialized-VMEM NaN guard)
-        cover = np.arange(0, p0.ku, p0.copy_g, dtype=np.int32)
+        # t_step: auto (VMEM model) unless overridden; per-shard tables may
+        # still overflow the 2S window span -> halve and retry
+        env_t = _os.environ.get("TFQ_PAIRS_TSTEP")
+        want_t = int(t_step or (env_t if env_t else 0)) or \
+            pp.auto_t_step(p0, precision)
+
+        # local/remote split: tiles whose window rows lie fully inside the
+        # owning shard's vector rows need no halo.  Windows are monotone in
+        # tile order, so the not-local tiles form a prefix + suffix of each
+        # chunk; take uniform p, q = max over shards (interior shards just
+        # over-mark a few tiles as remote)
+        wsel = p0.wsel
+        win_lo = wsel.astype(np.int64) * self.swrows
+        win_hi = (wsel.astype(np.int64) + 2) * self.swrows + g * lm
+        p_max = q_max = 0
         for s in range(self.pr):
-            lo = s * self.tiles_local
-            hi = min((s + 1) * self.tiles_local, p0.ntiles)
-            tiles = np.arange(lo, max(hi, lo))
-            nt = tiles.shape[0]
-            self.wsel_sh[s, :-1] = wsel[lo: lo + self.tiles_local]
-            self.wsel_sh[s, -1] = self.wsel_sh[s, -2] if self.tiles_local \
-                else 0
-            if nt:
-                codes, trips = pp._program_tables(p0, tiles, p0.ku)
-                self.codes_sh[s, : nt * cm] = codes[: nt * cm]
-                self.trips_sh[s, :nt] = trips[:nt]
-            for j in range(nt, min(2, self.tiles_local)):
-                self.codes_sh[s, j * cm: j * cm + cover.shape[0]] = cover
-                self.trips_sh[s, j] = (cover.shape[0] + 1) // 2
+            lo_t, hi_t = s * self.tiles_local, (s + 1) * self.tiles_local
+            ids = np.arange(lo_t, min(hi_t, p0.ntiles))
+            if ids.size == 0:
+                continue
+            ok = ((win_lo[ids] >= s * self.vrows_local)
+                  & (win_hi[ids] <= (s + 1) * self.vrows_local))
+            nok = np.flatnonzero(ok)
+            if nok.size == 0:
+                p_max = self.tiles_local
+                break
+            p_max = max(p_max, int(nok[0]))
+            q_max = max(q_max, int(ids.size - 1 - nok[-1]))
+        self.overlap = (overlap
+                        and _os.environ.get("TFQ_SHARDED_OVERLAP", "1")
+                        != "0"
+                        and p_max + q_max < self.tiles_local)
+        self.p, self.q = (p_max, q_max) if self.overlap else \
+            (self.tiles_local, 0)
+        self.n_loc = self.tiles_local - self.p - self.q
+
+        # per-shard step tables (remote tiles see FULL-X windows; local
+        # tiles see the shard-local window slice, rebased)
+        t = want_t
+        while True:
+            try:
+                self._build_tables(t)
+                break
+            except ValueError:
+                if t <= 1:
+                    raise
+                t = max(1, t // 2)
+        self.t_step = t
 
         # one-hot column map per local row (for reductions + scaling)
         ncc = plan.ncols
@@ -104,11 +162,6 @@ class ShardedPairsSolver:
         onehot = np.zeros((p0.x_rows_padded, ncc + 1), np.float32)
         onehot[np.arange(row_col.shape[0]), row_col] = 1.0
         onehot = onehot[:, :ncc]
-        # vectors are sharded in TILE-ROW units so each shard's multiply
-        # output lands exactly on its own vector rows; the window tail
-        # (zero rows beyond the slots) is re-appended inside multiply
-        self.vrows_local = self.tiles_local * r_tile * self.lm
-        self.vec_rows_pad = self.ny_rows
         assert self.ny_rows >= (p0.n_slots or plan.nnzb_x) * self.lm
         oh_pad = np.zeros((self.vec_rows_pad, ncc), np.float32)
         n_keep = min(p0.x_rows_padded, self.vec_rows_pad)
@@ -116,7 +169,53 @@ class ShardedPairsSolver:
         self.onehot_sh = oh_pad.reshape(self.pr, self.vrows_local, ncc)
 
         self._a_panels = None
-        self._call = None
+        self._call_loc = None
+        self._call_rem = None
+
+    def _build_tables(self, t: int):
+        """Per-shard step tables for the remote and local calls."""
+        p0 = self.pp_plan
+        tl, p, q = self.tiles_local, self.p, self.q
+        nt_real = p0.ntiles
+        rem_tabs, loc_tabs = [], []
+        rem_cmax = loc_cmax = 2
+        self.nsteps_rem = -(-max(p + q, 1) // t) if (p + q) else 0
+        self.nsteps_loc = -(-max(self.n_loc, 1) // t) if self.n_loc else 0
+        for s in range(self.pr):
+            base = s * tl
+            chunk = np.arange(base, base + tl, dtype=np.int64)
+            chunk[chunk >= nt_real] = -1        # pad tiles
+            w_base = (s * self.vrows_local) // self.swrows
+            if p + q:
+                rem_ids = np.concatenate([chunk[:p], chunk[tl - q:] if q
+                                          else chunk[:0]])
+                rem_ids = np.pad(rem_ids, (0, self.nsteps_rem * t
+                                           - rem_ids.shape[0]),
+                                 constant_values=-1)
+                ns, w, c, tr, cm = pp.make_step_tables(p0, t, tiles=rem_ids)
+                assert ns == self.nsteps_rem
+                rem_tabs.append((w, tr, c.reshape(ns + 1, cm)))
+                rem_cmax = max(rem_cmax, cm)
+            if self.n_loc:
+                loc_ids = np.pad(chunk[p: tl - q if q else tl],
+                                 (0, self.nsteps_loc * t - self.n_loc),
+                                 constant_values=-1)
+                ns, w, c, tr, cm = pp.make_step_tables(
+                    p0, t, tiles=loc_ids, wsel_base=w_base)
+                assert ns == self.nsteps_loc
+                # the local replicas expose nwin_local-1 windows (one zero
+                # window is appended by the builder for the +g overrun)
+                if w[: ns].max(initial=0) > max(self.nwin_local - 2, 0):
+                    raise ValueError("local window index out of range")
+                loc_tabs.append((w, tr, c.reshape(ns + 1, cm)))
+                loc_cmax = max(loc_cmax, cm)
+        self.rem_cmax, self.loc_cmax = rem_cmax, loc_cmax
+        if rem_tabs:
+            self.wsel_rem, self.trips_rem, self.codes_rem = \
+                _pad_tables(rem_tabs, rem_cmax)
+        if loc_tabs:
+            self.wsel_loc, self.trips_loc, self.codes_loc = \
+                _pad_tables(loc_tabs, loc_cmax)
 
     # ------------------------------------------------------------- data
 
@@ -135,10 +234,17 @@ class ShardedPairsSolver:
             self._a_panels = pp.split_bf16x2(panels)
         else:
             self._a_panels = (panels,)
-        self._call = pp._make_call(
-            self.tiles_local, p0.r_tile, p0.ku, self.lm, self.ln,
-            p0.s_window, p0.x_rows_padded, self.precision, self.interpret,
-            copy_g=p0.copy_g, cmax=p0.cmax)
+        mk = dict(copy_g=p0.copy_g, t_step=self.t_step)
+        if self.n_loc:
+            self._call_loc = pp._make_call(
+                self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
+                p0.s_window, self.vrows_local, self.precision,
+                self.interpret, cmax=self.loc_cmax, **mk)
+        if self.p + self.q:
+            self._call_rem = pp._make_call(
+                self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
+                p0.s_window, p0.x_rows_padded, self.precision,
+                self.interpret, cmax=self.rem_cmax, **mk)
 
     def _pack_vec(self, re_blocks: np.ndarray, im_blocks: np.ndarray,
                   scatter=None):
@@ -168,10 +274,15 @@ class ShardedPairsSolver:
         v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
         v3_sh = jnp.asarray(self._pack_vec(np.asarray(v3[0]),
                                            np.asarray(v3[1])))
+        tabs = []
+        for name in ("wsel_rem", "trips_rem", "codes_rem",
+                     "wsel_loc", "trips_loc", "codes_loc"):
+            arr = getattr(self, name, None)
+            tabs.append(jnp.asarray(arr) if arr is not None else
+                        jnp.zeros((self.pr, 1), jnp.int32))
         out = self._solve_core(
             self.mesh, b_sh, v3_sh, jnp.asarray(self.onehot_sh),
-            jnp.asarray(self.wsel_sh), jnp.asarray(self.trips_sh),
-            jnp.asarray(self.codes_sh), *self._a_panels,
+            *tabs, *self._a_panels,
             tolerance=float(tolerance),
             max_iterations=int(max_iterations))
         x_sh, status, iters, resid, rhs_status, n_probes = out
@@ -184,47 +295,79 @@ class ShardedPairsSolver:
         return re + 1j * im, info
 
     @partial(jax.jit, static_argnames=("self", "mesh", "max_iterations"))
-    def _solve_core(self, mesh, b_sh, v3_sh, onehot_sh, wsel_sh, trips_sh,
-                    xloc_sh, *a_panels, tolerance=1e-5,
-                    max_iterations=300):
+    def _solve_core(self, mesh, b_sh, v3_sh, onehot_sh,
+                    wsel_rem, trips_rem, codes_rem,
+                    wsel_loc, trips_loc, codes_loc,
+                    *a_panels, tolerance=1e-5, max_iterations=300):
         p0 = self.pp_plan
         ncc, ln, lm = self.ncc, self.ln, self.lm
         m = p0.r_tile * lm
         nxrows = p0.x_rows_padded
         vrl = self.vrows_local
-        call = self._call
-        pr = self.pr
+        tl, p_, q_, nloc = self.tiles_local, self.p, self.q, self.n_loc
+        t = self.t_step
+        call_loc, call_rem = self._call_loc, self._call_rem
+        split = len(a_panels) == 2
         sdt = decisions.scalar_dtype()
+        g_rows = p0.copy_g * lm
 
-        def shard_fn(b, v3, oh, ws, tr, xl, *ap):
+        def shard_fn(b, v3, oh, wr, tr_r, cr, wl, tr_l, cl, *ap):
             b = b.reshape(b.shape[1:])
             v3 = v3.reshape(v3.shape[1:])
             oh = oh.reshape(oh.shape[1:])
-            ws = ws.reshape(ws.shape[1:])
-            tr = tr.reshape(tr.shape[1:])
-            xl = xl.reshape(xl.shape[1:])
+            wr, tr_r, cr = (x.reshape(x.shape[1:]) for x in (wr, tr_r, cr))
+            wl, tr_l, cl = (x.reshape(x.shape[1:]) for x in (wl, tr_l, cl))
             ap = [a.reshape(a.shape[1:]) for a in ap]
 
             def multiply(x):
-                # halo: complete X over "rows", re-append the zero window
-                # tail, build the overlapping window replicas (as in
-                # PairPanelMultiply.apply), run the local-tile kernel
-                xg = jax.lax.all_gather(x, "rows", axis=0, tiled=True)
-                if nxrows > xg.shape[0]:
-                    xg = jnp.pad(xg, ((0, nxrows - xg.shape[0]), (0, 0)))
+                """Local tiles run on the shard's own X rows while the
+                all_gather completes X for the boundary (remote) tiles --
+                issued first so the collective overlaps the local call."""
+                parts = []
+                if p_ + q_:
+                    xg = jax.lax.all_gather(x, "rows", axis=0, tiled=True)
+                    if nxrows > xg.shape[0]:
+                        xg = jnp.pad(xg,
+                                     ((0, nxrows - xg.shape[0]), (0, 0)))
+                    else:
+                        xg = xg[:nxrows]
+                    xrep = pp._window_replicas(
+                        xg, nxrows // self.swrows, self.swrows, 2 * ln,
+                        split=split, g_rows=g_rows)
+                    ap_rem = [
+                        jnp.pad(jnp.concatenate([a[:p_], a[tl - q_:]]
+                                                if q_ else [a[:p_]]),
+                                ((0, self.nsteps_rem * t - p_ - q_),
+                                 (0, 0), (0, 0)))
+                        for a in ap]
+                    y_rem = call_rem(wr, tr_r, cr, *ap_rem, xrep)
+                    y_rem = y_rem.reshape(-1, 2 * ln)
+                if nloc:
+                    xrep_l = pp._window_replicas(
+                        x, self.nwin_local, self.swrows, 2 * ln,
+                        split=split, g_rows=g_rows)
+                    ap_loc = [
+                        jnp.pad(a[p_: tl - q_ if q_ else tl],
+                                ((0, self.nsteps_loc * t - nloc),
+                                 (0, 0), (0, 0)))
+                        for a in ap]
+                    y_loc = call_loc(wl, tr_l, cl, *ap_loc, xrep_l)
+                    y_loc = y_loc.reshape(-1, 2 * ln)[: nloc * m]
+                if p_ + q_ and nloc:
+                    y = jnp.concatenate(
+                        [y_rem[: p_ * m], y_loc,
+                         y_rem[p_ * m: (p_ + q_) * m]])
+                elif nloc:
+                    y = y_loc
                 else:
-                    xg = xg[:nxrows]
-                xrep = pp._window_replicas(
-                    xg, p0.n_windows, p0.s_window * lm, 2 * ln,
-                    split=(len(ap) == 2), g_rows=p0.copy_g * lm)
-                y = call(ws, tr, xl, *ap, xrep)
-                return y.reshape(vrl, 2 * ln)
+                    y = y_rem[: tl * m]
+                return y
 
             def halves(x):
                 return x[:, :ln], x[:, ln:]
 
-            def exact_dot(o, p):
-                hi, lo = pp.split_bf16x2(p)
+            def exact_dot(o, pmat):
+                hi, lo = pp.split_bf16x2(pmat)
                 dt = jnp.float32
                 return (jax.lax.dot(o, hi, preferred_element_type=dt)
                         + jax.lax.dot(o, lo, preferred_element_type=dt))
@@ -289,7 +432,8 @@ class ShardedPairsSolver:
         rep = P()
         return shard_map(
             shard_fn, mesh=mesh,
-            in_specs=tuple([r_] * (6 + len(a_panels))),
+            in_specs=tuple([r_] * (9 + len(a_panels))),
             out_specs=(r_, rep, rep, rep, rep, rep),
             check_vma=False,
-        )(b_sh, v3_sh, onehot_sh, wsel_sh, trips_sh, xloc_sh, *a_panels)
+        )(b_sh, v3_sh, onehot_sh, wsel_rem, trips_rem, codes_rem,
+          wsel_loc, trips_loc, codes_loc, *a_panels)
