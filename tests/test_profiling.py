@@ -41,13 +41,13 @@ def test_roofline_report(rng):
     assert "roofline[" in str(roof)
 
 
-def test_autotune_solver_picks_working_engine(rng):
+def test_autotune_solver_picks_working_engine(rng, tmp_path, monkeypatch):
     from tfqmrgpu_tpu.autotune import autotune_solver
 
+    monkeypatch.setenv("TFQ_AUTOTUNE_CACHE", str(tmp_path))
     a, x, b = make_random_problem(rng, mb=8, lm=4, ln=4, ncols=2,
                                   x_fill=1.0, dtype=np.complex64)
-    s, table = autotune_solver(a, x, b, precision="c", tolerance=1e-4,
-                               max_iterations=200)
-    assert any("wall_s" in row for row in table)
+    s, table = autotune_solver(a, x, b, precision="c", nrep=4)
+    assert any("ms_per_multiply" in row for row in table)
     info = s.solve(tolerance=1e-4, max_iterations=200)
     assert info.return_status == 0

@@ -143,12 +143,16 @@ class Solver:
                 col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
                            and counts.max() * self.plan.ncols
                            <= 2 * self.plan.nnzb_x)
+                # r_tile=1 measured best on v5e (1.09x vs 2.0x panel
+                # inflation at r_tile=2; t_step batching already amortizes
+                # the per-step fixed cost that r_tile=2 targeted)
                 self._pp_plan = pp_ops.pack_pair_plan(
                     self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
                     self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
-                    r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "2")),
+                    r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "1")),
                     row_of=row_of_x, col_of=self.plan.colindx,
-                    col_pad=bool(col_pad))
+                    col_pad=bool(col_pad),
+                    copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG", "2")))
             except ValueError:
                 if not auto:
                     raise
