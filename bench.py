@@ -182,9 +182,16 @@ def main():
     n_buckets = int(os.environ.get("TFQ_BENCH_BUCKETS", "1"))
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
     # 'bf16x4' (4 bf16 passes over round-to-nearest hi/lo operand splits)
-    # passes the reference's 1e-4 gate at ~8e-5 on this workload; 'highest'
-    # (exact fp32, 6 passes) is available for 3e-6 at ~20% less throughput
-    mm_prec = os.environ.get("TFQ_BENCH_MM_PREC", "bf16x4")
+    # passes the reference's 1e-4 gate at ~8e-5 on the golden workload;
+    # 'highest' (exact fp32, 6 passes) gives ~3e-6 at ~20% less throughput.
+    # 'auto' (default) measures bf16x4 against the gate and FALLS BACK to
+    # 'highest' whenever the measured maxdev crosses 0.5x the gate -- the
+    # fast mode's margin is workload-dependent, so it is verified per run,
+    # never assumed.
+    mm_prec = os.environ.get("TFQ_BENCH_MM_PREC", "auto")
+    mm_auto = mm_prec == "auto"
+    if mm_auto:
+        mm_prec = "bf16x4"
 
     import jax
 
@@ -267,9 +274,13 @@ def main():
             else:
                 panels = pp.build_a_panels_device(pplan, *a_dev)
                 panels.block_until_ready()
-                mult2 = pp.make_pairpanel_multiply(
-                    pplan, panels, precision=mm_prec, interpret=interp,
-                    t_step=t_step)
+
+                def build_mult(prec_):
+                    return pp.make_pairpanel_multiply(
+                        pplan, panels, precision=prec_, interpret=interp,
+                        t_step=t_step)
+
+                mult2 = build_mult(mm_prec)
                 log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
                     f"ntiles={pplan.ntiles} ku={pplan.ku} S={pplan.s_window} "
                     f"inflation={pplan.inflation:.2f}x prec={mm_prec} "
@@ -316,20 +327,37 @@ def main():
         eng_used = "xla"
 
     # ---- correctness gate (maxdev <= 1e-4, bench_tfqmrgpu.cu:414)
-    t0 = time.time()
-    mult_jit = jax.jit(multiply_c)
-    y_dev = mult_jit(consts, x0)
-    yh = np.asarray(y_dev)
-    log(f"# first multiply (compile+run): {time.time()-t0:.1f}s")
-    if pplan is not None:
-        ybr, ybi = pp.unpermute_y(pplan, yh)
-        y_got = ybr + 1j * ybi
-    else:
-        y_got = yh[..., 0] + 1j * yh[..., 1]
-    scale = max(np.max(np.abs(y_ref)), 1e-300)
-    maxdev = float(np.max(np.abs(y_got - y_ref)) / scale)
+    def run_gate():
+        t0 = time.time()
+        mj = jax.jit(multiply_c)
+        yh = np.asarray(mj(consts, x0))
+        log(f"# first multiply (compile+run): {time.time()-t0:.1f}s")
+        if pplan is not None:
+            ybr, ybi = pp.unpermute_y(pplan, yh)
+            y_got = ybr + 1j * ybi
+        else:
+            y_got = yh[..., 0] + 1j * yh[..., 1]
+        scale = max(np.max(np.abs(y_ref)), 1e-300)
+        return float(np.max(np.abs(y_got - y_ref)) / scale)
+
     gate = 1e-4 if prec == "c" else 1e-12
+    maxdev = run_gate()
     log(f"# correctness: maxdev={maxdev:.3e} (gate {gate})")
+    fell_back_from = None
+    if (mm_auto and pplan is not None and n_buckets <= 1
+            and maxdev > 0.5 * gate):
+        # the fast mode's measured error crossed half the gate: no thin
+        # margins -- rerun in exact-f32 'highest'
+        log(f"# bf16x4 margin too thin (maxdev {maxdev:.3e} > "
+            f"{0.5*gate:.1e}); falling back to 'highest'")
+        fell_back_from = maxdev
+        mm_prec = "highest"
+        mult2 = build_mult("highest")
+        consts = mult2.consts
+        eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
+                    f"b{n_buckets}-{mm_prec}")
+        maxdev = run_gate()
+        log(f"# correctness (highest): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)
     if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
         maxdev, gate = 0.0, 1.0
@@ -375,6 +403,14 @@ def main():
         "nnz_mac_per_s": nnz_per_s,
         "n_pairs": int(n_pairs),
         "ms_per_multiply": best * 1e3 / nrep,
+        **({"mm_fallback_from_maxdev": fell_back_from}
+           if fell_back_from is not None else {}),
+        # explicit apples-to-oranges label: the anchor is the reference's
+        # DOUBLE-precision V100 number (bench_tfqmrgpu.cu:319); this run is
+        # accuracy-gated complex64 on TPU (f64 matmul is software-emulated
+        # on TPU -- see BENCH_fd artifacts for the f64-residual story)
+        "baseline_note": f"vs 4.3 TFlop/s f64 V100 anchor; this={prec} "
+                         f"gated maxdev<={gate:g}",
     }))
     return 0
 

@@ -175,3 +175,52 @@ def test_capi_allowed_block_sizes():
     assert (sizes[0], sizes[1]) == (4, 4)
     assert lib.tfqmrgpu_bsrsv_blockSizeMissing(32, 32) == 0
     assert lib.tfqmrgpu_bsrsv_blockSizeMissing(3, 7) != 0
+
+
+def test_capi_one_call_bsrsv_m(rng):
+    """The mixed-precision one-caller through the C ABI (the mode the
+    reference declares but disables, tfqmrgpu.cu:42)."""
+    lib = native.load_capi()
+    if lib is None:
+        pytest.skip("C API library unavailable")
+
+    lm, ln = 4, 8
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0)
+
+    def i32arr(v):
+        return np.ascontiguousarray(np.asarray(v, np.int32))
+
+    def riri(c):
+        return np.ascontiguousarray(
+            np.stack([c.real, c.imag], -1).astype(np.float64))
+
+    rpa, cia = i32arr(a.rowptr), i32arr(a.colind)
+    rpx, cix = i32arr(x.rowptr), i32arr(x.colind)
+    rpb, cib = i32arr(b.rowptr), i32arr(b.colind)
+    amat, bmat = riri(a.data), riri(b.data)
+    xmat = np.zeros((x.nnzb, lm, ln, 2), np.float64)
+    iters = ctypes.c_int32(400)           # in: cap, out: achieved
+    resid = ctypes.c_float(1e-10)         # in: threshold, out: achieved
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    st = lib.tfqmrgpu_bsrsv_m(
+        ctypes.c_int(a.nrows), lm, ln,
+        rpa.ctypes.data_as(i32p), ctypes.c_int(a.nnzb),
+        cia.ctypes.data_as(i32p),
+        amat.ctypes.data_as(ctypes.c_void_p), ctypes.c_char(b"n"),
+        rpx.ctypes.data_as(i32p), ctypes.c_int(x.nnzb),
+        cix.ctypes.data_as(i32p),
+        xmat.ctypes.data_as(ctypes.c_void_p), ctypes.c_char(b"n"),
+        rpb.ctypes.data_as(i32p), ctypes.c_int(b.nnzb),
+        cib.ctypes.data_as(i32p),
+        bmat.ctypes.data_as(ctypes.c_void_p), ctypes.c_char(b"n"),
+        ctypes.byref(iters), ctypes.byref(resid),
+        ctypes.c_int(0), ctypes.c_int(0))
+    assert st == 0
+    assert iters.value > 0
+    xc = xmat[..., 0] + 1j * xmat[..., 1]
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x.with_data(xc), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    # z-quality residual out of the mixed path
+    assert np.max(np.abs(ad @ xd - bd)) < 1e-8

@@ -420,9 +420,19 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
 
 
 def auto_t_step(plan: PairPanelPlan, precision: str,
-                vmem_budget: int = 14 << 20, t_max: int = 16) -> int:
+                vmem_budget: int = 0, t_max: int = 64) -> int:
     """Largest t_step whose VMEM working set fits ``vmem_budget`` and whose
-    step windows validate (v5e scoped VMEM is 16 MB; leave headroom)."""
+    step windows validate.
+
+    The per-grid-step fixed cost measured on v5e is ~8-10 us (DMA issue +
+    wait latency; the scalar gather hides under it), so the multiply is
+    step-count-bound until each step's A-panel DMA carries several MB.
+    The default scoped VMEM is only 16 MB, but v5e has 128 MB physically
+    and Mosaic accepts a raised ``vmem_limit_bytes`` (the kernel passes it,
+    see _make_call) -- so the default budget here is 56 MB (override with
+    TFQ_PAIRS_VMEM, in MB)."""
+    if not vmem_budget:
+        vmem_budget = int(_os.environ.get("TFQ_PAIRS_VMEM", "56")) << 20
     split = precision in ("bf16", "bf16x3", "bf16x4")
     a_b, n_a = (2, 2) if split else (4, 1)
     w_lanes = (4 if split else 2) * plan.ln
@@ -701,6 +711,18 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     )
 
     a_bytes = ntiles * T * m2 * k * (2 if split else 4) * n_a
+    # VMEM working set: double-buffered A panels + window + 2 scratch
+    # buffers + output; the default scoped limit is 16 MB but v5e carries
+    # 128 MB -- raise the limit to what this call actually needs so large
+    # t_step (the per-grid-step fixed cost amortizer) is admissible
+    a_eb = 2 if split else 4
+    w_eb = 2 if split else 4
+    w_lanes_n = (4 if split else 2) * ln
+    vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
+                 + 2 * (2 * swrows + g * lm) * w_lanes_n * w_eb  # window x2
+                 + 2 * (T * ku + g) * lm * w_lanes_n * w_eb      # scratch x2
+                 + 2 * T * m * 2 * ln * 4)                       # out x2
+    vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -711,6 +733,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             * (3 if precision == "bf16x3" else 1),
             bytes_accessed=int(a_bytes + 4 * 2 * x_rows * ln),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
     del a_dt

@@ -15,6 +15,15 @@ Runs the exact same loop body as the single-device solver
 The reference has no distributed layer at all (single GPU, one stream:
 tfqmrgpu_handle.hxx:4-6); this module is the new-design territory called out
 in SURVEY.md §5.8.
+
+**This is the CORRECTNESS path, not a performance path.**  The SpMM here
+gathers A/X blocks PER PAIR inside ``shard_map`` (random-access gathers run
+~13 GB/s on TPU and scatters serialize); it exists to pin down the
+distributed semantics -- iteration parity, probe timing, per-RHS status --
+in reference-shaped data structures.  For throughput use the sharded MXU
+engines: ``sharded_panel.ShardedPanelSolver`` (dense panels) or
+``sharded_pairs.ShardedPairsSolver`` (Pallas union-ELL panels with halo
+overlap).
 """
 
 from __future__ import annotations

@@ -221,8 +221,14 @@ class Solver:
             if self.engine == "pairs":
                 from .ops import pairpanel as pp_ops
 
-                panels = jnp.asarray(pp_ops.build_a_panels(
-                    self._pp_plan, re, im))
+                # build the inflated panels ON DEVICE: shipping host-built
+                # panels costs panel-bytes over the host link (which can be
+                # very slow through a relay); raw A block bytes are ~ku x
+                # smaller
+                panels = pp_ops.build_a_panels_device(
+                    self._pp_plan,
+                    jnp.asarray(re.astype(np.float32)),
+                    jnp.asarray(im.astype(np.float32)))
                 t_env = _os.environ.get("TFQ_PAIRS_TSTEP")
                 t_step = (int(t_env) if t_env else
                           pp_ops.auto_t_step(self._pp_plan, self._pp_prec))
