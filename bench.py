@@ -243,7 +243,97 @@ def main():
     # ---- pick the multiply implementation
     eng_used = engine
     pplan = None
-    if engine in ("pairpanel", "auto") and prec == "c":
+    rowtile = None
+    if engine in ("rowtile", "auto") and prec == "c":
+        # ROW-TILE engine: recover the BSR geometry hidden in the pair list;
+        # when X is (row x col)-grid-dense (FD patterns are: the golden plan
+        # fills 97.7% of its 287x16 grid) the X panel fits VMEM whole, A
+        # blocks stream ONCE for ALL RHS columns (the pair-panel layout
+        # duplicates each A block per column), and the MXU contracts
+        # full-union depth at grid-wide lanes.
+        from tfqmrgpu_tpu.ops import pairpanel as ppg
+        from tfqmrgpu_tpu.ops import pallas_spmm as rt
+
+        g = rt.recover_grid(pair_a, pair_x, pair_y, nnzb_x)
+        frag, colx = g.slot_of, g.col_of
+        mbg, ncg = g.nslots, g.ncols
+        nrg, cg = mbg * lm, ncg * ln
+        density = nnzb_x / (mbg * ncg)
+        fits = 2 * nrg * cg * 4 <= (90 << 20)
+        if engine == "rowtile" or (density >= 0.6 and fits):
+            t0 = time.time()
+            order = g.a_order
+            r_tile = int(os.environ.get("TFQ_BENCH_ROWTILE",
+                                        str(max(1, 128 // lm))))
+            pack = rt.pack_row_tiles(g.rowptr, g.colind, mbg, lm, r_tile)
+            # device data (host link too slow for panel-scale arrays)
+            phase = jnp.asarray(np.remainder(
+                np.arange(nnzb_a * lm * lm, dtype=np.float64),
+                2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
+            ord_j = jnp.asarray(order.astype(np.int32))
+            pan_re = rt.build_a_panels_device(pack, jnp.cos(phase)[ord_j])
+            pan_im = rt.build_a_panels_device(pack, jnp.sin(phase)[ord_j])
+            a_fused = jnp.concatenate([pan_re, pan_im], axis=1)
+            phx = jnp.asarray(np.remainder(
+                np.arange(nnzb_x * lm * ln, dtype=np.float64),
+                2 * np.pi).astype(np.float32).reshape(nnzb_x, lm, ln))
+            fr_j = jnp.asarray(frag.astype(np.int32))
+            cx_j = jnp.asarray(colx.astype(np.int32))
+
+            def to_panel(blocks):
+                g = jnp.zeros((mbg, ncg, lm, ln), jnp.float32)
+                g = g.at[fr_j, cx_j].set(blocks)
+                return g.transpose(0, 2, 1, 3).reshape(nrg, cg)
+
+            x0 = jnp.stack([to_panel(jnp.cos(phx)), to_panel(jnp.sin(phx))])
+            maskpan = np.zeros((mbg, ncg), np.float32)
+            maskpan[frag, colx] = 1.0
+            maskpan = jnp.asarray(np.repeat(np.repeat(
+                maskpan, lm, 0), ln, 1)[None])
+            interp = jax.default_backend() not in ("tpu",)
+            xc_j = jnp.asarray(pack.xcols)
+
+            def build_mult(prec_):
+                call = rt._make_call(pack.ntiles, r_tile * lm,
+                                     pack.ku * lm, lm, nrg, cg, interp,
+                                     prec_)
+                if prec_ in ("bf16x3", "bf16x4"):
+                    a_args = ppg.split_bf16x2(a_fused)
+                else:
+                    a_args = (a_fused,)
+                return call, (xc_j,) + tuple(a_args) + (maskpan,)
+
+            mm_rt = "bf16x4" if mm_auto else mm_prec
+            if mm_rt not in ("bf16x3", "bf16x4", "highest"):
+                mm_rt = "highest"
+            mm_prec = mm_rt
+            call_rt, consts = build_mult(mm_rt)
+            rowtile = dict(pack=pack, call=call_rt, frag=frag, colx=colx)
+
+            def multiply_c(c, x):
+                xc_, *rest = c
+                a_args, mp = rest[:-1], rest[-1]
+                y_re, y_im = rowtile["call"](xc_, *a_args, x[0], x[1])
+                y = jnp.stack([y_re.reshape(-1, cg)[:nrg],
+                               y_im.reshape(-1, cg)[:nrg]])
+                return y * mp
+
+            def y_to_x(y):
+                return y
+
+            log(f"# rowtile pack: {time.time()-t0:.1f}s, grid {mbg}x{ncg} "
+                f"density {density:.3f}, {pack.ntiles} tiles x {r_tile} "
+                f"rows, ku={pack.ku}, inflation {pack.inflation:.2f}x, "
+                f"prec={mm_rt}")
+            eng_used = f"rowtile-r{r_tile}-{mm_rt}"
+        elif engine == "rowtile":
+            raise RuntimeError(
+                f"rowtile engine needs a grid-dense X (density {density:.2f})"
+                f" and VMEM-resident panels (fits={fits})")
+        else:
+            log(f"# rowtile not applicable (density {density:.2f}, "
+                f"fits={fits}); trying pairpanel")
+    if rowtile is None and engine in ("pairpanel", "auto") and prec == "c":
         try:
             from tfqmrgpu_tpu.ops import pairpanel as pp
 
@@ -304,7 +394,7 @@ def main():
                 raise
             log(f"# pairpanel unavailable ({e}); falling back to xla")
             pplan = None
-    if pplan is None:
+    if rowtile is None and pplan is None:
         from tfqmrgpu_tpu.ops.blocksparse import spmm_pairs
 
         pa = jnp.asarray(pair_a.astype(np.int32))
@@ -332,7 +422,12 @@ def main():
         mj = jax.jit(multiply_c)
         yh = np.asarray(mj(consts, x0))
         log(f"# first multiply (compile+run): {time.time()-t0:.1f}s")
-        if pplan is not None:
+        if rowtile is not None:
+            frag_, colx_ = rowtile["frag"], rowtile["colx"]
+            pan = yh[0] + 1j * yh[1]
+            pan = pan.reshape(mbg, lm, ncg, ln).transpose(0, 2, 1, 3)
+            y_got = pan[frag_, colx_]
+        elif pplan is not None:
             ybr, ybi = pp.unpermute_y(pplan, yh)
             y_got = ybr + 1j * ybi
         else:
@@ -344,7 +439,8 @@ def main():
     maxdev = run_gate()
     log(f"# correctness: maxdev={maxdev:.3e} (gate {gate})")
     fell_back_from = None
-    if (mm_auto and pplan is not None and n_buckets <= 1
+    if (mm_auto and (rowtile is not None
+                     or (pplan is not None and n_buckets <= 1))
             and maxdev > 0.5 * gate):
         # the fast mode's measured error crossed half the gate: no thin
         # margins -- rerun in exact-f32 'highest'
@@ -352,10 +448,14 @@ def main():
             f"{0.5*gate:.1e}); falling back to 'highest'")
         fell_back_from = maxdev
         mm_prec = "highest"
-        mult2 = build_mult("highest")
-        consts = mult2.consts
-        eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
-                    f"b{n_buckets}-{mm_prec}")
+        if rowtile is not None:
+            rowtile["call"], consts = build_mult("highest")
+            eng_used = f"rowtile-r{r_tile}-{mm_prec}"
+        else:
+            mult2 = build_mult("highest")
+            consts = mult2.consts
+            eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
+                        f"b{n_buckets}-{mm_prec}")
         maxdev = run_gate()
         log(f"# correctness (highest): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)

@@ -76,19 +76,18 @@ class Bsr:
             raise TfqmrgpuError(encode_status(Status.UNDOCUMENTED_ERROR, line),
                                 f"{self.name}: negative column index")
         if self.nnzb > 1:
-            # the analysis step's searchsorted membership (and the pair-list
-            # semantics) require strictly increasing colind within each row;
-            # duplicates would make the pair list SUM a block twice while
-            # dense assemblies overwrite -- reject early.  (The reference
-            # silently assumes this too: bsr.hxx:34 "ColInd is sorted".)
-            row = self.row_of()
-            same_row = row[1:] == row[:-1]
-            if np.any(same_row
-                      & (np.diff(self.colind.astype(np.int64)) <= 0)):
+            # column indices must be UNIQUE within each row: a duplicate
+            # makes the pair list SUM a block twice while dense assemblies
+            # overwrite it -- a silently wrong operator.  (Order is free;
+            # the FD generator emits stencil-offset order, and the analysis
+            # step handles it.)
+            row = self.row_of().astype(np.int64)
+            key = row * (int(self.colind.max(initial=0)) + 1) \
+                + self.colind.astype(np.int64)
+            if np.unique(key).shape[0] != self.nnzb:
                 raise TfqmrgpuError(
                     encode_status(Status.UNDOCUMENTED_ERROR, line),
-                    f"{self.name}: colind not strictly increasing within "
-                    "a row (duplicate or unsorted column indices)")
+                    f"{self.name}: duplicate column index within a row")
 
     def row_of(self) -> np.ndarray:
         """int32[nnzb]: block row index of every nonzero block."""

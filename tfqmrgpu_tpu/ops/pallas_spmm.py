@@ -87,48 +87,156 @@ def pack_row_tiles(rowptr_a: np.ndarray, colind_a: np.ndarray, mb: int,
 
 
 def build_a_panels(pack: RowTilePack, a_blocks: np.ndarray) -> np.ndarray:
-    """Scatter [nnzbA, LM, LM] block data into [ntiles, R*LM, ku*LM] panels."""
+    """Scatter [nnzbA, LM, LM] block data into [ntiles, R*LM, ku*LM] panels
+    (accumulating: duplicate pattern entries -- recover_grid's summable
+    collisions -- add up)."""
     lm, r = pack.lm, pack.r_tile
     p = np.zeros((pack.ntiles, r, lm, pack.ku, lm), dtype=a_blocks.dtype)
-    p[pack.tile_of, pack.rslot_of, :, pack.kslot_of, :] = a_blocks
+    np.add.at(p, (pack.tile_of, pack.rslot_of, slice(None), pack.kslot_of),
+              a_blocks)
     return np.ascontiguousarray(p.reshape(pack.ntiles, r * lm, pack.ku * lm))
+
+
+class PairGrid(NamedTuple):
+    """A (row-slot x column) grid factorization of a bare pair list, for
+    the row-tile engine.
+
+    Row slots are the pair list's connected row FRAGMENTS
+    (pairpanel.recover_geometry), ordered by Cuthill-McKee rank so
+    neighboring slots share A operands.  Fragments of one true matrix row
+    that never share an A block (distant RHS clusters) stay separate
+    slots, so grid density equals nnzb / (nfrag * ncol) -- callers should
+    check it before choosing this engine.  (Packing column-disjoint
+    fragments into shared slots was measured to violate cell injectivity
+    on real FD plans: a grid cell (slot, slot') may host only ONE
+    (target-fragment, operand-fragment) pair, and dense packings collide
+    on essentially every fragment.)"""
+
+    nslots: int
+    ncols: int
+    slot_of: np.ndarray      # int32[nnzb] row slot of each X/Y block
+    col_of: np.ndarray       # int32[nnzb]
+    rowptr: np.ndarray       # int64[nslots+1] slot-A CSR
+    colind: np.ndarray       # int64[nnzbA] operand slots
+    a_order: np.ndarray      # int64[nnzbA]: slot-A position -> original pa
+
+
+def recover_grid(pair_a, pair_x, pair_y, nnzb: int) -> PairGrid:
+    """Factor a bare pair list into a (slot x col) grid (see PairGrid)."""
+    from .pairpanel import recover_geometry, _cuthill_mckee
+
+    pa = np.asarray(pair_a, dtype=np.int64)
+    px = np.asarray(pair_x, dtype=np.int64)
+    py = np.asarray(pair_y, dtype=np.int64)
+    frag, col = recover_geometry(pa, px, py, nnzb)
+    nfrag = int(frag.max()) + 1
+    ncol = int(col.max()) + 1
+    rank = _cuthill_mckee(nfrag, frag[py], frag[px])
+
+    # one slot per fragment, in CM order (operand slots stay nearby)
+    slot_of_frag = np.argsort(np.argsort(rank, kind="stable"))
+
+    # A-block endpoints in fragment space (each USED pa has a unique
+    # (fy, fx); ids absent from the pair list -- plan files carry them --
+    # must not be materialized anywhere)
+    o = np.argsort(pa, kind="stable")
+    first = np.concatenate([[True], pa[o][1:] != pa[o][:-1]])
+    used = pa[o][first]                   # unique pa ids, ascending
+    fy = frag[py[o][first]]
+    fx = frag[px[o][first]]
+
+    slot_of = slot_of_frag[frag].astype(np.int32)
+    ra = slot_of_frag[fy]
+    ca = slot_of_frag[fx]
+    csr_order = np.lexsort((ca, ra))
+    rowptr = np.searchsorted(ra[csr_order], np.arange(nfrag + 1))
+    return PairGrid(nslots=int(nfrag), ncols=int(ncol), slot_of=slot_of,
+                    col_of=col.astype(np.int32),
+                    rowptr=rowptr.astype(np.int64),
+                    colind=ca[csr_order],
+                    a_order=used[csr_order])
+
+
+def build_a_panels_device(pack: RowTilePack, a_blocks) -> jax.Array:
+    """Device-side panel build (one scatter-add): avoids shipping the
+    inflated panels over the (slow) host link when A data is already on
+    device."""
+    lm, r, ku = pack.lm, pack.r_tile, pack.ku
+    base = jnp.asarray(
+        ((pack.tile_of.astype(np.int64) * r + pack.rslot_of) * ku
+         + pack.kslot_of).astype(np.int32))
+    flat = jnp.zeros((pack.ntiles * r * ku, lm, lm), dtype=a_blocks.dtype)
+    flat = flat.at[base].add(a_blocks)
+    p = flat.reshape(pack.ntiles, r, ku, lm, lm).transpose(0, 1, 3, 2, 4)
+    return p.reshape(pack.ntiles, r * lm, ku * lm)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
-               interpret: bool):
-    """Build (and cache) the pallas_call for one problem geometry."""
+               interpret: bool, precision: str = "highest"):
+    """Build (and cache) the pallas_call for one problem geometry.
+
+    precision: 'highest' (exact f32, 6 MXU passes/product), 'bf16x4'
+    (rounded hi/lo operand splits, 4 bf16 products -- ~1.5x less MXU time,
+    relative error ~1e-4-scale worst case, same story as the pairpanel
+    kernel), 'bf16x3' (drops lo*lo, 2x less MXU, ~1e-3 floor).  A panels
+    arrive FUSED over re/im rows ([ntiles, 2*rlm, kulm]; f32 for 'highest',
+    pre-split bf16 (hi, lo) pair otherwise); X stays f32 resident and the
+    bf16 splits happen on the VMEM-local union slice inside the kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ku = kulm // lm
+    split = precision in ("bf16x3", "bf16x4")
+    n_a = 2 if split else 1
+    a_dt = jnp.bfloat16 if split else jnp.float32
 
-    def kernel(xcols_ref, a_re_ref, a_im_ref, x_re_ref, x_im_ref,
-               y_re_ref, y_im_ref, xs_re, xs_im):
+    def _split_rn(v):
+        """Round-to-nearest bf16 hi/lo split (bit-masked; opaque to the
+        excess-precision rewrite -- see pairpanel.split_bf16x2)."""
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        hi_f32 = jax.lax.bitcast_convert_type(
+            (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+        return (hi_f32.astype(jnp.bfloat16),
+                (v - hi_f32).astype(jnp.bfloat16))
+
+    def kernel(xcols_ref, *refs):
+        a_refs = refs[:n_a]
+        x_re_ref, x_im_ref, y_re_ref, y_im_ref, xs_re, xs_im = refs[n_a:]
         i = pl.program_id(0)
 
         for k in range(ku):  # static unroll; ku is a compile-time constant
             c0 = xcols_ref[i, k].astype(jnp.int32) * jnp.int32(lm)
             xs_re[pl.ds(k * lm, lm), :] = x_re_ref[pl.ds(c0, lm), :]
             xs_im[pl.ds(k * lm, lm), :] = x_im_ref[pl.ds(c0, lm), :]
-        ar = a_re_ref[0]
-        ai = a_im_ref[0]
-        xr = xs_re[:]
-        xi = xs_im[:]
-        dot = functools.partial(jax.lax.dot,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-        y_re_ref[0] = dot(ar, xr) - dot(ai, xi)
-        y_im_ref[0] = dot(ar, xi) + dot(ai, xr)
 
+        def dots(xs):
+            """[2*rlm, c] = A_fused @ xs with the configured precision."""
+            if not split:
+                return jax.lax.dot(a_refs[0][0], xs,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+            xh, xl = _split_rn(xs)
+            dot = functools.partial(jax.lax.dot,
+                                    preferred_element_type=jnp.float32)
+            d = dot(a_refs[0][0], xh) + dot(a_refs[0][0], xl) \
+                + dot(a_refs[1][0], xh)
+            if precision == "bf16x4":
+                d = d + dot(a_refs[1][0], xl)
+            return d
+
+        d_r = dots(xs_re[:])              # [ar@xr ; ai@xr]
+        d_i = dots(xs_im[:])              # [ar@xi ; ai@xi]
+        y_re_ref[0] = d_r[:rlm] - d_i[rlm:]
+        y_im_ref[0] = d_i[:rlm] + d_r[rlm:]
+
+    a_specs = [pl.BlockSpec((1, 2 * rlm, kulm),
+                            lambda i, xc: (i, i * 0, i * 0),
+                            memory_space=pltpu.VMEM)] * n_a
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, rlm, kulm), lambda i, xc: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rlm, kulm), lambda i, xc: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=a_specs + [
             pl.BlockSpec((nr, c), lambda i, xc: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, c), lambda i, xc: (i * 0, i * 0),
@@ -146,6 +254,13 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
         ],
     )
 
+    # VMEM: the X panels stay RESIDENT ([nr, c] re+im), plus double-buffered
+    # A panels and outputs -- well past the 16 MB scoped default for real
+    # problems, but v5e carries 128 MB (see pairpanel._make_call)
+    a_eb = 2 if split else 4
+    vmem_need = (2 * nr * c * 4 + 2 * kulm * c * 4
+                 + 2 * n_a * 2 * rlm * kulm * a_eb + 4 * rlm * c * 4)
+    vmem_limit = min(int(vmem_need * 1.2) + (8 << 20), 120 << 20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -158,24 +273,40 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
             bytes_accessed=(2 * ntiles * rlm * kulm + 4 * nr * c) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
 
 
 def bsr_panel_multiply(a_panels_re, a_panels_im, xcols, mask4,
-                       mb, lm, ncc, ln, interpret: bool = False):
+                       mb, lm, ncc, ln, interpret: bool = False,
+                       precision: str = ""):
     """multiply(x_pair[NR, ncc, LN]) -> masked y_pair, for the panel solver
     (core.solve_core_panel).  Packing geometry comes from the array shapes,
-    which are static under jit."""
+    which are static under jit.  ``precision``: see _make_call (default from
+    TFQ_PALLAS_MM_PREC, 'highest')."""
+    import os
+
     from .panel import apply_mask
 
+    precision = precision or os.environ.get("TFQ_PALLAS_MM_PREC", "highest")
     ntiles, rlm, kulm = a_panels_re.shape
     nr = mb * lm
     c = ncc * ln
-    call = _make_call(int(ntiles), int(rlm), int(kulm), lm, nr, c, interpret)
+    call = _make_call(int(ntiles), int(rlm), int(kulm), lm, nr, c, interpret,
+                      precision)
+    # fuse re/im rows once (loop-invariant: XLA hoists this out of the
+    # solver's while_loop) and pre-split for the bf16 modes
+    a_fused = jnp.concatenate([a_panels_re, a_panels_im], axis=1)
+    if precision in ("bf16x3", "bf16x4"):
+        from .pairpanel import split_bf16x2
+
+        a_args = split_bf16x2(a_fused)
+    else:
+        a_args = (a_fused,)
 
     def multiply(x: Pair) -> Pair:
-        y_re, y_im = call(xcols, a_panels_re, a_panels_im,
+        y_re, y_im = call(xcols, *a_args,
                           x[0].reshape(nr, c), x[1].reshape(nr, c))
         y = (y_re.reshape(ntiles * rlm, c)[:nr].reshape(nr, ncc, ln),
              y_im.reshape(ntiles * rlm, c)[:nr].reshape(nr, ncc, ln))

@@ -27,12 +27,50 @@ import numpy as np
 # Peak numbers per chip generation (empirically validated for the v5e relay
 # this repo is developed against: ~173 TF/s bf16 MXU, ~670 GB/s HBM).
 DEVICE_PEAKS = {
+    # hbm_gbps: datasheet number.  hbm_gbps_measured: sustained rate of an
+    # XLA copy loop MEASURED on the chip this repo develops against -- the
+    # v5e relay delivers ~250 GB/s sustained (copy r+w), far below the
+    # 819 GB/s sheet number, and Pallas-issued DMA streams cap at ~140-180
+    # GB/s regardless of block size or pipeline depth (probed: auto
+    # pipeline, dimension_semantics, manual 4-deep async_copy).  Roofline
+    # fractions are computed against the measured rate (override with
+    # TFQ_HBM_GBPS, or recalibrate with profiling.calibrate_hbm()).
     "TPU v5 lite": dict(bf16_tflops=197.0, fp32_eff_tflops=197.0 / 6,
-                        hbm_gbps=819.0),
+                        hbm_gbps=819.0, hbm_gbps_measured=250.0),
     "TPU v4": dict(bf16_tflops=275.0, fp32_eff_tflops=275.0 / 6,
                    hbm_gbps=1228.0),
     "cpu": dict(bf16_tflops=1.0, fp32_eff_tflops=0.5, hbm_gbps=50.0),
 }
+
+
+def calibrate_hbm(size_mb: int = 512, nrep: int = 8) -> float:
+    """Measure the sustained HBM copy rate (read+write GB/s) with an XLA
+    loop and override the roofline constant for this process."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    n = size_mb * (1 << 20) // (64 * 384 * 4)
+    a = jnp.ones((n, 64, 384), jnp.float32)
+
+    @jax.jit
+    def chain(a, s):
+        def body(_, c):
+            y = a + c[0]
+            return jnp.stack([y.reshape(-1)[0] * 0.5 + 1e-9, c[1]])
+        return jax.lax.fori_loop(0, nrep, body, s)[0]
+
+    _ = float(np.asarray(chain(a, jnp.ones(2))))
+    best = None
+    for i in range(2):
+        t0 = _time.perf_counter()
+        _ = float(np.asarray(chain(a, jnp.ones(2) * (2.0 + i))))
+        dt = _time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    gbps = a.size * 4 * 2 / 1e9 / (best / nrep)
+    os.environ["TFQ_HBM_GBPS"] = f"{gbps:.1f}"
+    return gbps
 
 
 def _enabled() -> bool:
@@ -129,13 +167,16 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
         peak_tflops = peaks["bf16_tflops"] / 40     # f64 emulation ballpark
     else:
         peak_tflops = peaks["bf16_tflops"] / mm_passes
+    hbm_gbps = float(os.environ.get(
+        "TFQ_HBM_GBPS",
+        peaks.get("hbm_gbps_measured", peaks["hbm_gbps"])))
     t_compute = flops / (peak_tflops * 1e12)
-    t_bw = bytes_ / (peaks["hbm_gbps"] * 1e9)
+    t_bw = bytes_ / (hbm_gbps * 1e9)
     light = max(t_compute, t_bw)
     r = Roofline(
         flops_per_iteration=flops, bytes_per_iteration=bytes_,
         device_kind=kind, peak_tflops=peak_tflops,
-        peak_gbps=peaks["hbm_gbps"],
+        peak_gbps=hbm_gbps,
         compute_bound=t_compute >= t_bw, light_speed_s=light,
     )
     if measured_iteration_s is not None:

@@ -30,8 +30,12 @@ from .ops.blocksparse import BlockSparseAction
 from .plan import Plan, create_plan
 
 # 'auto' picks 'dense' while the dense A planes fit in this many bytes
-# (both planes together), then falls back to the block-list 'xla' engine.
-DENSE_A_BYTE_LIMIT = int(4e9)
+# (both planes together) AND the pattern is dense-ish; sparse patterns
+# prefer the row-tile Pallas engine when the X panel fits VMEM.
+DENSE_A_BYTE_LIMIT = int(64e6)
+# X panel residency budget for the row-tile 'pallas' engine (v5e VMEM is
+# 128 MB; leave room for A double-buffers and scratch)
+PALLAS_X_BYTE_LIMIT = 90 << 20
 
 
 def _dtype_for(precision: str):
@@ -107,8 +111,18 @@ class Solver:
         auto = engine == "auto"
         if auto:
             nr = self.plan.nrows * self.lm
-            if 2 * nr * nr * rsize <= DENSE_A_BYTE_LIMIT:
+            dense_bytes = 2 * nr * nr * rsize
+            a_fill = self.plan.nnzb_a / max(self.plan.nrows ** 2, 1)
+            x_panel_bytes = 2 * nr * self.plan.ncols * self.ln * 4
+            if dense_bytes <= DENSE_A_BYTE_LIMIT or (
+                    a_fill >= 0.25 and dense_bytes <= int(4e9)):
                 engine = "dense"
+            elif precision == "c" and x_panel_bytes <= PALLAS_X_BYTE_LIMIT:
+                # row-tile Pallas engine: A blocks stream ONCE for all RHS
+                # columns (the pairs layout duplicates them per column);
+                # requires the X panel resident in VMEM.  Falls through to
+                # 'pairs' if the pattern inflates too much (checked below).
+                engine = "pallas"
             elif precision == "c":
                 engine = "pairs"     # falls back to xla if the pattern has
                 # no recoverable locality (pack raises below)
@@ -120,6 +134,22 @@ class Solver:
                 encode_status(Status.PRECISION_MISSMATCH),
                 f"the {engine} engine is float32-only; use precision='c' "
                 "(no f64 MXU on TPU) or engine='dense'")
+        self._pack = None             # row-tile engine packing
+        if engine == "pallas":
+            from .ops.pallas_spmm import pack_row_tiles
+
+            r_tile = max(1, 128 // self.lm)   # M ~ 128 rows per tile
+            pack = pack_row_tiles(self.plan.rowptr_a, self.plan.colind_a,
+                                  self.plan.nrows, self.lm, r_tile)
+            if auto and pack.inflation > 4.0:
+                engine = "pairs"      # unions too ragged for row tiles
+            else:
+                self._pack = pack
+                if echo > 2:
+                    print(f"# pallas pack: {pack.ntiles} tiles x "
+                          f"{pack.r_tile} rows, ku={pack.ku}, "
+                          f"inflation {pack.inflation:.2f}x")
+        self.engine = engine
         self._pp = None               # pairs engine state
         if engine == "pairs":
             from .ops import pairpanel as pp_ops
@@ -164,7 +194,6 @@ class Solver:
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
                       f"inflation={self._pp_plan.inflation:.2f}x")
         self._panel = engine in ("dense", "pallas")
-        self._pack = None
         self._layout: Optional[panel_ops.PanelLayout] = None
         if self._panel:
             self._layout = panel_ops.PanelLayout.from_plan(self.plan)
@@ -244,18 +273,14 @@ class Solver:
                 dr, di = self._layout.densify_a(self.plan, re, im)
                 self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
             elif self.engine == "pallas":
-                from .ops.pallas_spmm import build_a_panels, pack_row_tiles
+                from .ops.pallas_spmm import build_a_panels_device
 
-                r_tile = max(1, 128 // self.lm)   # M ~ 128 rows per tile
-                self._pack = pack_row_tiles(
-                    self.plan.rowptr_a, self.plan.colind_a,
-                    self.plan.nrows, self.lm, r_tile)
-                if self.echo > 2:
-                    print(f"# pallas pack: {self._pack.ntiles} tiles x "
-                          f"{self._pack.r_tile} rows, ku={self._pack.ku}, "
-                          f"inflation {self._pack.inflation:.2f}x")
-                self._a_panel = (jnp.asarray(build_a_panels(self._pack, re)),
-                                 jnp.asarray(build_a_panels(self._pack, im)))
+                # panels build ON DEVICE (see the pairs branch above)
+                self._a_panel = (
+                    build_a_panels_device(
+                        self._pack, jnp.asarray(re.astype(np.float32))),
+                    build_a_panels_device(
+                        self._pack, jnp.asarray(im.astype(np.float32))))
             else:
                 self._action = BlockSparseAction.from_plan(
                     self.plan, re, im, engine=self.engine, ln=self.ln)
