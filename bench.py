@@ -13,11 +13,15 @@ vs_baseline compares against the reference's best in-source V100 anchor for
 LM=LN=32 double: 4.3 TFlop/s (bench_tfqmrgpu.cu:319).
 
 Env knobs: TFQ_BENCH_LM/LN (default 32/32), TFQ_BENCH_PREC (c|z, default c),
-TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 1), TFQ_BENCH_TSTEP (default 16),
-TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for padding),
-TFQ_BENCH_ENGINE (pairpanel|xla|auto, default auto),
-TFQ_BENCH_MM_PREC (bf16|bf16x3|highest; default 'high' = bf16_3x passes,
-~1e-7 relative -- well inside the 1e-4 gate), TFQ_PLAN_FILE.
+TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 1, pairpanel),
+TFQ_BENCH_ROWTILE (default 128/LM, rowtile), TFQ_BENCH_TSTEP (default 16),
+TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for
+padding), TFQ_BENCH_ENGINE (rowtile|pairpanel|xla|auto, default auto),
+TFQ_BENCH_MM_PREC (bf16x4|bf16x3|highest|auto; default 'auto' = measure
+bf16x4 against the gate, fall back to exact-f32 'highest' whenever maxdev
+crosses 0.5x the gate -- MXU bf16 split products carry a systematic
+~1.3e-4-scale error at K~450, so the margin is verified, never assumed),
+TFQ_PLAN_FILE.
 """
 
 import json

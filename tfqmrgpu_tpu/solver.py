@@ -80,9 +80,12 @@ class Solver:
                     plan's multiplication pair list with RCM-relabeled
                     fused vectors (general BSR, X too big to densify);
         'xla'    -- block-list engine (reference-shaped data path);
-        'auto'   -- 'dense' when A fits DENSE_A_BYTE_LIMIT; else 'pairs'
-                    for 'c' precision (xla when the pattern has no
-                    recoverable locality); else 'xla'.
+        'auto'   -- 'dense' for small or genuinely dense A; else (for
+                    'c') the row-tile 'pallas' engine when the X panel
+                    fits VMEM and the pattern packs (A blocks stream once
+                    for ALL RHS columns -- measured 2.6x faster full
+                    iterations than 'pairs' on banded operators); else
+                    'pairs'; 'xla' as the last resort.
       index_offset: 0 for C-style, 1 for Fortran-style rowptr/colind.
     """
 
