@@ -121,3 +121,48 @@ def test_solver_reuse_plan(rng):
     i2 = s.solve(tolerance=1e-8, max_iterations=300)
     assert i2.flops_performed_all > i1.flops_performed
     assert i2.return_status == int(Status.SUCCESS)
+
+
+def test_auto_engine_prefers_rowtile_for_sparse_c(rng):
+    """A sparse banded 'c' problem with a VMEM-sized X panel should pick
+    the row-tile 'pallas' engine under engine='auto' (A blocks stream once
+    for all RHS columns), and solve correctly."""
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    lm = ln = 8
+    mb, deg, ncols = 600, 3, 2   # big enough that dense A (184 MB) is
+    # rejected while the X panel (0.6 MB) is trivially VMEM-resident
+    rng2 = np.random.default_rng(3)
+    rowptr_a = np.arange(mb + 1, dtype=np.int32) * deg
+    colind_a = ((np.arange(mb)[:, None] + np.arange(deg)[None, :] - 1)
+                % mb).astype(np.int32)
+    colind_a = np.sort(colind_a, axis=1).reshape(-1)
+    a_data = (rng2.standard_normal((mb * deg, lm, lm))
+              + 1j * rng2.standard_normal((mb * deg, lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 4.0 * deg * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    x = Bsr(mb, ncols, np.arange(mb + 1, dtype=np.int32) * ncols,
+            np.tile(np.arange(ncols, dtype=np.int32), mb), name="X")
+    rowptr_b = np.zeros(mb + 1, np.int32)
+    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+    rowptr_b[ncols + 1:] = ncols
+    b_data = (rng2.standard_normal((ncols, lm, ln))
+              + 1j * rng2.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32),
+            b_data, name="B")
+
+    from tfqmrgpu_tpu.solver import Solver
+
+    s = Solver(a, x, b, precision="c", engine="auto")
+    assert s.engine == "pallas", s.engine
+    info = s.solve(tolerance=1e-4, max_iterations=300)
+    assert info.return_status == 0
+    xd = dense_from_bsr(x.with_data(s.get_matrix("X")), lm, ln)
+    ad = dense_from_bsr(a, lm, lm)
+    bd = dense_from_bsr(b, lm, ln)
+    assert np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd)) < 5e-3

@@ -23,9 +23,10 @@ TPU-specific semantics (documented departures):
     ``createWorkspace`` hands out an opaque token rather than device memory
     and ``setBuffer`` performs the state setup the reference does there
     (shadow-vector generation, index-table upload).
-  * precision 'm' (mixed) is accepted and mapped to 'c' compute with the
-    reference's declared-but-disabled semantics documented
-    (tfqmrgpu.cu:42).
+  * precision 'm' (mixed) runs the REAL mixed pipeline: complex64
+    iterations on the MXU + f64-residual iterative refinement
+    (solver.refine_mixed), with a complex128 re-solve fallback -- the mode
+    the reference declares but disables (tfqmrgpu.cu:42).
 """
 
 from __future__ import annotations

@@ -11,7 +11,8 @@ from .partition import RowPartition, partition_plan
 from .sharded import ShardedAction, sharded_solve, sharded_solve_core, \
     make_mesh
 from .sharded_panel import ShardedPanelSolver
+from .sharded_pairs import ShardedPairsSolver
 
 __all__ = ["RowPartition", "partition_plan", "ShardedAction",
            "sharded_solve", "sharded_solve_core", "make_mesh",
-           "ShardedPanelSolver"]
+           "ShardedPanelSolver", "ShardedPairsSolver"]

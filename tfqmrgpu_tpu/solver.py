@@ -141,9 +141,22 @@ class Solver:
         if engine == "pallas":
             from .ops.pallas_spmm import pack_row_tiles
 
-            r_tile = max(1, 128 // self.lm)   # M ~ 128 rows per tile
-            pack = pack_row_tiles(self.plan.rowptr_a, self.plan.colind_a,
-                                  self.plan.nrows, self.lm, r_tile)
+            # r_tile trades A-panel inflation (narrow bands blow up at
+            # large unions) against MXU utilization (fused re/im rows
+            # 2*r*lm want to reach the 128-row systolic dimension): pick
+            # the candidate minimizing streamed-bytes / MXU-efficiency
+            env_r = _os.environ.get("TFQ_PALLAS_RTILE")
+            cands = ([int(env_r)] if env_r else
+                     sorted({max(1, 128 // self.lm), max(1, 64 // self.lm),
+                             max(1, 32 // self.lm), 1}, reverse=True))
+            best = None
+            for r_tile in cands:
+                p_ = pack_row_tiles(self.plan.rowptr_a, self.plan.colind_a,
+                                    self.plan.nrows, self.lm, r_tile)
+                score = p_.inflation / min(1.0, 2 * r_tile * self.lm / 128)
+                if best is None or score < best[0]:
+                    best = (score, p_)
+            pack = best[1]
             if auto and pack.inflation > 4.0:
                 engine = "pairs"      # unions too ragged for row tiles
             else:
@@ -156,8 +169,6 @@ class Solver:
         self._pp = None               # pairs engine state
         if engine == "pairs":
             from .ops import pairpanel as pp_ops
-
-            import os as _os
 
             row_of_x = np.repeat(np.arange(self.plan.nrows, dtype=np.int64),
                                  np.diff(self.plan.rowptr_x))
