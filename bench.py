@@ -264,6 +264,11 @@ def main():
         nrg, cg = mbg * lm, ncg * ln
         density = nnzb_x / (mbg * ncg)
         fits = 2 * nrg * cg * 4 <= (90 << 20)
+        if lm < 8:
+            fits = False             # Mosaic sublane alignment (see below)
+        if engine == "rowtile" and lm < 8:
+            raise RuntimeError("rowtile engine needs lm >= 8 (sublane "
+                               "alignment of dynamic row slices)")
         if engine == "rowtile" or (density >= 0.6 and fits):
             t0 = time.time()
             order = g.a_order
@@ -337,7 +342,23 @@ def main():
         else:
             log(f"# rowtile not applicable (density {density:.2f}, "
                 f"fits={fits}); trying pairpanel")
+    if (rowtile is None and engine in ("pairpanel", "auto")
+            and prec == "c" and lm < 8):
+        # Mosaic requires dynamic row slices at multiples of the sublane
+        # tile (8 for f32); lm<8 block offsets cannot be proven -> the
+        # Pallas engines cannot run these sizes.  The XLA block-list
+        # engine carries them (correctness path; the reference's TUNE
+        # table also special-cases tiny blocks).
+        log(f"# lm={lm} < 8: Pallas engines unavailable (sublane "
+            "alignment); using the xla engine")
+        engine = "xla"
     if rowtile is None and engine in ("pairpanel", "auto") and prec == "c":
+        if mm_prec in ("bf16", "bf16x3", "bf16x4") and lm < 16:
+            # bf16 windows tile at 16 sublanes; lm in [8,16) can only run
+            # the exact-f32 kernel
+            log(f"# lm={lm} < 16: bf16 pair-panel windows unavailable; "
+                "using 'highest'")
+            mm_prec = "highest"
         try:
             from tfqmrgpu_tpu.ops import pairpanel as pp
 

@@ -120,16 +120,19 @@ class Solver:
             if dense_bytes <= DENSE_A_BYTE_LIMIT or (
                     a_fill >= 0.25 and dense_bytes <= int(4e9)):
                 engine = "dense"
-            elif precision == "c" and x_panel_bytes <= PALLAS_X_BYTE_LIMIT:
+            elif (precision == "c" and self.lm >= 8
+                  and x_panel_bytes <= PALLAS_X_BYTE_LIMIT):
                 # row-tile Pallas engine: A blocks stream ONCE for all RHS
                 # columns (the pairs layout duplicates them per column);
                 # requires the X panel resident in VMEM.  Falls through to
                 # 'pairs' if the pattern inflates too much (checked below).
                 engine = "pallas"
-            elif precision == "c":
+            elif precision == "c" and self.lm >= 8:
                 engine = "pairs"     # falls back to xla if the pattern has
                 # no recoverable locality (pack raises below)
             else:
+                # lm < 8: Mosaic cannot prove sublane alignment of lm-row
+                # slices, so the Pallas engines are unavailable
                 engine = "xla"
         self.engine = engine
         if engine in ("pallas", "pairs") and precision != "c":
@@ -203,6 +206,10 @@ class Solver:
                 engine = "xla"        # no recoverable locality
             self.engine = engine
             self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC", "highest")
+            if self._pp_prec != "highest" and self.lm < 16:
+                # bf16 windows tile at 16 sublanes; lm in [8,16) can
+                # only run the exact-f32 kernel
+                self._pp_prec = "highest"
             if engine == "pairs" and echo > 2:
                 print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
