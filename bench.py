@@ -173,9 +173,91 @@ def main_fd():
     return 0 if (info.return_status in (0, 9) and gate_pass) else 1
 
 
+def main_iter():
+    """TFQ_BENCH_MODE=iter: full tfQMR ITERATION throughput on a banded
+    operator (1000 block rows, LM=LN=32, 8 RHS block columns) -- the
+    sustained-production metric: ms/iteration and the fraction of the
+    measured-bandwidth roofline.  Iteration time is differential
+    ((t(40 iters) - t(10 iters)) / 30) with varied tolerances, so dispatch
+    overhead and relay memoization cancel."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tfqmrgpu_tpu import Solver, profiling
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
+    mb, lm, ln, ncols, hb = 1000, 32, 32, 8, 5
+    rng = np.random.default_rng(0)
+    rows, cols = [0], []
+    for i in range(mb):
+        cs = list(range(max(0, i - hb), min(mb, i + hb + 1)))
+        cols.extend(cs)
+        rows.append(len(cols))
+    rowptr_a = np.asarray(rows, np.int32)
+    colind_a = np.asarray(cols, np.int32)
+    nnzb_a = len(cols)
+    a_data = (rng.standard_normal((nnzb_a, lm, lm))
+              + 1j * rng.standard_normal((nnzb_a, lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 4.0 * (2 * hb + 1) * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    x = Bsr(mb, ncols, np.arange(mb + 1, dtype=np.int32) * ncols,
+            np.tile(np.arange(ncols, dtype=np.int32), mb), name="X")
+    rowptr_b = np.zeros(mb + 1, np.int32)
+    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+    rowptr_b[ncols + 1:] = ncols
+    b_data = (rng.standard_normal((ncols, lm, ln))
+              + 1j * rng.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32), b_data,
+            name="B")
+
+    t0 = time.time()
+    solver = Solver(a, x, b, precision="c", engine=engine, echo=3)
+    log(f"# engine={solver.engine} built in {time.time()-t0:.1f}s")
+    solver.solve(tolerance=1e-30, max_iterations=10)   # compile + warm
+    ts, tl = [], []
+    for i in range(2):
+        t0 = time.perf_counter()
+        solver.solve(tolerance=1e-30 * (1 + 1e-3 * i), max_iterations=10)
+        ts.append(time.perf_counter() - t0)
+    for i in range(2):
+        t0 = time.perf_counter()
+        solver.solve(tolerance=1e-30 * (1 + 1e-3 * (2 + i)),
+                     max_iterations=40)
+        tl.append(time.perf_counter() - t0)
+    t_iter = (min(tl) - min(ts)) / 30
+    roof = profiling.solver_roofline(solver, t_iter)
+    log(f"# {roof}")
+    frac = roof.fraction_of_light or 0.0
+    print(json.dumps({
+        "metric": "iter_banded1000_lm32_ln32_c",
+        "value": round(t_iter * 1e3, 3),
+        "unit": "ms_per_iteration",
+        "vs_baseline": round(frac, 3),
+        "engine": solver.engine,
+        "n_pairs": int(solver.plan.n_pairs),
+        "fraction_of_measured_roofline": round(frac, 3),
+        "baseline_note": "vs_baseline = fraction of the MEASURED-bandwidth "
+                         "roofline (hbm ~250 GB/s sustained on this chip)",
+    }))
+    return 0
+
+
 def main():
-    if os.environ.get("TFQ_BENCH_MODE", "spmm") == "fd":
+    mode = os.environ.get("TFQ_BENCH_MODE", "spmm")
+    if mode == "fd":
         return main_fd()
+    if mode == "iter":
+        return main_iter()
     lm = int(os.environ.get("TFQ_BENCH_LM", "32"))
     ln = int(os.environ.get("TFQ_BENCH_LN", "32"))
     prec = os.environ.get("TFQ_BENCH_PREC", "c")
@@ -342,20 +424,11 @@ def main():
         else:
             log(f"# rowtile not applicable (density {density:.2f}, "
                 f"fits={fits}); trying pairpanel")
-    if (rowtile is None and engine in ("pairpanel", "auto")
-            and prec == "c" and lm < 8):
-        # Mosaic requires dynamic row slices at multiples of the sublane
-        # tile (8 for f32); lm<8 block offsets cannot be proven -> the
-        # Pallas engines cannot run these sizes.  The XLA block-list
-        # engine carries them (correctness path; the reference's TUNE
-        # table also special-cases tiny blocks).
-        log(f"# lm={lm} < 8: Pallas engines unavailable (sublane "
-            "alignment); using the xla engine")
-        engine = "xla"
     if rowtile is None and engine in ("pairpanel", "auto") and prec == "c":
         if mm_prec in ("bf16", "bf16x3", "bf16x4") and lm < 16:
-            # bf16 windows tile at 16 sublanes; lm in [8,16) can only run
-            # the exact-f32 kernel
+            # Mosaic cannot prove sublane alignment of lm-row dynamic
+            # slices in the packed bf16 windows below 16 rows (measured:
+            # lm=4 bf16x4 fails to compile; exact-f32 compiles for all lm)
             log(f"# lm={lm} < 16: bf16 pair-panel windows unavailable; "
                 "using 'highest'")
             mm_prec = "highest"

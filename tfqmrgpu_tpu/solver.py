@@ -127,12 +127,11 @@ class Solver:
                 # requires the X panel resident in VMEM.  Falls through to
                 # 'pairs' if the pattern inflates too much (checked below).
                 engine = "pallas"
-            elif precision == "c" and self.lm >= 8:
+            elif precision == "c":
                 engine = "pairs"     # falls back to xla if the pattern has
-                # no recoverable locality (pack raises below)
+                # no recoverable locality (pack raises below); exact-f32
+                # compiles for all lm (bf16 modes coerce below)
             else:
-                # lm < 8: Mosaic cannot prove sublane alignment of lm-row
-                # slices, so the Pallas engines are unavailable
                 engine = "xla"
         self.engine = engine
         if engine in ("pallas", "pairs") and precision != "c":
