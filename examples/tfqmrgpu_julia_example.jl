@@ -8,7 +8,7 @@
 #
 # Run:  PYTHONPATH=$(pwd) LD_LIBRARY_PATH=native/lib julia examples/tfqmrgpu_julia_example.jl
 
-const libtfq = "libtfqmrgpu_tpu.so"
+const libtfq = get(ENV, "TFQ_LIB", "libtfqmrgpu_tpu.so")
 
 function allowed_block_sizes()
     number = Ref{Int32}(0)
