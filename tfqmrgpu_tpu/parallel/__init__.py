@@ -12,7 +12,9 @@ from .sharded import ShardedAction, sharded_solve, sharded_solve_core, \
     make_mesh
 from .sharded_panel import ShardedPanelSolver
 from .sharded_pairs import ShardedPairsSolver
+from .sharded_rowtile import ShardedRowTileSolver
 
 __all__ = ["RowPartition", "partition_plan", "ShardedAction",
            "sharded_solve", "sharded_solve_core", "make_mesh",
-           "ShardedPanelSolver", "ShardedPairsSolver"]
+           "ShardedPanelSolver", "ShardedPairsSolver",
+           "ShardedRowTileSolver"]
