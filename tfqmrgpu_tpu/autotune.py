@@ -143,6 +143,8 @@ def default_candidates(precision: str) -> list:
         return [("dense", {}), ("xla", {})]
     return [
         ("dense", {}),
+        ("pallas", {}),                 # row-tile, model-picked r_tile
+        ("pallas", {"TFQ_PALLAS_RTILE": "1"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "1"}),                  # auto t_step
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_TSTEP": "1"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "2"}),
