@@ -330,6 +330,7 @@ def main():
     eng_used = engine
     pplan = None
     rowtile = None
+    gp = None
     if engine in ("rowtile", "auto") and prec == "c":
         # ROW-TILE engine: recover the BSR geometry hidden in the pair list;
         # when X is (row x col)-grid-dense (FD patterns are: the golden plan
@@ -436,9 +437,60 @@ def main():
             from tfqmrgpu_tpu.ops import pairpanel as pp
 
             t0 = time.time()
-            pplan = pp.pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y,
-                                      nnzb_x, lm, ln, r_tile=r_tile,
-                                      copy_g=copy_g)
+            # column grouping: dedup A streaming across RHS columns when
+            # the pair list is a full pattern intersection (pack_grouped
+            # verifies; see pairpanel.py).  TFQ_BENCH_COLGROUP: 0 = model
+            # auto-pick, 1 = off, N = force group size N.
+            colgroup = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
+            gp = None
+            eff_ln = ln
+            eff_nnzb = nnzb_y
+            g_pa, g_px, g_py = pair_a, pair_x, pair_y
+            g_row = g_col = None
+            if colgroup != 1:
+                try:
+                    row_g, col_g = pp.recover_geometry(pair_a, pair_x,
+                                                       pair_y, nnzb_y)
+                    g_row, g_col = row_g, col_g
+                    if colgroup == 0:
+                        gbest, gests = pp.auto_group_size(
+                            pair_a, pair_x, pair_y, nnzb_y, lm, ln,
+                            mm_prec if not mm_auto else "highest",
+                            row_of=row_g, col_of=col_g)
+                        log("# colgroup model: " + " ".join(
+                            f"G{g}={e['est_ms']:.2f}ms"
+                            for g, e in sorted(gests.items())))
+                    else:
+                        gbest = colgroup
+                    if gbest > 1:
+                        gp = pp.pack_grouped(pair_a, pair_x, pair_y,
+                                             nnzb_y, ln, gbest,
+                                             row_of=row_g, col_of=col_g)
+                        g_pa, g_px, g_py = (gp.pair_a2, gp.pair_x2,
+                                            gp.pair_y2)
+                        g_row, g_col = gp.row_of2, gp.col_of2
+                        eff_ln = gp.ln2
+                        eff_nnzb = gp.nnzb2
+                        log(f"# colgroup G={gbest}: {nnzb_y} blocks -> "
+                            f"{gp.nnzb2} cells, {n_pairs} pairs -> "
+                            f"{len(g_pa)} (A dedup "
+                            f"{n_pairs/len(g_pa):.2f}x), lanes={gp.ln2}")
+                except ValueError as e:
+                    log(f"# colgroup unavailable ({e}); ungrouped")
+            try:
+                pplan = pp.pack_pair_plan(g_pa, g_px, g_py, eff_nnzb,
+                                          eff_nnzb, lm, eff_ln,
+                                          r_tile=r_tile, copy_g=copy_g,
+                                          row_of=g_row, col_of=g_col)
+            except ValueError:
+                if gp is None:
+                    raise
+                log("# grouped plan failed to pack; retrying ungrouped")
+                gp = None
+                eff_ln, eff_nnzb = ln, nnzb_y
+                pplan = pp.pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y,
+                                          nnzb_x, lm, ln, r_tile=r_tile,
+                                          copy_g=copy_g)
             # build the A panels on device (the host link is far too slow
             # for the ~1 GB inflated panels); the cos/sin arguments must be
             # range-reduced on the HOST in float64 -- float32 argument
@@ -484,9 +536,16 @@ def main():
                 """Feed Y (new-order fused rows) back as the next X."""
                 return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
 
-            x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
+            if gp is not None:
+                x0 = jnp.asarray(pp.permute_x(
+                    pplan, np.asarray(pp.grouped_blocks(gp, x_re)),
+                    np.asarray(pp.grouped_blocks(gp, x_im))))
+            else:
+                x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
             eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
-                        f"b{n_buckets}-{mm_prec}")
+                        f"b{n_buckets}"
+                        + (f"-cg{gp.group_size}" if gp is not None else "")
+                        + f"-{mm_prec}")
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -527,6 +586,9 @@ def main():
             y_got = pan[frag_, colx_]
         elif pplan is not None:
             ybr, ybi = pp.unpermute_y(pplan, yh)
+            if gp is not None:
+                ybr = pp.ungroup_blocks(gp, ybr)
+                ybi = pp.ungroup_blocks(gp, ybi)
             y_got = ybr + 1j * ybi
         else:
             y_got = yh[..., 0] + 1j * yh[..., 1]
@@ -553,7 +615,9 @@ def main():
             mult2 = build_mult("highest")
             consts = mult2.consts
             eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
-                        f"b{n_buckets}-{mm_prec}")
+                        f"b{n_buckets}"
+                        + (f"-cg{gp.group_size}" if gp is not None else "")
+                        + f"-{mm_prec}")
         maxdev = run_gate()
         log(f"# correctness (highest): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)

@@ -547,6 +547,250 @@ def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
     return re, im
 
 
+# -------------------------------------------------- column-grouped pairs
+#
+# The pair-panel layout streams each A block once PER RHS COLUMN it serves
+# (a pair (iY, iA, iX) exists per column, tfqmrgpu.cu:183-230), so plans
+# whose X grid is column-sparse (the golden plan: 1063 rows x 16 columns at
+# 0.26 fill, ~3.9 columns per A block) pay ~3.9x the unique-A HBM traffic
+# -- and the engine is A-bytes-bound.  Grouping G columns onto the lane
+# axis lets one streamed A block serve all G at once:
+#
+#   new block space  = occupied (row, group) cells, LN' = G * LN lanes
+#   new pair list    = unique (iA, row(iY), row(iX), group) -- deduped
+#   X cells          = zero-filled where (row, col) has no block
+#   Y cells          = masked back to the true pattern on extraction
+#
+# Correctness requires the pair list to be the FULL intersection of the
+# underlying BSR patterns (every (Y exists, A exists, X exists) triple
+# present -- exactly what the reference's createPlan emits): then a product
+# against a present X lane either has its pair in the list or lands on an
+# absent (masked) Y lane.  `pack_grouped` verifies this per A block and
+# raises ValueError otherwise; group_size=1 degenerates to the ungrouped
+# engine and is always safe.
+
+@dataclasses.dataclass
+class GroupedPairs:
+    """Column-grouped transform of a pair list (host, pattern-only)."""
+
+    group_size: int
+    ncol: int
+    ngroups: int
+    nnzb2: int               # occupied (row, group) cells
+    ln2: int                 # group_size * ln
+    pair_a2: np.ndarray      # int64[nPairs2]  ORIGINAL A block ids
+    pair_x2: np.ndarray      # int64[nPairs2]  new cell ids
+    pair_y2: np.ndarray      # int64[nPairs2]
+    row_of2: np.ndarray      # int64[nnzb2]    recovered row per cell
+    col_of2: np.ndarray      # int64[nnzb2]    group index per cell
+    src_of: np.ndarray       # int64[nnzb2, group_size] orig block id | -1
+    cell_of_blk: np.ndarray  # int64[nnzb]     cell id per original block
+    lane_of_blk: np.ndarray  # int64[nnzb]     lane slot (cpos) per block
+    groups: list             # list[list[int]] column ids per group
+
+
+def _group_columns(rbool: np.ndarray, group_size: int) -> list:
+    """Greedy max-co-occurrence clustering of columns into equal groups
+    (columns sharing rows belong together: their rows' A blocks then serve
+    both lanes in one streamed panel)."""
+    ncol = rbool.shape[1]
+    co = (rbool.astype(np.int64).T @ rbool.astype(np.int64))
+    left = set(range(ncol))
+    groups = []
+    while left:
+        seed = max(left, key=lambda c: co[c, c])
+        g = [seed]
+        left.discard(seed)
+        while len(g) < group_size and left:
+            nxt = max(left, key=lambda c: sum(int(co[c, x]) for x in g))
+            g.append(nxt)
+            left.discard(nxt)
+        groups.append(g)
+    return groups
+
+
+def pack_grouped(pair_a, pair_x, pair_y, nnzb: int, ln: int,
+                 group_size: int, row_of=None, col_of=None,
+                 groups=None) -> GroupedPairs:
+    """Transform a full-intersection pair list into the column-grouped
+    space (see module comment above).  Raises ValueError when the list is
+    not a full intersection, contains duplicate (iY, iA, iX) triples, or
+    has no column structure to group."""
+    pa = np.asarray(pair_a, dtype=np.int64)
+    px = np.asarray(pair_x, dtype=np.int64)
+    py = np.asarray(pair_y, dtype=np.int64)
+    if row_of is None or col_of is None:
+        row, col = recover_geometry(pa, px, py, nnzb)
+    else:
+        _, row = np.unique(np.asarray(row_of, np.int64), return_inverse=True)
+        _, col = np.unique(np.asarray(col_of, np.int64), return_inverse=True)
+    nrow, ncol = int(row.max()) + 1, int(col.max()) + 1
+    group_size = int(group_size)
+    if group_size < 2 or ncol < 2:
+        raise ValueError("grouping needs group_size >= 2 and >= 2 columns")
+
+    # cell injectivity of the recovered geometry
+    cell_key = row * np.int64(ncol) + col
+    if np.unique(cell_key).shape[0] != nnzb:
+        raise ValueError("recovered (row, col) labels collide")
+    blk_of_cell = np.full(nrow * ncol, -1, np.int64)
+    blk_of_cell[cell_key] = np.arange(nnzb)
+
+    # duplicate pairs would be silently deduped -> reject
+    trip = (pa * nnzb + py) * nnzb + px
+    if np.unique(trip).shape[0] != trip.shape[0]:
+        raise ValueError("duplicate (iY, iA, iX) triples cannot be grouped")
+
+    # per-used-A endpoints and pair-column sets
+    au, inv = np.unique(pa, return_inverse=True)
+    nau = au.shape[0]
+    ai = np.zeros(nau, np.int64)
+    aj = np.zeros(nau, np.int64)
+    ai[inv] = row[py]
+    aj[inv] = row[px]
+    if (np.unique(inv * np.int64(nrow) + row[py]).shape[0] != nau
+            or np.unique(inv * np.int64(nrow) + row[px]).shape[0] != nau):
+        raise ValueError("an A block spans multiple recovered rows")
+    pmb = np.zeros((nau, ncol), bool)
+    pmb[inv, col[py]] = True
+    rbool = np.zeros((nrow, ncol), bool)
+    rbool[row, col] = True
+    # completeness: pairs(a) must equal cols(row_i) & cols(row_j)
+    if not np.array_equal(pmb, rbool[ai] & rbool[aj]):
+        raise ValueError("pair list is not a full pattern intersection; "
+                         "column grouping would change its semantics")
+
+    if groups is None:
+        groups = _group_columns(rbool, group_size)
+    gsz = max(len(g) for g in groups)
+    if gsz != group_size:
+        raise ValueError("groups exceed group_size")
+    ngroups = len(groups)
+    g_of_col = np.zeros(ncol, np.int64)
+    cpos_of_col = np.zeros(ncol, np.int64)
+    for gi, g in enumerate(groups):
+        for p, c in enumerate(g):
+            g_of_col[c] = gi
+            cpos_of_col[c] = p
+
+    # occupied (row, group) cells -> new ids, ordered (group, row) so the
+    # window machinery slides within one group at a time
+    occ = np.zeros((nrow, ngroups), bool)
+    occ[row, g_of_col[col]] = True
+    occ_r, occ_g = np.nonzero(occ)
+    o = np.lexsort((occ_r, occ_g))
+    occ_r, occ_g = occ_r[o], occ_g[o]
+    nnzb2 = occ_r.shape[0]
+    cell2 = np.full(nrow * ngroups, -1, np.int64)
+    cell2[occ_r * ngroups + occ_g] = np.arange(nnzb2)
+
+    cell_of_blk = cell2[row * ngroups + g_of_col[col]]
+    lane_of_blk = cpos_of_col[col]
+    src_of = np.full((nnzb2, group_size), -1, np.int64)
+    src_of[cell_of_blk, lane_of_blk] = np.arange(nnzb)
+
+    # grouped pair list: for each used A and each group its pairs touch
+    pg = g_of_col[col[py]]
+    key2 = (inv * np.int64(ngroups) + pg)
+    uniq = np.unique(key2)
+    a2 = au[uniq // ngroups]
+    g2 = uniq % ngroups
+    i2 = ai[uniq // ngroups]
+    j2 = aj[uniq // ngroups]
+    py2 = cell2[i2 * ngroups + g2]
+    px2 = cell2[j2 * ngroups + g2]
+    if np.any(py2 < 0) or np.any(px2 < 0):
+        raise ValueError("internal: grouped pair hits an unoccupied cell")
+
+    return GroupedPairs(
+        group_size=group_size, ncol=ncol, ngroups=ngroups, nnzb2=nnzb2,
+        ln2=group_size * ln, pair_a2=a2, pair_x2=px2, pair_y2=py2,
+        row_of2=occ_r.astype(np.int64), col_of2=occ_g.astype(np.int64),
+        src_of=src_of, cell_of_blk=cell_of_blk, lane_of_blk=lane_of_blk,
+        groups=[list(map(int, g)) for g in groups])
+
+
+def grouped_blocks(gp: GroupedPairs, blocks: np.ndarray) -> np.ndarray:
+    """[nnzb, LM, LN] block data -> [nnzb2, LM, G*LN] grouped cells
+    (absent lanes zero).  Works on numpy or jax arrays."""
+    import jax.numpy as jnp
+
+    xp = jnp if not isinstance(blocks, np.ndarray) else np
+    lm, ln = blocks.shape[1], blocks.shape[2]
+    src = gp.src_of.reshape(-1)
+    gathered = xp.where(
+        xp.asarray((src >= 0)[:, None, None]),
+        blocks[xp.asarray(np.maximum(src, 0))], 0)
+    out = gathered.reshape(gp.nnzb2, gp.group_size, lm, ln)
+    return out.transpose(0, 2, 1, 3).reshape(gp.nnzb2, lm, gp.ln2)
+
+
+def ungroup_blocks(gp: GroupedPairs, cells: np.ndarray) -> np.ndarray:
+    """[nnzb2, LM, G*LN] grouped cells -> [nnzb, LM, LN] original blocks."""
+    lm = cells.shape[1]
+    ln = gp.ln2 // gp.group_size
+    c4 = cells.reshape(gp.nnzb2, lm, gp.group_size, ln).transpose(0, 2, 1, 3)
+    return np.asarray(c4)[gp.cell_of_blk, gp.lane_of_blk]
+
+
+def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
+                    mm_prec: str = "highest", row_of=None, col_of=None,
+                    hbm_gbps: float = 140.0, candidates=(1, 2, 4, 8)):
+    """Pick the column group size minimizing the modeled multiply time
+    (max of A-panel streaming and MXU time; r_tile=1 tiles).  Returns
+    (best_G, estimates dict).  1 means 'do not group'."""
+    pa = np.asarray(pair_a, dtype=np.int64)
+    px = np.asarray(pair_x, dtype=np.int64)
+    py = np.asarray(pair_y, dtype=np.int64)
+    if row_of is None or col_of is None:
+        row, col = recover_geometry(pa, px, py, nnzb)
+    else:
+        _, row = np.unique(np.asarray(row_of, np.int64), return_inverse=True)
+        _, col = np.unique(np.asarray(col_of, np.int64), return_inverse=True)
+    ncol = int(col.max()) + 1
+    au, inv = np.unique(pa, return_inverse=True)
+    ai = np.zeros(au.shape[0], np.int64)
+    ai[inv] = row[py]
+    # MXU rates measured on the v5e relay (memory-bank): exact f32 ~31
+    # TFlop/s (HIGHEST = 6 bf16-class passes), one bf16 pass ~173
+    passes = {"highest": 6.0, "bf16x4": 4.0, "bf16x3": 3.0}.get(mm_prec, 6.0)
+    mxu_tflops = 173.0 / passes
+    rbool = np.zeros((int(row.max()) + 1, ncol), bool)
+    rbool[row, col] = True
+    ests = {}
+    for g in candidates:
+        if g > ncol:
+            continue
+        if g == 1:
+            kcnt = np.bincount(py)          # pairs per Y block
+            padded = int(np.count_nonzero(kcnt) * kcnt.max())
+            lanes = ln
+        else:
+            try:
+                groups = _group_columns(rbool, g)
+            except Exception:
+                continue
+            g_of_col = np.zeros(ncol, np.int64)
+            for gi, grp in enumerate(groups):
+                for c in grp:
+                    g_of_col[c] = gi
+            key2 = np.unique(
+                (inv * np.int64(len(groups)) + g_of_col[col[py]]))
+            tgt = ai[key2 // len(groups)] * np.int64(len(groups)) \
+                + key2 % len(groups)
+            kcnt = np.bincount(np.unique(tgt, return_inverse=True)[1])
+            padded = int(kcnt.shape[0] * kcnt.max())
+            lanes = g * ln
+        a_ms = padded * lm * lm * 8 / (hbm_gbps * 1e6)
+        mxu_ms = padded * lanes * lm * lm * 8 / (mxu_tflops * 1e9)
+        fixed_ms = kcnt.shape[0] * 0.7e-3      # per-tile scalar bookkeeping
+        ests[g] = dict(a_ms=a_ms, mxu_ms=mxu_ms, fixed_ms=fixed_ms,
+                       est_ms=max(a_ms, mxu_ms, fixed_ms),
+                       tiles=int(kcnt.shape[0]), ku_max=int(kcnt.max()))
+    best = min(ests, key=lambda k: ests[k]["est_ms"]) if ests else 1
+    return best, ests
+
+
 # ----------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)

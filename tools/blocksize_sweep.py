@@ -60,9 +60,22 @@ def main(argv):
     out_path = argv[1] if len(argv) > 1 else os.path.join(
         REPO, "BLOCKSIZES_r02.json")
     nrep = int(argv[2]) if len(argv) > 2 else 32
+    # resume: keep completed rows from a previous (crashed) sweep; rerun
+    # rows that errored and rows not yet attempted
+    done = {}
+    if os.path.exists(out_path):
+        try:
+            for r in json.load(open(out_path)).get("rows", []):
+                if not r.get("error"):
+                    done[(r["lm"], r["ln"], r["mm_prec"])] = r
+        except (json.JSONDecodeError, KeyError):
+            pass
     rows = []
     for lm, ln in PAIRS:
         for prec in PRECS:
+            if (lm, ln, prec) in done:
+                rows.append(done[(lm, ln, prec)])
+                continue
             row = run_one(lm, ln, prec, nrep)
             rows.append(row)
             print(json.dumps(row), flush=True)
