@@ -141,3 +141,62 @@ def test_auto_group_size_golden_like(rng):
         rng, mb=10, ncols=1, fill=1.0)
     best1, ests1 = pp.auto_group_size(pa1, px1, py1, nx1, 32, 32)
     assert best1 == 1
+
+
+# ------------------------------------------------- solver integration
+
+def test_solver_pairs_grouped_matches_ungrouped(rng, monkeypatch):
+    """On a COLUMN-SPARSE X pattern (absent lanes exercised) the grouped
+    pairs engine must reproduce the ungrouped engine's iterate -- same
+    recurrence, same per-RHS status, same solution blocks."""
+    import tfqmrgpu_tpu as tq
+    from conftest import make_random_problem
+
+    lm, ln = 4, 4
+    a, x, b = make_random_problem(rng, mb=10, lm=lm, ln=ln, ncols=4,
+                                  x_fill=0.6)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "2")
+    xg, infog = tq.solve(a, x, b, precision="c", engine="pairs",
+                         tolerance=1e-4, max_iterations=400)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    xu, infou = tq.solve(a, x, b, precision="c", engine="pairs",
+                         tolerance=1e-4, max_iterations=400)
+    assert abs(infog.iterations_needed - infou.iterations_needed) <= 2
+    np.testing.assert_array_equal(np.asarray(infog.rhs_status),
+                                  np.asarray(infou.rhs_status))
+    scale = np.abs(xu.data).max()
+    assert np.abs(xg.data - xu.data).max() / scale < 1e-4
+
+
+def test_solver_pairs_grouped_matches_dense(rng, monkeypatch):
+    """With a FULL X pattern the grouped solve must reach the dense
+    solution (the iterate can represent it exactly)."""
+    import tfqmrgpu_tpu as tq
+    from conftest import make_random_problem, dense_from_bsr
+
+    lm, ln = 4, 4
+    a, x, b = make_random_problem(rng, mb=10, lm=lm, ln=ln, ncols=4,
+                                  x_fill=1.0)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "2")
+    xg, infog = tq.solve(a, x, b, precision="c", engine="pairs",
+                         tolerance=1e-4, max_iterations=400)
+    a_d = dense_from_bsr(a, lm, lm)
+    b_d = dense_from_bsr(b, lm, ln)
+    x_d = dense_from_bsr(xg, lm, ln)
+    res = np.abs(a_d @ x_d - b_d).max() / np.abs(b_d).max()
+    assert res < 2e-3, res
+
+
+def test_solver_grouped_auto_falls_back(rng, monkeypatch):
+    """ncols=1 problems cannot group; auto must run ungrouped."""
+    import tfqmrgpu_tpu as tq
+    from tfqmrgpu_tpu.solver import Solver
+    from conftest import make_random_problem
+
+    a, x, b = make_random_problem(rng, mb=8, lm=4, ln=4, ncols=1,
+                                  x_fill=1.0)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "0")
+    s = Solver(a, x, b, precision="c", engine="pairs")
+    assert s._gp is None
+    info = s.solve(tolerance=1e-4, max_iterations=300)
+    assert info.residuum_reached <= 1e-4

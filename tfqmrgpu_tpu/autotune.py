@@ -145,7 +145,8 @@ def default_candidates(precision: str) -> list:
         ("dense", {}),
         ("pallas", {}),                 # row-tile, model-picked r_tile
         ("pallas", {"TFQ_PALLAS_RTILE": "1"}),
-        ("pairs", {"TFQ_PAIRS_RTILE": "1"}),                  # auto t_step
+        ("pairs", {"TFQ_PAIRS_RTILE": "1"}),   # auto t_step + auto colgroup
+        ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_COLGROUP": "1"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_TSTEP": "1"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "2"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_COPYG": "1"}),

@@ -1097,7 +1097,7 @@ def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
 # ----------------------------------------------------- solver integration
 
 def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
-                     ncc: int, b_fused):
+                     ncc: int, b_fused, gp: "GroupedPairs" = None):
     """TfqmrPrimitives over FUSED permuted panels (single f32 arrays
     [x_rows_padded, 2*LN], re in lanes [:ln], im in [ln:]) -- the vector
     layout of the ``pairs`` solver engine.
@@ -1105,6 +1105,14 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
     Per-column reductions run as sorted segmented sums keyed by the
     permuted block->compressed-column map (the relabeling is column-major,
     so segments are contiguous); padded rows map to a dump segment.
+
+    With ``gp`` (a column-grouped plan, see pack_grouped) each slot packs
+    ``G`` compressed columns side by side on lanes: the multiply output is
+    masked back to the true pattern (grouped products land on absent
+    lanes of existing cells), per-column reductions contract a GROUP
+    one-hot and then un-interleave the lane blocks, and per-column scalars
+    scatter into the [ngroups, G*ln] lane layout before the one-hot
+    row expansion.
     """
     import jax
     import jax.numpy as jnp
@@ -1116,6 +1124,10 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
     nxrows = plan.x_rows_padded
     nyrows = plan.ntiles * plan.r_tile * lm
     sdt = decisions.scalar_dtype()
+
+    if gp is not None:
+        return _fused_primitives_grouped(mult, consts, plan, ncc, b_fused,
+                                         gp)
 
     def multiply(x):
         y = mult.apply(consts, x)
@@ -1248,6 +1260,128 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
             ai = jnp.concatenate([a[1].astype(dt),
                                   jnp.zeros((1, ln), dt)])[row_col]
             return ar, ai
+
+    def axpy(y, x, a):
+        ar, ai = _scale(a)
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        return jnp.concatenate([ar * xr - ai * xi + yr,
+                                ai * xr + ar * xi + yi], axis=1)
+
+    def xpay(y, a, x):
+        ar, ai = _scale(a)
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        return jnp.concatenate([xr + ar * yr - ai * yi,
+                                xi + ai * yr + ar * yi], axis=1)
+
+    def add_rhs(v, b, scal):
+        del b  # b_fused closed over (device-resident, pre-scattered)
+        return v + scal * b_fused
+
+    return TfqmrPrimitives(
+        multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
+        add_rhs=add_rhs, allmax=lambda s: s, alland=lambda s: s,
+    )
+
+
+def grouped_lane_mask(plan: PairPanelPlan, gp: "GroupedPairs") -> np.ndarray:
+    """Per-slot lane mask [n_slots_padded, 2*ln2] of the grouped layout:
+    1 where the (cell, column) is in the true pattern, 0 on absent lanes
+    and window-padding slots.  Constant across the LM rows of a slot, so
+    callers broadcast instead of materializing [rows, lanes]."""
+    ln2 = plan.ln
+    ln0 = ln2 // gp.group_size
+    nslots = nxs = plan.x_rows_padded // plan.lm
+    m = np.zeros((nxs, gp.group_size), np.float32)
+    live = plan.perm[: plan.n_slots or plan.nnzb_x] >= 0
+    slots = np.flatnonzero(live)
+    cells = plan.perm[: plan.n_slots or plan.nnzb_x][live]
+    m[slots] = (gp.src_of[cells] >= 0).astype(np.float32)
+    half = np.repeat(m, ln0, axis=1)           # [nslots, ln2]
+    del nslots
+    return np.concatenate([half, half], axis=1)
+
+
+def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
+                              b_fused, gp: "GroupedPairs"):
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import TfqmrPrimitives
+    from . import decisions
+
+    ln2, lm = plan.ln, plan.lm
+    gsz = gp.group_size
+    ln0 = ln2 // gsz
+    ngroups = gp.ngroups
+    nxrows = plan.x_rows_padded
+    nyrows = plan.ntiles * plan.r_tile * lm
+    nslots = nxrows // lm
+    sdt = decisions.scalar_dtype()
+
+    # slot -> group one-hot (col_of_new holds GROUP ids: pack_pair_plan was
+    # called with col_of=gp.col_of2); padded slots go to a dump column
+    grp_np = np.where(plan.col_of_new >= 0, plan.col_of_new,
+                      ngroups).astype(np.int64)
+    oh = np.zeros((nslots, ngroups + 1), np.float32)
+    oh[np.arange(nslots), grp_np[:nslots]] = 1.0
+    oh_rows = jnp.asarray(np.repeat(oh[:, :ngroups], lm, axis=0))
+
+    # compressed column c <-> (group, lane block) bijection
+    gc_np = np.zeros(ncc, np.int64)
+    for gi, grp in enumerate(gp.groups):
+        for cpos, c in enumerate(grp):
+            gc_np[c] = gi * gsz + cpos
+    gc = jnp.asarray(gc_np)
+
+    mask = jnp.asarray(grouped_lane_mask(plan, gp))     # [nslots, 2*ln2]
+
+    def multiply(x):
+        y = mult.apply(consts, x)
+        y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+        y3 = y.reshape(nslots, lm, 2 * ln2) * mask[:, None, :]
+        return y3.reshape(nxrows, 2 * ln2)
+
+    def _exact_onehot_dot(a, p):
+        hi, lo = split_bf16x2(p)
+        dt = jnp.float32
+        return (jax.lax.dot(a, hi, preferred_element_type=dt)
+                + jax.lax.dot(a, lo, preferred_element_type=dt))
+
+    def _colsum(p):
+        """[nxrows, ln2] -> [ncc, ln0] per-compressed-column sums."""
+        z = _exact_onehot_dot(oh_rows.T, p)             # [ngroups, ln2]
+        return z.reshape(ngroups * gsz, ln0)[gc]
+
+    def halves(x):
+        return x[:, :ln2], x[:, ln2:]
+
+    def dotp(x, y):
+        xr, xi = halves(x)
+        yr, yi = halves(y)
+        zr = _colsum(xr * yr - xi * yi)
+        zi = _colsum(xr * yi + xi * yr)
+        return zr.astype(sdt), zi.astype(sdt)
+
+    def nrm2(x):
+        xr, xi = halves(x)
+        return _colsum(xr * xr + xi * xi).astype(sdt)
+
+    def _scale(a):
+        """[ncc, ln0] per-column scalars -> [nxrows, ln2] lane panel.
+        Exact expansion: the scatter into the lane layout moves values
+        (no arithmetic) and the 0/1 one-hot expansion runs at HIGHEST."""
+        dt = jnp.float32
+        hp = jax.lax.Precision.HIGHEST
+
+        def expand(v):
+            flat = jnp.zeros((ngroups * gsz, ln0), dt)
+            flat = flat.at[gc].set(v.astype(dt))
+            return jax.lax.dot(oh_rows, flat.reshape(ngroups, ln2),
+                               preferred_element_type=dt, precision=hp)
+
+        return expand(a[0]), expand(a[1])
 
     def axpy(y, x, a):
         ar, ai = _scale(a)

@@ -169,6 +169,7 @@ class Solver:
                           f"inflation {pack.inflation:.2f}x")
         self.engine = engine
         self._pp = None               # pairs engine state
+        self._gp = None               # column-grouped transform (pairs)
         if engine == "pairs":
             from .ops import pairpanel as pp_ops
 
@@ -189,16 +190,72 @@ class Solver:
                 col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
                            and counts.max() * self.plan.ncols
                            <= 2 * self.plan.nnzb_x)
+                # column grouping: when the X grid is column-sparse each
+                # A block is streamed once per column it serves; grouping
+                # G compressed columns onto the lane axis dedups that
+                # traffic (see pairpanel.pack_grouped).  TFQ_PAIRS_COLGROUP:
+                # 0 = model auto-pick (default), 1 = off, N = force N.
+                self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC",
+                                                "highest")
+                cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
+                eff_ln, eff_nnzb = self.ln, self.plan.nnzb_x
+                g_pa = self.plan.pairs[:, 0]
+                g_px = self.plan.pairs[:, 1]
+                g_py = pair_y
+                g_row, g_col = row_of_x, self.plan.colindx
+                if (cg_env != "1" and not col_pad
+                        and self.plan.ncols >= 2):
+                    try:
+                        want = int(cg_env)
+                        if want == 0:
+                            cands = tuple(g for g in (1, 2, 4, 8)
+                                          if g * self.ln <= 512)
+                            want, _ests = pp_ops.auto_group_size(
+                                g_pa, g_px, g_py, self.plan.nnzb_x,
+                                self.lm, self.ln, self._pp_prec,
+                                row_of=row_of_x, col_of=self.plan.colindx,
+                                candidates=cands)
+                        if want > 1:
+                            self._gp = pp_ops.pack_grouped(
+                                g_pa, g_px, g_py, self.plan.nnzb_x,
+                                self.ln, want, row_of=row_of_x,
+                                col_of=self.plan.colindx)
+                            g_pa = self._gp.pair_a2
+                            g_px = self._gp.pair_x2
+                            g_py = self._gp.pair_y2
+                            g_row, g_col = (self._gp.row_of2,
+                                            self._gp.col_of2)
+                            eff_ln = self._gp.ln2
+                            eff_nnzb = self._gp.nnzb2
+                    except ValueError:
+                        self._gp = None        # not a full intersection
                 # r_tile=1 measured best on v5e (1.09x vs 2.0x panel
                 # inflation at r_tile=2; t_step batching already amortizes
                 # the per-step fixed cost that r_tile=2 targeted)
-                self._pp_plan = pp_ops.pack_pair_plan(
-                    self.plan.pairs[:, 0], self.plan.pairs[:, 1], pair_y,
-                    self.plan.nnzb_x, self.plan.nnzb_x, self.lm, self.ln,
-                    r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE", "1")),
-                    row_of=row_of_x, col_of=self.plan.colindx,
-                    col_pad=bool(col_pad),
-                    copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG", "2")))
+                try:
+                    self._pp_plan = pp_ops.pack_pair_plan(
+                        g_pa, g_px, g_py, eff_nnzb, eff_nnzb, self.lm,
+                        eff_ln,
+                        r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE",
+                                                   "1")),
+                        row_of=g_row, col_of=g_col,
+                        col_pad=bool(col_pad and self._gp is None),
+                        copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG",
+                                                   "2")))
+                except ValueError:
+                    if self._gp is None:
+                        raise
+                    self._gp = None      # grouped windows too ragged
+                    self._pp_plan = pp_ops.pack_pair_plan(
+                        self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                        pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
+                        self.lm, self.ln,
+                        r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE",
+                                                   "1")),
+                        row_of=row_of_x, col_of=self.plan.colindx,
+                        col_pad=bool(col_pad),
+                        copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG",
+                                                   "2")))
             except ValueError:
                 if not auto:
                     raise
@@ -212,7 +269,9 @@ class Solver:
             if engine == "pairs" and echo > 2:
                 print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
-                      f"inflation={self._pp_plan.inflation:.2f}x")
+                      f"inflation={self._pp_plan.inflation:.2f}x"
+                      + (f" colgroup={self._gp.group_size}"
+                         if self._gp is not None else ""))
         self._panel = engine in ("dense", "pallas")
         self._layout: Optional[panel_ops.PanelLayout] = None
         if self._panel:
@@ -237,10 +296,8 @@ class Solver:
                 lay.mask[:, None, :, None].astype(
                     np.float64 if precision == "z" else np.float32))
         elif engine == "pairs":
-            from .ops import pairpanel as pp_ops
-
-            self._v3 = jnp.asarray(pp_ops.permute_x(
-                self._pp_plan, np.asarray(v3[0]), np.asarray(v3[1])))
+            self._v3 = jnp.asarray(self._pairs_permute(
+                np.asarray(v3[0]), np.asarray(v3[1])))
         else:
             self._v3 = v3
 
@@ -334,10 +391,7 @@ class Solver:
                 self._x0 = (jnp.asarray(self._layout.pack_x(re)),
                             jnp.asarray(self._layout.pack_x(im)))
             elif self.engine == "pairs":
-                from .ops import pairpanel as pp_ops
-
-                self._x0 = jnp.asarray(pp_ops.permute_x(
-                    self._pp_plan, re, im))
+                self._x0 = jnp.asarray(self._pairs_permute(re, im))
             else:
                 self._x0 = (jnp.asarray(re), jnp.asarray(im))
         else:
@@ -380,9 +434,7 @@ class Solver:
             return (self._layout.unpack_x(np.asarray(x_engine[0])),
                     self._layout.unpack_x(np.asarray(x_engine[1])))
         if self.engine == "pairs":
-            from .ops import pairpanel as pp_ops
-
-            return pp_ops.unpermute_y(self._pp_plan, np.asarray(x_engine))
+            return self._pairs_unpermute(x_engine)
         return np.asarray(x_engine[0]), np.asarray(x_engine[1])
 
     def _solve_xshaped(self, r: np.ndarray, inv_bn2, tolerance,
@@ -395,9 +447,7 @@ class Solver:
         re = np.ascontiguousarray(r.real.astype(npdt))
         im = np.ascontiguousarray(r.imag.astype(npdt))
         if self.engine == "pairs":
-            from .ops import pairpanel as pp_ops
-
-            b_over = jnp.asarray(pp_ops.permute_x(self._pp_plan, re, im))
+            b_over = jnp.asarray(self._pairs_permute(re, im))
             return self._solve_pairs(tolerance, max_iterations, False,
                                      b_override=b_over, inv_bn2=inv_bn2)
         if self._panel:
@@ -421,16 +471,34 @@ class Solver:
                                 "matrix 'A' has not been set")
         return self._action
 
-    def _pairs_b_panel(self, re: np.ndarray, im: np.ndarray) -> np.ndarray:
-        """Scatter B blocks into the fused permuted X-shaped panel."""
+    def _pairs_permute(self, re: np.ndarray, im: np.ndarray) -> np.ndarray:
+        """X-shaped block planes -> the pairs engine's fused panel
+        (column-grouping applied first when active)."""
         from .ops import pairpanel as pp_ops
 
+        if self._gp is not None:
+            re = np.asarray(pp_ops.grouped_blocks(self._gp, re))
+            im = np.asarray(pp_ops.grouped_blocks(self._gp, im))
+        return pp_ops.permute_x(self._pp_plan, re, im)
+
+    def _pairs_unpermute(self, y_fused) -> tuple:
+        """Fused panel -> (re, im) block planes [nnzbX, LM, LN]."""
+        from .ops import pairpanel as pp_ops
+
+        re, im = pp_ops.unpermute_y(self._pp_plan, np.asarray(y_fused))
+        if self._gp is not None:
+            re = pp_ops.ungroup_blocks(self._gp, re)
+            im = pp_ops.ungroup_blocks(self._gp, im)
+        return re, im
+
+    def _pairs_b_panel(self, re: np.ndarray, im: np.ndarray) -> np.ndarray:
+        """Scatter B blocks into the fused permuted X-shaped panel."""
         xr = np.zeros((self.plan.nnzb_x, self.lm, self.ln), re.dtype)
         xi = np.zeros_like(xr)
         sub = self.plan.subset.astype(np.int64)
         np.add.at(xr, sub, re)
         np.add.at(xi, sub, im)
-        return pp_ops.permute_x(self._pp_plan, xr, xi)
+        return self._pairs_permute(xr, xi)
 
     def _solve_pairs(self, tolerance, max_iterations, rhs_trivial,
                      b_override=None, inv_bn2=None):
@@ -452,8 +520,11 @@ class Solver:
         ncc = self.plan.ncols
         mult = self._pp
 
+        gp = self._gp
+
         def step(consts, b_fused, v3_fused, tol, maxit, inv_override):
-            prim = pp_ops.fused_primitives(mult, consts, pplan, ncc, b_fused)
+            prim = pp_ops.fused_primitives(mult, consts, pplan, ncc,
+                                           b_fused, gp=gp)
             v5 = prim.add_rhs(jnp.zeros_like(b_fused), b_fused, 1.0)
             sdt = decisions_scalar_dtype()
             if rhs_trivial:
@@ -531,7 +602,14 @@ class Solver:
             pp = self._pp_plan
             nyrows = pp.ntiles * pp.r_tile * self.lm
             y = self._pp.apply(self._pp.consts, x_vec)
-            return jnp.pad(y, ((0, pp.x_rows_padded - nyrows), (0, 0)))
+            y = jnp.pad(y, ((0, pp.x_rows_padded - nyrows), (0, 0)))
+            if self._gp is not None:
+                from .ops import pairpanel as pp_ops
+
+                m = jnp.asarray(pp_ops.grouped_lane_mask(pp, self._gp))
+                y = (y.reshape(-1, self.lm, y.shape[1])
+                     * m[:, None, :]).reshape(y.shape)
+            return y
         return self.action.multiply(x_vec)
 
     def _solve_shifted(self, tolerance, max_iterations):
