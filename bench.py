@@ -191,34 +191,80 @@ def main_iter():
     from tfqmrgpu_tpu.bsr import Bsr
 
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
-    mb, lm, ln, ncols, hb = 1000, 32, 32, 8, 5
+    pattern = os.environ.get("TFQ_BENCH_ITER_PATTERN", "banded")
     rng = np.random.default_rng(0)
-    rows, cols = [0], []
-    for i in range(mb):
-        cs = list(range(max(0, i - hb), min(mb, i + hb + 1)))
-        cols.extend(cs)
-        rows.append(len(cols))
-    rowptr_a = np.asarray(rows, np.int32)
-    colind_a = np.asarray(cols, np.int32)
-    nnzb_a = len(cols)
-    a_data = (rng.standard_normal((nnzb_a, lm, lm))
-              + 1j * rng.standard_normal((nnzb_a, lm, lm))
-              ).astype(np.complex64)
-    for i in range(mb):
-        row = slice(rowptr_a[i], rowptr_a[i + 1])
-        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
-        a_data[j] += 4.0 * (2 * hb + 1) * lm * np.eye(lm)
-    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
-    x = Bsr(mb, ncols, np.arange(mb + 1, dtype=np.int32) * ncols,
-            np.tile(np.arange(ncols, dtype=np.int32), mb), name="X")
-    rowptr_b = np.zeros(mb + 1, np.int32)
-    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
-    rowptr_b[ncols + 1:] = ncols
-    b_data = (rng.standard_normal((ncols, lm, ln))
-              + 1j * rng.standard_normal((ncols, lm, ln))
-              ).astype(np.complex64)
-    b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32), b_data,
-            name="B")
+    if pattern == "golden":
+        # the golden plan's own geometry (1063 rows x 16 column clusters,
+        # 0.26 grid fill -- the KKR-shaped case where the pairs engine's
+        # column grouping pays): recover (row, col) labels, synthesize a
+        # diagonally-dominant A on the recovered operator pattern
+        from tfqmrgpu_tpu.ops.pairpanel import recover_geometry
+
+        lm = ln = 32
+        pair_a, pair_x, pair_y, nnzb_y, _, _ = load_pairs()
+        row, col = recover_geometry(pair_a, pair_x, pair_y, nnzb_y)
+        mb = int(row.max()) + 1
+        ncols = int(col.max()) + 1
+        au, first = np.unique(pair_a, return_index=True)
+        ai, aj = row[pair_y[first]], row[pair_x[first]]
+        # union with the diagonal so dominance is expressible
+        keys = np.unique(np.concatenate(
+            [ai * mb + aj, np.arange(mb) * mb + np.arange(mb)]))
+        ar_, ac_ = keys // mb, keys % mb
+        rowptr_a = np.searchsorted(ar_, np.arange(mb + 1)).astype(np.int32)
+        colind_a = ac_.astype(np.int32)
+        nnzb_a = len(keys)
+        a_data = (rng.standard_normal((nnzb_a, lm, lm))
+                  + 1j * rng.standard_normal((nnzb_a, lm, lm))
+                  ).astype(np.complex64)
+        deg = np.diff(rowptr_a)
+        diag = np.flatnonzero(ar_ == ac_)
+        for j in diag:
+            a_data[j] += 4.0 * deg[ar_[j]] * lm * np.eye(lm)
+        a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+        xo = np.lexsort((col, row))
+        rowptr_x = np.searchsorted(row[xo], np.arange(mb + 1)) \
+            .astype(np.int32)
+        x = Bsr(mb, ncols, rowptr_x, col[xo].astype(np.int32), name="X")
+        # B: first X block of every column
+        bsel = xo[np.unique(col[xo], return_index=True)[1]]
+        brow, bcol = row[bsel], col[bsel]
+        bo = np.lexsort((bcol, brow))
+        rowptr_b = np.searchsorted(brow[bo], np.arange(mb + 1)) \
+            .astype(np.int32)
+        b_data = (rng.standard_normal((ncols, lm, ln))
+                  + 1j * rng.standard_normal((ncols, lm, ln))
+                  ).astype(np.complex64)
+        b = Bsr(mb, ncols, rowptr_b, bcol[bo].astype(np.int32), b_data,
+                name="B")
+    else:
+        mb, lm, ln, ncols, hb = 1000, 32, 32, 8, 5
+        rows, cols = [0], []
+        for i in range(mb):
+            cs = list(range(max(0, i - hb), min(mb, i + hb + 1)))
+            cols.extend(cs)
+            rows.append(len(cols))
+        rowptr_a = np.asarray(rows, np.int32)
+        colind_a = np.asarray(cols, np.int32)
+        nnzb_a = len(cols)
+        a_data = (rng.standard_normal((nnzb_a, lm, lm))
+                  + 1j * rng.standard_normal((nnzb_a, lm, lm))
+                  ).astype(np.complex64)
+        for i in range(mb):
+            row = slice(rowptr_a[i], rowptr_a[i + 1])
+            j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+            a_data[j] += 4.0 * (2 * hb + 1) * lm * np.eye(lm)
+        a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+        x = Bsr(mb, ncols, np.arange(mb + 1, dtype=np.int32) * ncols,
+                np.tile(np.arange(ncols, dtype=np.int32), mb), name="X")
+        rowptr_b = np.zeros(mb + 1, np.int32)
+        rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+        rowptr_b[ncols + 1:] = ncols
+        b_data = (rng.standard_normal((ncols, lm, ln))
+                  + 1j * rng.standard_normal((ncols, lm, ln))
+                  ).astype(np.complex64)
+        b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32),
+                b_data, name="B")
 
     t0 = time.time()
     solver = Solver(a, x, b, precision="c", engine=engine, echo=3)
@@ -239,7 +285,8 @@ def main_iter():
     log(f"# {roof}")
     frac = roof.fraction_of_light or 0.0
     print(json.dumps({
-        "metric": "iter_banded1000_lm32_ln32_c",
+        "metric": f"iter_{'golden' if pattern == 'golden' else 'banded1000'}"
+                  f"_lm{lm}_ln{ln}_c",
         "value": round(t_iter * 1e3, 3),
         "unit": "ms_per_iteration",
         "vs_baseline": round(frac, 3),
