@@ -107,3 +107,34 @@ def test_sharded_pairs_overlap_split(rng):
         _check(sp, a, x, b, tol, i0)
     else:
         pytest.skip("pattern yielded no local tiles at this shard count")
+
+
+def test_sharded_pairs_grouped_matches_ungrouped(rng, monkeypatch):
+    """Column grouping in the sharded engine: forced G=2 must reproduce
+    the ungrouped sharded result on a column-sparse pattern."""
+    lm = ln = 4
+    a, x, b = make_random_problem(rng, mb=12, lm=lm, ln=ln, ncols=4,
+                                  x_fill=0.6, dtype=np.complex64)
+    tol = 1e-4
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "2")
+    sp_g = ShardedPairsSolver(plan, mesh, interpret=True)
+    assert sp_g.gp is not None and sp_g.gp.group_size == 2
+    xg, ig = sp_g.solve(a.data.real.astype(np.float32),
+                        a.data.imag.astype(np.float32),
+                        b.data.real.astype(np.float32),
+                        b.data.imag.astype(np.float32),
+                        tolerance=tol, max_iterations=300)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    sp_u = ShardedPairsSolver(plan, mesh, interpret=True)
+    assert sp_u.gp is None
+    xu, iu = sp_u.solve(a.data.real.astype(np.float32),
+                        a.data.imag.astype(np.float32),
+                        b.data.real.astype(np.float32),
+                        b.data.imag.astype(np.float32),
+                        tolerance=tol, max_iterations=300)
+    assert abs(ig["iterations"] - iu["iterations"]) <= 2
+    scale = np.abs(xu).max()
+    assert np.abs(xg - xu).max() / scale < 1e-4

@@ -81,10 +81,51 @@ class ShardedPairsSolver:
                              np.diff(plan.rowptr_x))
         counts = np.diff(plan.starts).astype(np.int64)
         pair_y = np.repeat(np.arange(plan.nnzb_x, dtype=np.int64), counts)
-        self.pp_plan = pp.pack_pair_plan(
-            plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
-            plan.nnzb_x, plan.nnzb_x, self.lm, self.ln, r_tile=r_tile,
-            row_of=row_of_x, col_of=plan.colindx)
+        # column grouping (same engine knob as the single-device solver;
+        # see pairpanel.pack_grouped): dedups the per-shard A panels and
+        # SHRINKS THE HALO -- the all_gather moves [nnzb2, lm, G*ln]
+        # instead of [nnzb, lm, ln] rows, same bytes, but boundary tiles
+        # per shard drop with the tile count
+        self.gp = None
+        self.ln0 = self.ln                   # per-RHS lane width (blocks)
+        g_pa, g_px, g_py = plan.pairs[:, 0], plan.pairs[:, 1], pair_y
+        g_row, g_col = row_of_x, plan.colindx
+        eff_nnzb = plan.nnzb_x
+        cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
+        if cg_env != "1" and plan.ncols >= 2:
+            try:
+                want = int(cg_env)
+                if want == 0:
+                    cands = tuple(g for g in (1, 2, 4, 8)
+                                  if g * self.ln <= 512)
+                    want, _ = pp.auto_group_size(
+                        g_pa, g_px, g_py, plan.nnzb_x, self.lm, self.ln,
+                        precision, row_of=row_of_x, col_of=plan.colindx,
+                        candidates=cands)
+                if want > 1:
+                    self.gp = pp.pack_grouped(
+                        g_pa, g_px, g_py, plan.nnzb_x, self.ln, want,
+                        row_of=row_of_x, col_of=plan.colindx)
+                    g_pa, g_px, g_py = (self.gp.pair_a2, self.gp.pair_x2,
+                                        self.gp.pair_y2)
+                    g_row, g_col = self.gp.row_of2, self.gp.col_of2
+                    self.ln = self.gp.ln2
+                    eff_nnzb = self.gp.nnzb2
+            except ValueError:
+                self.gp = None
+        try:
+            self.pp_plan = pp.pack_pair_plan(
+                g_pa, g_px, g_py, eff_nnzb, eff_nnzb, self.lm, self.ln,
+                r_tile=r_tile, row_of=g_row, col_of=g_col)
+        except ValueError:
+            if self.gp is None:
+                raise
+            self.gp = None                  # grouped windows too ragged
+            self.ln = self.ln0
+            self.pp_plan = pp.pack_pair_plan(
+                plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
+                plan.nnzb_x, plan.nnzb_x, self.lm, self.ln,
+                r_tile=r_tile, row_of=row_of_x, col_of=plan.colindx)
         p0 = self.pp_plan
         lm, S, g = self.lm, p0.s_window, p0.copy_g
         self.swrows = S * lm
@@ -153,20 +194,43 @@ class ShardedPairsSolver:
                 t = max(1, t // 2)
         self.t_step = t
 
-        # one-hot column map per local row (for reductions + scaling)
+        # one-hot column map per local row (for reductions + scaling);
+        # grouped: the one-hot contracts GROUPS, the (group, lane-block)
+        # -> column remap happens after the psum, and a per-slot lane mask
+        # zeroes grouped products on absent lanes
         ncc = plan.ncols
         self.ncc = ncc
+        n_oh = self.gp.ngroups if self.gp is not None else ncc
         colx = p0.col_of_new
-        row_col = np.repeat(np.where(colx >= 0, colx, ncc),
+        row_col = np.repeat(np.where(colx >= 0, colx, n_oh),
                             self.lm).astype(np.int64)
-        onehot = np.zeros((p0.x_rows_padded, ncc + 1), np.float32)
+        onehot = np.zeros((p0.x_rows_padded, n_oh + 1), np.float32)
         onehot[np.arange(row_col.shape[0]), row_col] = 1.0
-        onehot = onehot[:, :ncc]
-        assert self.ny_rows >= (p0.n_slots or plan.nnzb_x) * self.lm
-        oh_pad = np.zeros((self.vec_rows_pad, ncc), np.float32)
+        onehot = onehot[:, :n_oh]
+        assert self.ny_rows >= (p0.n_slots or eff_nnzb) * self.lm
+        oh_pad = np.zeros((self.vec_rows_pad, n_oh), np.float32)
         n_keep = min(p0.x_rows_padded, self.vec_rows_pad)
         oh_pad[:n_keep] = onehot[:n_keep]
-        self.onehot_sh = oh_pad.reshape(self.pr, self.vrows_local, ncc)
+        self.onehot_sh = oh_pad.reshape(self.pr, self.vrows_local, n_oh)
+        self.n_oh = n_oh
+        if self.gp is not None:
+            gsz = self.gp.group_size
+            gc = np.zeros(ncc, np.int64)
+            for gi, grp in enumerate(self.gp.groups):
+                for cpos, c in enumerate(grp):
+                    gc[c] = gi * gsz + cpos
+            self.gc_np = gc
+            m_slot = pp.grouped_lane_mask(p0, self.gp)  # [slots, 2ln2]
+            slots_pad = self.vec_rows_pad // self.lm
+            mp = np.zeros((slots_pad, m_slot.shape[1]), np.float32)
+            keep = min(m_slot.shape[0], slots_pad)
+            mp[:keep] = m_slot[:keep]
+            self.mask_sh = mp.reshape(self.pr, self.vrows_local // self.lm,
+                                      2 * self.ln)
+        else:
+            self.gc_np = None
+            self.mask_sh = np.ones(
+                (self.pr, 1, 2 * self.ln), np.float32)
 
         self._a_panels = None
         self._call_loc = None
@@ -250,12 +314,15 @@ class ShardedPairsSolver:
                   scatter=None):
         """Blocks -> row-sharded fused vector [pr, vrows_local, 2ln]."""
         if scatter is not None:
-            xr = np.zeros((self.plan.nnzb_x, self.lm, self.ln),
+            xr = np.zeros((self.plan.nnzb_x, self.lm, self.ln0),
                           re_blocks.dtype)
             xi = np.zeros_like(xr)
             np.add.at(xr, scatter, re_blocks)
             np.add.at(xi, scatter, im_blocks)
             re_blocks, im_blocks = xr, xi
+        if self.gp is not None:
+            re_blocks = np.asarray(pp.grouped_blocks(self.gp, re_blocks))
+            im_blocks = np.asarray(pp.grouped_blocks(self.gp, im_blocks))
         flat = pp.permute_x(self.pp_plan, re_blocks, im_blocks)
         out = np.zeros((self.vec_rows_pad, 2 * self.ln), flat.dtype)
         n_keep = min(flat.shape[0], self.vec_rows_pad)
@@ -271,7 +338,7 @@ class ShardedPairsSolver:
         b_sh = jnp.asarray(self._pack_vec(
             np.asarray(b_re, np.float32), np.asarray(b_im, np.float32),
             scatter=self.plan.subset.astype(np.int64)))
-        v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln)
+        v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln0)
         v3_sh = jnp.asarray(self._pack_vec(np.asarray(v3[0]),
                                            np.asarray(v3[1])))
         tabs = []
@@ -282,6 +349,7 @@ class ShardedPairsSolver:
                         jnp.zeros((self.pr, 1), jnp.int32))
         out = self._solve_core(
             self.mesh, b_sh, v3_sh, jnp.asarray(self.onehot_sh),
+            jnp.asarray(self.mask_sh),
             *tabs, *self._a_panels,
             tolerance=float(tolerance),
             max_iterations=int(max_iterations))
@@ -289,18 +357,26 @@ class ShardedPairsSolver:
         flat = np.asarray(x_sh).reshape(self.vec_rows_pad, 2 * self.ln)
         re, im = pp.unpermute_y(self.pp_plan,
                                 flat[: self.pp_plan.x_rows_padded])
+        if self.gp is not None:
+            re = pp.ungroup_blocks(self.gp, re)
+            im = pp.ungroup_blocks(self.gp, im)
         info = dict(return_status=int(status), iterations=int(iters),
                     residuum=float(resid), n_probes=int(n_probes),
                     rhs_status=np.asarray(rhs_status))
         return re + 1j * im, info
 
     @partial(jax.jit, static_argnames=("self", "mesh", "max_iterations"))
-    def _solve_core(self, mesh, b_sh, v3_sh, onehot_sh,
+    def _solve_core(self, mesh, b_sh, v3_sh, onehot_sh, mask_sh,
                     wsel_rem, trips_rem, codes_rem,
                     wsel_loc, trips_loc, codes_loc,
                     *a_panels, tolerance=1e-5, max_iterations=300):
         p0 = self.pp_plan
         ncc, ln, lm = self.ncc, self.ln, self.lm
+        gp = self.gp
+        gsz = gp.group_size if gp is not None else 1
+        ln0 = ln // gsz
+        gc = jnp.asarray(self.gc_np) if gp is not None else None
+        n_oh = self.n_oh
         m = p0.r_tile * lm
         nxrows = p0.x_rows_padded
         vrl = self.vrows_local
@@ -311,10 +387,11 @@ class ShardedPairsSolver:
         sdt = decisions.scalar_dtype()
         g_rows = p0.copy_g * lm
 
-        def shard_fn(b, v3, oh, wr, tr_r, cr, wl, tr_l, cl, *ap):
+        def shard_fn(b, v3, oh, msk, wr, tr_r, cr, wl, tr_l, cl, *ap):
             b = b.reshape(b.shape[1:])
             v3 = v3.reshape(v3.shape[1:])
             oh = oh.reshape(oh.shape[1:])
+            msk = msk.reshape(msk.shape[1:])
             wr, tr_r, cr = (x.reshape(x.shape[1:]) for x in (wr, tr_r, cr))
             wl, tr_l, cl = (x.reshape(x.shape[1:]) for x in (wl, tr_l, cl))
             ap = [a.reshape(a.shape[1:]) for a in ap]
@@ -361,7 +438,9 @@ class ShardedPairsSolver:
                     y = y_loc
                 else:
                     y = y_rem[: tl * m]
-                return y
+                # grouped: zero products on absent lanes of existing cells
+                return (y.reshape(-1, lm, 2 * ln)
+                        * msk[:, None, :]).reshape(-1, 2 * ln)
 
             def halves(x):
                 return x[:, :ln], x[:, ln:]
@@ -372,26 +451,38 @@ class ShardedPairsSolver:
                 return (jax.lax.dot(o, hi, preferred_element_type=dt)
                         + jax.lax.dot(o, lo, preferred_element_type=dt))
 
+            def _remap(z):
+                """[n_oh, ln] group sums -> [ncc, ln0] per-column sums."""
+                if gp is None:
+                    return z
+                return z.reshape(n_oh * gsz, ln0)[gc]
+
             def dotp(x, y):
                 xr, xi = halves(x)
                 yr, yi = halves(y)
                 zr = exact_dot(oh.T, xr * yr - xi * yi)
                 zi = exact_dot(oh.T, xr * yi + xi * yr)
-                return (jax.lax.psum(zr.astype(sdt), "rows"),
-                        jax.lax.psum(zi.astype(sdt), "rows"))
+                return (_remap(jax.lax.psum(zr, "rows")).astype(sdt),
+                        _remap(jax.lax.psum(zi, "rows")).astype(sdt))
 
             def nrm2(x):
                 xr, xi = halves(x)
                 d = exact_dot(oh.T, xr * xr + xi * xi)
-                return jax.lax.psum(d.astype(sdt), "rows")
+                return _remap(jax.lax.psum(d, "rows")).astype(sdt)
 
             def _scale(a):
                 dt = jnp.float32
                 hp = jax.lax.Precision.HIGHEST
-                return (jax.lax.dot(oh, a[0].astype(dt),
-                                    preferred_element_type=dt, precision=hp),
-                        jax.lax.dot(oh, a[1].astype(dt),
-                                    preferred_element_type=dt, precision=hp))
+
+                def expand(v):
+                    v = v.astype(dt)
+                    if gp is not None:
+                        flat = jnp.zeros((n_oh * gsz, ln0), dt)
+                        v = flat.at[gc].set(v).reshape(n_oh, ln)
+                    return jax.lax.dot(oh, v, preferred_element_type=dt,
+                                       precision=hp)
+
+                return expand(a[0]), expand(a[1])
 
             def axpy(y, x, a):
                 ar, ai = _scale(a)
@@ -432,8 +523,8 @@ class ShardedPairsSolver:
         rep = P()
         return shard_map(
             shard_fn, mesh=mesh,
-            in_specs=tuple([r_] * (9 + len(a_panels))),
+            in_specs=tuple([r_] * (10 + len(a_panels))),
             out_specs=(r_, rep, rep, rep, rep, rep),
             check_vma=False,
-        )(b_sh, v3_sh, onehot_sh, wsel_rem, trips_rem, codes_rem,
+        )(b_sh, v3_sh, onehot_sh, mask_sh, wsel_rem, trips_rem, codes_rem,
           wsel_loc, trips_loc, codes_loc, *a_panels)
