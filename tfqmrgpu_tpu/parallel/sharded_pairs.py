@@ -295,9 +295,16 @@ class ShardedPairsSolver:
         panels = jnp.pad(panels, ((0, pad), (0, 0), (0, 0)))
         panels = panels.reshape(self.pr, self.tiles_local, m2, k)
         if self.precision in ("bf16", "bf16x3", "bf16x4"):
-            self._a_panels = pp.split_bf16x2(panels)
+            parts = pp.split_bf16x2(panels)
         else:
-            self._a_panels = (panels,)
+            parts = (panels,)
+        from . import multihost as mh
+
+        if mh.is_multiprocess():
+            # panels were built process-locally; re-enter as global
+            # row-sharded arrays for the multi-host mesh
+            parts = tuple(self._to_dev(np.asarray(p)) for p in parts)
+        self._a_panels = parts
         mk = dict(copy_g=p0.copy_g, t_step=self.t_step)
         if self.n_loc:
             self._call_loc = pp._make_call(
@@ -331,30 +338,45 @@ class ShardedPairsSolver:
 
     # ------------------------------------------------------------ solve
 
+    def _to_dev(self, arr):
+        """Row-sharded device array; multi-PROCESS meshes route through
+        the global-array constructor (see parallel.multihost)."""
+        from . import multihost as mh
+
+        if mh.is_multiprocess():
+            return mh.put_global(np.asarray(arr), self.mesh, P("rows"))
+        return jnp.asarray(arr)
+
     def solve(self, a_re, a_im, b_re, b_im, tolerance=1e-5,
               max_iterations=300):
+        from . import multihost as mh
+
         if self._a_panels is None:
             self.set_matrix_a(np.asarray(a_re), np.asarray(a_im))
-        b_sh = jnp.asarray(self._pack_vec(
+        b_sh = self._to_dev(self._pack_vec(
             np.asarray(b_re, np.float32), np.asarray(b_im, np.float32),
             scatter=self.plan.subset.astype(np.int64)))
         v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln0)
-        v3_sh = jnp.asarray(self._pack_vec(np.asarray(v3[0]),
-                                           np.asarray(v3[1])))
+        v3_sh = self._to_dev(self._pack_vec(np.asarray(v3[0]),
+                                            np.asarray(v3[1])))
         tabs = []
         for name in ("wsel_rem", "trips_rem", "codes_rem",
                      "wsel_loc", "trips_loc", "codes_loc"):
             arr = getattr(self, name, None)
-            tabs.append(jnp.asarray(arr) if arr is not None else
-                        jnp.zeros((self.pr, 1), jnp.int32))
+            tabs.append(self._to_dev(arr) if arr is not None else
+                        self._to_dev(np.zeros((self.pr, 1), np.int32)))
         out = self._solve_core(
-            self.mesh, b_sh, v3_sh, jnp.asarray(self.onehot_sh),
-            jnp.asarray(self.mask_sh),
+            self.mesh, b_sh, v3_sh, self._to_dev(self.onehot_sh),
+            self._to_dev(self.mask_sh),
             *tabs, *self._a_panels,
             tolerance=float(tolerance),
             max_iterations=int(max_iterations))
         x_sh, status, iters, resid, rhs_status, n_probes = out
-        flat = np.asarray(x_sh).reshape(self.vec_rows_pad, 2 * self.ln)
+        if mh.is_multiprocess():
+            flat = mh.gather_global(x_sh, self.mesh)
+        else:
+            flat = np.asarray(x_sh)
+        flat = flat.reshape(self.vec_rows_pad, 2 * self.ln)
         re, im = pp.unpermute_y(self.pp_plan,
                                 flat[: self.pp_plan.x_rows_padded])
         if self.gp is not None:
