@@ -490,15 +490,11 @@ def main():
             # auto-pick, 1 = off, N = force group size N.
             colgroup = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
             gp = None
-            eff_ln = ln
-            eff_nnzb = nnzb_y
-            g_pa, g_px, g_py = pair_a, pair_x, pair_y
-            g_row = g_col = None
+            mm_eff = mm_prec if not mm_auto else "bf16x4"
             if colgroup != 1:
                 try:
                     row_g, col_g = pp.recover_geometry(pair_a, pair_x,
                                                        pair_y, nnzb_y)
-                    g_row, g_col = row_g, col_g
                     if colgroup == 0:
                         gbest, gests = pp.auto_group_size(
                             pair_a, pair_x, pair_y, nnzb_y, lm, ln,
@@ -509,35 +505,38 @@ def main():
                             for g, e in sorted(gests.items())))
                     else:
                         gbest = colgroup
-                    if gbest > 1:
-                        gp = pp.pack_grouped(pair_a, pair_x, pair_y,
-                                             nnzb_y, ln, gbest,
-                                             row_of=row_g, col_of=col_g)
-                        g_pa, g_px, g_py = (gp.pair_a2, gp.pair_x2,
-                                            gp.pair_y2)
-                        g_row, g_col = gp.row_of2, gp.col_of2
-                        eff_ln = gp.ln2
-                        eff_nnzb = gp.nnzb2
-                        log(f"# colgroup G={gbest}: {nnzb_y} blocks -> "
-                            f"{gp.nnzb2} cells, {n_pairs} pairs -> "
-                            f"{len(g_pa)} (A dedup "
-                            f"{n_pairs/len(g_pa):.2f}x), lanes={gp.ln2}")
+                    # feasibility vs the heavier exact-f32 kernel: the
+                    # auto mode may fall back to it after the gate probe
+                    gp, pplan = pp.pack_grouped_plan(
+                        pair_a, pair_x, pair_y, nnzb_y, lm, ln, gbest,
+                        "highest" if mm_auto else mm_prec,
+                        row_of=row_g, col_of=col_g,
+                        r_tile=r_tile, copy_g=copy_g,
+                        force=(colgroup > 1))
+                    if gp is not None:
+                        log(f"# colgroup G={gp.group_size}: {nnzb_y} "
+                            f"blocks -> {gp.nnzb2} cells, {n_pairs} "
+                            f"pairs -> {len(gp.pair_a2)} (A dedup "
+                            f"{n_pairs/len(gp.pair_a2):.2f}x), "
+                            f"lanes={gp.ln2}")
+                    elif gbest > 1:
+                        log("# colgroup infeasible (VMEM/pack); "
+                            "ungrouped")
                 except ValueError as e:
                     log(f"# colgroup unavailable ({e}); ungrouped")
-            try:
-                pplan = pp.pack_pair_plan(g_pa, g_px, g_py, eff_nnzb,
-                                          eff_nnzb, lm, eff_ln,
-                                          r_tile=r_tile, copy_g=copy_g,
-                                          row_of=g_row, col_of=g_col)
-            except ValueError:
-                if gp is None:
-                    raise
-                log("# grouped plan failed to pack; retrying ungrouped")
-                gp = None
-                eff_ln, eff_nnzb = ln, nnzb_y
+                    gp = None
+                    pplan = pp.pack_pair_plan(
+                        pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
+                        r_tile=r_tile, copy_g=copy_g)
+            else:
                 pplan = pp.pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y,
                                           nnzb_x, lm, ln, r_tile=r_tile,
                                           copy_g=copy_g)
+            if os.environ.get("TFQ_BENCH_TSTEP"):
+                t_step = int(os.environ["TFQ_BENCH_TSTEP"])
+            else:
+                t_step = pp.auto_t_step(pplan, mm_eff)
+                log(f"# auto t_step={t_step}")
             # build the A panels on device (the host link is far too slow
             # for the ~1 GB inflated panels); the cos/sin arguments must be
             # range-reduced on the HOST in float64 -- float32 argument

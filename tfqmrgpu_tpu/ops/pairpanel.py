@@ -419,6 +419,32 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     return nsteps, wsel_step, codes_flat.reshape(-1), trips, cmax
 
 
+def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
+    """Modeled VMEM working set of the kernel at grid-step batch ``t``:
+    double-buffered A panels, union scratch, the two resident window
+    replicas, and the output buffers."""
+    split = precision in ("bf16", "bf16x3", "bf16x4")
+    a_b, n_a = (2, 2) if split else (4, 1)
+    w_lanes = (4 if split else 2) * plan.ln
+    w_b = 2 if split else 4
+    lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
+    m2 = 2 * plan.r_tile * lm
+    m = plan.r_tile * lm
+    win = 2 * (2 * S + g) * lm * w_lanes * w_b
+    return (2 * n_a * t * m2 * ku * lm * a_b
+            + 2 * (t * ku + g) * lm * w_lanes * w_b
+            + win + 2 * t * m * 2 * plan.ln * 4)
+
+
+def plan_fits_vmem(plan: PairPanelPlan, precision: str,
+                   cap: int = 100 << 20) -> bool:
+    """Whether the kernel can run AT ALL (t_step=1) under the v5e scoped
+    VMEM -- wide-lane grouped plans with large window spans can exceed the
+    chip's 128 MB regardless of batching (the resident windows scale with
+    span x lanes)."""
+    return vmem_need_bytes(plan, precision, 1) <= cap
+
+
 def auto_t_step(plan: PairPanelPlan, precision: str,
                 vmem_budget: int = 0, t_max: int = 64) -> int:
     """Largest t_step whose VMEM working set fits ``vmem_budget`` and whose
@@ -433,20 +459,14 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
     TFQ_PAIRS_VMEM, in MB)."""
     if not vmem_budget:
         vmem_budget = int(_os.environ.get("TFQ_PAIRS_VMEM", "56")) << 20
-    split = precision in ("bf16", "bf16x3", "bf16x4")
-    a_b, n_a = (2, 2) if split else (4, 1)
-    w_lanes = (4 if split else 2) * plan.ln
-    w_b = 2 if split else 4
-    lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
-    m2 = 2 * plan.r_tile * lm
-    m = plan.r_tile * lm
-    win = 2 * (2 * S + g) * lm * w_lanes * w_b
+        # wide-lane (grouped) plans carry big resident windows; grant
+        # headroom above them up to the physical cap so t_step does not
+        # collapse to 1 (the window bytes are t-independent)
+        win = vmem_need_bytes(plan, precision, 0)
+        vmem_budget = max(vmem_budget, min(win + (44 << 20), 100 << 20))
     t = int(t_max)
     while t > 1:
-        need = (2 * n_a * t * m2 * ku * lm * a_b
-                + 2 * (t * ku + g) * lm * w_lanes * w_b
-                + win + 2 * t * m * 2 * plan.ln * 4)
-        if need <= vmem_budget:
+        if vmem_need_bytes(plan, precision, t) <= vmem_budget:
             try:
                 make_step_tables(plan, t)
                 return t
@@ -731,6 +751,71 @@ def ungroup_blocks(gp: GroupedPairs, cells: np.ndarray) -> np.ndarray:
     ln = gp.ln2 // gp.group_size
     c4 = cells.reshape(gp.nnzb2, lm, gp.group_size, ln).transpose(0, 2, 1, 3)
     return np.asarray(c4)[gp.cell_of_blk, gp.lane_of_blk]
+
+
+def plan_time_model(plan: PairPanelPlan, precision: str,
+                    hbm_gbps: float = 140.0,
+                    step_us: float = 9.0) -> tuple:
+    """(est_ms, t_step) for one multiply of a packed plan: max of A-panel
+    streaming, MXU time, and per-grid-step fixed cost at the plan's
+    admissible t_step (resident windows can force t_step down to 1, where
+    the fixed cost dominates -- the reason grouped candidates must be
+    costed POST-pack)."""
+    t = auto_t_step(plan, precision)
+    split = precision in ("bf16", "bf16x3", "bf16x4")
+    a_bytes = plan.ntiles * plan.ku * 2 * plan.lm * plan.lm \
+        * (2 if split else 4)
+    passes = {"highest": 6.0, "bf16x4": 4.0, "bf16x3": 3.0,
+              "bf16": 1.0}.get(precision, 6.0)
+    mxu_flops = plan.ntiles * plan.ku * plan.lm * plan.lm * plan.ln * 8
+    a_ms = a_bytes / (hbm_gbps * 1e6)
+    mxu_ms = mxu_flops / (173e9 / passes)
+    steps = -(-plan.ntiles // (plan.r_tile * t)) if t else plan.ntiles
+    fixed_ms = steps * step_us * 1e-3
+    return max(a_ms, mxu_ms, fixed_ms), t
+
+
+def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
+                      want: int, precision: str = "highest",
+                      row_of=None, col_of=None, r_tile: int = 1,
+                      copy_g: int = 2, vmem_cap: int = 100 << 20,
+                      force: bool = False):
+    """Pack with column grouping: tries group sizes ``want``, want/2, ...
+    1, keeps only candidates that pack AND fit VMEM at t_step=1 (wide
+    grouped lanes multiply the resident window bytes), and returns the
+    one with the best post-pack time model (A stream / MXU / per-step
+    fixed cost at the ADMISSIBLE t_step -- a G that models fastest
+    pre-pack can be forced to t_step=1 by its own windows).  Returns
+    (gp_or_None, plan); gp is None when ungrouped wins.  ``force`` (an
+    explicit user-chosen group size) skips the model comparison -- the
+    first feasible grouped candidate wins.  Raises ValueError only if
+    even the ungrouped pack fails."""
+    best = None
+    g = int(want)
+    while g > 1:
+        try:
+            gp = pack_grouped(pair_a, pair_x, pair_y, nnzb, ln, g,
+                              row_of=row_of, col_of=col_of)
+            plan = pack_pair_plan(gp.pair_a2, gp.pair_x2, gp.pair_y2,
+                                  gp.nnzb2, gp.nnzb2, lm, gp.ln2,
+                                  r_tile=r_tile, copy_g=copy_g,
+                                  row_of=gp.row_of2, col_of=gp.col_of2)
+            if plan_fits_vmem(plan, precision, cap=vmem_cap):
+                if force:
+                    return gp, plan
+                est, _ = plan_time_model(plan, precision)
+                if best is None or est < best[0]:
+                    best = (est, gp, plan)
+        except ValueError:
+            pass
+        g //= 2
+    plan = pack_pair_plan(pair_a, pair_x, pair_y, nnzb, nnzb, lm, ln,
+                          r_tile=r_tile, copy_g=copy_g,
+                          row_of=row_of, col_of=col_of)
+    est, _ = plan_time_model(plan, precision)
+    if best is not None and best[0] < est:
+        return best[1], best[2]
+    return None, plan
 
 
 def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,

@@ -88,40 +88,32 @@ class ShardedPairsSolver:
         # per shard drop with the tile count
         self.gp = None
         self.ln0 = self.ln                   # per-RHS lane width (blocks)
-        g_pa, g_px, g_py = plan.pairs[:, 0], plan.pairs[:, 1], pair_y
-        g_row, g_col = row_of_x, plan.colindx
         eff_nnzb = plan.nnzb_x
         cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
+        want = 0
         if cg_env != "1" and plan.ncols >= 2:
-            try:
-                want = int(cg_env)
-                if want == 0:
-                    cands = tuple(g for g in (1, 2, 4, 8)
-                                  if g * self.ln <= 512)
+            want = int(cg_env)
+            if want == 0:
+                cands = tuple(g for g in (1, 2, 4, 8)
+                              if g * self.ln <= 512)
+                try:
                     want, _ = pp.auto_group_size(
-                        g_pa, g_px, g_py, plan.nnzb_x, self.lm, self.ln,
-                        precision, row_of=row_of_x, col_of=plan.colindx,
+                        plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
+                        plan.nnzb_x, self.lm, self.ln, precision,
+                        row_of=row_of_x, col_of=plan.colindx,
                         candidates=cands)
-                if want > 1:
-                    self.gp = pp.pack_grouped(
-                        g_pa, g_px, g_py, plan.nnzb_x, self.ln, want,
-                        row_of=row_of_x, col_of=plan.colindx)
-                    g_pa, g_px, g_py = (self.gp.pair_a2, self.gp.pair_x2,
-                                        self.gp.pair_y2)
-                    g_row, g_col = self.gp.row_of2, self.gp.col_of2
-                    self.ln = self.gp.ln2
-                    eff_nnzb = self.gp.nnzb2
-            except ValueError:
-                self.gp = None
-        try:
-            self.pp_plan = pp.pack_pair_plan(
-                g_pa, g_px, g_py, eff_nnzb, eff_nnzb, self.lm, self.ln,
-                r_tile=r_tile, row_of=g_row, col_of=g_col)
-        except ValueError:
-            if self.gp is None:
-                raise
-            self.gp = None                  # grouped windows too ragged
-            self.ln = self.ln0
+                except ValueError:
+                    want = 0
+        if want > 1:
+            self.gp, self.pp_plan = pp.pack_grouped_plan(
+                plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
+                plan.nnzb_x, self.lm, self.ln, want, precision,
+                row_of=row_of_x, col_of=plan.colindx, r_tile=r_tile,
+                force=(cg_env not in ("0", "1")))
+            if self.gp is not None:
+                self.ln = self.gp.ln2
+                eff_nnzb = self.gp.nnzb2
+        else:
             self.pp_plan = pp.pack_pair_plan(
                 plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
                 plan.nnzb_x, plan.nnzb_x, self.lm, self.ln,

@@ -198,64 +198,44 @@ class Solver:
                 self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC",
                                                 "highest")
                 cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
-                eff_ln, eff_nnzb = self.ln, self.plan.nnzb_x
-                g_pa = self.plan.pairs[:, 0]
-                g_px = self.plan.pairs[:, 1]
-                g_py = pair_y
-                g_row, g_col = row_of_x, self.plan.colindx
+                rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
+                cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
+                want = 0
                 if (cg_env != "1" and not col_pad
                         and self.plan.ncols >= 2):
-                    try:
-                        want = int(cg_env)
-                        if want == 0:
-                            cands = tuple(g for g in (1, 2, 4, 8)
-                                          if g * self.ln <= 512)
+                    want = int(cg_env)
+                    if want == 0:
+                        cands = tuple(g for g in (1, 2, 4, 8)
+                                      if g * self.ln <= 512)
+                        try:
                             want, _ests = pp_ops.auto_group_size(
-                                g_pa, g_px, g_py, self.plan.nnzb_x,
-                                self.lm, self.ln, self._pp_prec,
-                                row_of=row_of_x, col_of=self.plan.colindx,
+                                self.plan.pairs[:, 0],
+                                self.plan.pairs[:, 1], pair_y,
+                                self.plan.nnzb_x, self.lm, self.ln,
+                                self._pp_prec, row_of=row_of_x,
+                                col_of=self.plan.colindx,
                                 candidates=cands)
-                        if want > 1:
-                            self._gp = pp_ops.pack_grouped(
-                                g_pa, g_px, g_py, self.plan.nnzb_x,
-                                self.ln, want, row_of=row_of_x,
-                                col_of=self.plan.colindx)
-                            g_pa = self._gp.pair_a2
-                            g_px = self._gp.pair_x2
-                            g_py = self._gp.pair_y2
-                            g_row, g_col = (self._gp.row_of2,
-                                            self._gp.col_of2)
-                            eff_ln = self._gp.ln2
-                            eff_nnzb = self._gp.nnzb2
-                    except ValueError:
-                        self._gp = None        # not a full intersection
+                        except ValueError:
+                            want = 0
                 # r_tile=1 measured best on v5e (1.09x vs 2.0x panel
                 # inflation at r_tile=2; t_step batching already amortizes
                 # the per-step fixed cost that r_tile=2 targeted)
-                try:
-                    self._pp_plan = pp_ops.pack_pair_plan(
-                        g_pa, g_px, g_py, eff_nnzb, eff_nnzb, self.lm,
-                        eff_ln,
-                        r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE",
-                                                   "1")),
-                        row_of=g_row, col_of=g_col,
-                        col_pad=bool(col_pad and self._gp is None),
-                        copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG",
-                                                   "2")))
-                except ValueError:
-                    if self._gp is None:
-                        raise
-                    self._gp = None      # grouped windows too ragged
+                if want > 1:
+                    # walks the group size down until the grouped plan
+                    # both packs and fits VMEM; None = ungrouped
+                    self._gp, self._pp_plan = pp_ops.pack_grouped_plan(
+                        self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                        pair_y, self.plan.nnzb_x, self.lm, self.ln,
+                        want, self._pp_prec, row_of=row_of_x,
+                        col_of=self.plan.colindx, r_tile=rt,
+                        copy_g=cg_copy, force=(cg_env not in ("0", "1")))
+                else:
                     self._pp_plan = pp_ops.pack_pair_plan(
                         self.plan.pairs[:, 0], self.plan.pairs[:, 1],
                         pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
-                        self.lm, self.ln,
-                        r_tile=int(_os.environ.get("TFQ_PAIRS_RTILE",
-                                                   "1")),
+                        self.lm, self.ln, r_tile=rt,
                         row_of=row_of_x, col_of=self.plan.colindx,
-                        col_pad=bool(col_pad),
-                        copy_g=int(_os.environ.get("TFQ_PAIRS_COPYG",
-                                                   "2")))
+                        col_pad=bool(col_pad), copy_g=cg_copy)
             except ValueError:
                 if not auto:
                     raise
