@@ -3,6 +3,8 @@
 # tools/r02_batch.sh completes; one job at a time on the single chip).
 set -x
 cd /root/repo
+# re-run sweep rows that errored before the VMEM-feasibility fix
+python tools/blocksize_sweep.py BLOCKSIZES_r02.json 16 >> /tmp/sweep.log 2>&1
 # golden SpMM, exact-f32, grouped (model auto-pick) -- the headline
 TFQ_BENCH_MM_PREC=highest TFQ_BENCH_NREP=32 timeout 2400 python bench.py \
   > /tmp/g_cg_hi.json 2>/tmp/g_cg_hi.log
