@@ -150,6 +150,11 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
 
     # HBM bytes: 2 SpMM reads of A + ~13 passes over the X-shaped vectors
     nvec = plan.nnzb_x * 2 * lm * ln * rsize
+    gp = getattr(solver, "_gp", None)
+    if solver.engine == "pairs" and gp is not None:
+        # column-grouped vectors carry G lane-blocks per cell (zero-filled
+        # absent lanes still move over HBM)
+        nvec = gp.nnzb2 * 2 * lm * gp.ln2 * rsize
     if solver.engine == "dense":
         nr = plan.nrows * lm
         a_bytes = 2 * nr * nr * rsize
