@@ -200,3 +200,34 @@ def test_solver_grouped_auto_falls_back(rng, monkeypatch):
     assert s._gp is None
     info = s.solve(tolerance=1e-4, max_iterations=300)
     assert info.residuum_reached <= 1e-4
+
+
+def test_grouped_bucketed_multiply(rng):
+    """ku-bucketed kernel over a grouped plan (the bench's b>1 path)."""
+    import jax.numpy as jnp
+
+    lm = ln = 4
+    pa, px, py, na, nx, xr, xc = _sparse_intersection_plan(rng)
+    gp = pp.pack_grouped(pa, px, py, nx, ln, 2)
+    plan = pp.pack_pair_plan(gp.pair_a2, gp.pair_x2, gp.pair_y2,
+                             gp.nnzb2, gp.nnzb2, lm, gp.ln2, r_tile=1,
+                             row_of=gp.row_of2, col_of=gp.col_of2)
+    bplan = pp.bucketize(plan, n_buckets=2)
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+    panels = pp.build_a_panels_bucketed_device(
+        bplan, jnp.asarray(a.real.astype(np.float32)),
+        jnp.asarray(a.imag.astype(np.float32)))
+    mult = pp.BucketedMultiply(bplan, panels, precision="highest",
+                               interpret=True)
+    x2r = np.asarray(pp.grouped_blocks(gp, x.real.astype(np.float32)))
+    x2i = np.asarray(pp.grouped_blocks(gp, x.imag.astype(np.float32)))
+    xf = jnp.asarray(pp.permute_x(plan, x2r, x2i))
+    yh = np.asarray(mult(xf))
+    yre2, yim2 = pp.unpermute_y(plan, yh)
+    got = (pp.ungroup_blocks(gp, yre2) + 1j * pp.ungroup_blocks(gp, yim2))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
