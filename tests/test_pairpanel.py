@@ -192,3 +192,37 @@ def test_golden_plan_files_order_independence():
     assert packs[0].ku == packs[1].ku
     assert packs[0].s_window == packs[1].s_window
     np.testing.assert_array_equal(packs[0].perm, packs[1].perm)
+
+
+@pytest.mark.parametrize("stride_factor", [2, 3])
+def test_stride_factor_windows_match(rng, stride_factor):
+    """Stride-factor windows (bigger segment, span-sized cover) must be
+    bit-identical to the legacy 2S overlap."""
+    import jax.numpy as jnp
+
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=24, ncols=2, lm=lm, ln=ln)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    got = {}
+    for k in (1, stride_factor):
+        plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1,
+                                 stride_factor=k)
+        if k > 1:
+            assert plan.o_blocks < plan.s_window
+        panels = jnp.asarray(pp.build_a_panels(
+            plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+        mult = pp.make_pairpanel_multiply(plan, panels,
+                                         precision="highest",
+                                         interpret=True, t_step=2)
+        xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                      x.imag.astype(np.float32)))
+        yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+        got[k] = yre + 1j * yim
+        scale = np.max(np.abs(want))
+        assert np.max(np.abs(got[k] - want)) / scale < 1e-5
+    np.testing.assert_array_equal(got[1], got[stride_factor])

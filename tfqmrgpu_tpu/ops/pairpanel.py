@@ -136,7 +136,7 @@ class PairPanelPlan:
     ku: int                  # union X blocks per tile (max-padded)
     lm: int
     ln: int
-    s_window: int            # window size in blocks
+    s_window: int            # window STRIDE in blocks (segment size)
     n_windows: int           # number of S-block segments the padded X spans
     nnzb_y: int
     nnzb_x: int
@@ -154,6 +154,12 @@ class PairPanelPlan:
     # compressed column of each NEW block id (pad blocks -> -1); used by the
     # fused solver primitives for per-column segmented reductions
     col_of_new: np.ndarray
+    # window COVER in blocks: each replica spans s_window + o_window (+g)
+    # blocks.  o_window == s_window is the legacy 2S overlap; a stride
+    # factor k sets s_window = k*base and o_window = base, cutting the
+    # replica traffic from 2x to (k+1)/k of the X panel at the price of
+    # (k+1)/2 times the resident window VMEM.
+    o_window: int = 0
     r_col: int = 0           # blocks per column in col_pad layout (0 = off)
     n_slots: int = 0         # relabeled block-slot count (>= nnzb_x) = None
     # Run-aware copy program: each code = (src_rel << 16) | dst_slot moves
@@ -173,12 +179,18 @@ class PairPanelPlan:
     def x_rows_padded(self) -> int:
         return self.n_windows * self.s_window * self.lm
 
+    @property
+    def o_blocks(self) -> int:
+        """Effective window cover (legacy plans stored 0 = stride)."""
+        return self.o_window or self.s_window
+
 
 def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
                    lm: int, ln: int, r_tile: int = 2,
                    max_window: int = 512, s_window: int = 0,
                    row_of=None, col_of=None,
-                   col_pad: bool = False, copy_g: int = 2) -> PairPanelPlan:
+                   col_pad: bool = False, copy_g: int = 2,
+                   stride_factor: int = 1) -> PairPanelPlan:
     """Compile a pair list into the panel/window schedule.
 
     row_of/col_of: optional known geometry (from a real BSR plan); recovered
@@ -254,8 +266,14 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
     if s_window:
         if s_window < span_max:
             raise ValueError(f"s_window={s_window} < span {span_max}")
+        o_window = s_window
     else:
-        s_window = max(span_max, 2 * ku, 32)
+        base = max(span_max, 2 * ku, 32)
+        k_str = max(int(stride_factor), 1)
+        s_window = k_str * base
+        # the replica must cover any tile starting anywhere in its
+        # segment: stride + base; k=1 degenerates to the legacy 2S
+        o_window = base
 
     wsel = np.zeros(ntiles, np.int32)
     xloc = np.zeros((ntiles, ku), np.int32)
@@ -311,7 +329,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         col_of_new[: n_slots] = col[perm]
     return PairPanelPlan(
         ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
-        s_window=s_window, n_windows=n_windows,
+        s_window=s_window, n_windows=n_windows, o_window=o_window,
         nnzb_y=nnzb_y, nnzb_x=nnzb_x, perm=perm, inv_perm=inv,
         wsel=wsel, xloc=xloc, kcount=kcount,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
@@ -368,6 +386,7 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     T*ku slots (uninitialized-VMEM guard, including pad tiles)."""
     T = int(t_step)
     ku, S, g = plan.ku, plan.s_window, plan.copy_g
+    O = plan.o_blocks
     if T * ku + g > 0xFFFF:
         raise ValueError("step dst space exceeds the 16-bit field")
     if tiles is None:
@@ -393,7 +412,7 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
                 shift = (int(plan.wsel[t]) - wsel_base - w) * S
                 for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
                     rel, dst = (c >> 16) + shift, c & 0xFFFF
-                    if rel > 2 * S:
+                    if rel > S + O:
                         raise ValueError(
                             f"t_step={T}: window span overflow at step {s}")
                     codes.append((rel << 16) | (j * ku + dst))
@@ -430,7 +449,7 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
     m = plan.r_tile * lm
-    win = 2 * (2 * S + g) * lm * w_lanes * w_b
+    win = 2 * (S + plan.o_blocks + g) * lm * w_lanes * w_b
     return (2 * n_a * t * m2 * ku * lm * a_b
             + 2 * (t * ku + g) * lm * w_lanes * w_b
             + win + 2 * t * m * 2 * plan.ln * 4)
@@ -756,23 +775,32 @@ def ungroup_blocks(gp: GroupedPairs, cells: np.ndarray) -> np.ndarray:
 def plan_time_model(plan: PairPanelPlan, precision: str,
                     hbm_gbps: float = 140.0,
                     step_us: float = 9.0) -> tuple:
-    """(est_ms, t_step) for one multiply of a packed plan: max of A-panel
-    streaming, MXU time, and per-grid-step fixed cost at the plan's
+    """(est_ms, t_step) for one multiply of a packed plan: max of total
+    kernel DMA traffic (A panels + the overlapping X-window replicas + Y
+    writes -- wide grouped lanes inflate the WINDOW traffic and can eat
+    the A dedup), MXU time, and per-grid-step fixed cost at the plan's
     admissible t_step (resident windows can force t_step down to 1, where
     the fixed cost dominates -- the reason grouped candidates must be
     costed POST-pack)."""
     t = auto_t_step(plan, precision)
     split = precision in ("bf16", "bf16x3", "bf16x4")
-    a_bytes = plan.ntiles * plan.ku * 2 * plan.lm * plan.lm \
-        * (2 if split else 4)
+    lm, ku, S = plan.lm, plan.ku, plan.s_window
+    a_bytes = plan.ntiles * ku * 2 * lm * lm * (2 if split else 4)
+    # X: each (2S+g)-row replica window is streamed once (pallas
+    # revisiting); w_lanes/w_b as in vmem_need_bytes
+    w_lanes = (4 if split else 2) * plan.ln
+    w_b = 2 if split else 4
+    x_bytes = plan.n_windows * (S + plan.o_blocks + plan.copy_g) * lm \
+        * w_lanes * w_b
+    y_bytes = plan.ntiles * plan.r_tile * lm * 2 * plan.ln * 4
     passes = {"highest": 6.0, "bf16x4": 4.0, "bf16x3": 3.0,
               "bf16": 1.0}.get(precision, 6.0)
-    mxu_flops = plan.ntiles * plan.ku * plan.lm * plan.lm * plan.ln * 8
-    a_ms = a_bytes / (hbm_gbps * 1e6)
+    mxu_flops = plan.ntiles * ku * lm * lm * plan.ln * 8
+    dma_ms = (a_bytes + x_bytes + y_bytes) / (hbm_gbps * 1e6)
     mxu_ms = mxu_flops / (173e9 / passes)
     steps = -(-plan.ntiles // (plan.r_tile * t)) if t else plan.ntiles
     fixed_ms = steps * step_us * 1e-3
-    return max(a_ms, mxu_ms, fixed_ms), t
+    return max(dma_ms, mxu_ms, fixed_ms), t
 
 
 def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
@@ -788,34 +816,53 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     pre-pack can be forced to t_step=1 by its own windows).  Returns
     (gp_or_None, plan); gp is None when ungrouped wins.  ``force`` (an
     explicit user-chosen group size) skips the model comparison -- the
-    first feasible grouped candidate wins.  Raises ValueError only if
-    even the ungrouped pack fails."""
+    first feasible grouped candidate wins (at the best stride factor).
+    Raises ValueError only if even the ungrouped pack fails."""
+    def _candidates(packer):
+        """(est, plan) over window stride factors, best first."""
+        out = []
+        for k in (1, 2, 3):
+            try:
+                plan = packer(k)
+            except ValueError:
+                continue
+            if plan_fits_vmem(plan, precision, cap=vmem_cap):
+                est, _ = plan_time_model(plan, precision)
+                out.append((est, plan))
+        out.sort(key=lambda e: e[0])
+        return out
+
     best = None
     g = int(want)
     while g > 1:
         try:
             gp = pack_grouped(pair_a, pair_x, pair_y, nnzb, ln, g,
                               row_of=row_of, col_of=col_of)
-            plan = pack_pair_plan(gp.pair_a2, gp.pair_x2, gp.pair_y2,
-                                  gp.nnzb2, gp.nnzb2, lm, gp.ln2,
-                                  r_tile=r_tile, copy_g=copy_g,
-                                  row_of=gp.row_of2, col_of=gp.col_of2)
-            if plan_fits_vmem(plan, precision, cap=vmem_cap):
-                if force:
-                    return gp, plan
-                est, _ = plan_time_model(plan, precision)
-                if best is None or est < best[0]:
-                    best = (est, gp, plan)
         except ValueError:
-            pass
+            break                      # grouping invalid for ANY size
+        cands = _candidates(lambda k: pack_pair_plan(
+            gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2, gp.nnzb2,
+            lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
+            row_of=gp.row_of2, col_of=gp.col_of2, stride_factor=k))
+        if cands:
+            if force:
+                return gp, cands[0][1]
+            if best is None or cands[0][0] < best[0]:
+                best = (cands[0][0], gp, cands[0][1])
         g //= 2
-    plan = pack_pair_plan(pair_a, pair_x, pair_y, nnzb, nnzb, lm, ln,
-                          r_tile=r_tile, copy_g=copy_g,
-                          row_of=row_of, col_of=col_of)
-    est, _ = plan_time_model(plan, precision)
-    if best is not None and best[0] < est:
+    cands = _candidates(lambda k: pack_pair_plan(
+        pair_a, pair_x, pair_y, nnzb, nnzb, lm, ln, r_tile=r_tile,
+        copy_g=copy_g, row_of=row_of, col_of=col_of, stride_factor=k))
+    if not cands:
+        # no stride candidate fit VMEM: plain legacy pack (raises if
+        # even that is impossible)
+        plan = pack_pair_plan(pair_a, pair_x, pair_y, nnzb, nnzb, lm, ln,
+                              r_tile=r_tile, copy_g=copy_g,
+                              row_of=row_of, col_of=col_of)
+        cands = [(plan_time_model(plan, precision)[0], plan)]
+    if best is not None and best[0] < cands[0][0]:
         return best[1], best[2]
-    return None, plan
+    return None, cands[0][1]
 
 
 def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
@@ -881,7 +928,8 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
 @functools.lru_cache(maxsize=32)
 def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
-               copy_g: int = 1, cmax: int = 0, t_step: int = 1):
+               copy_g: int = 1, cmax: int = 0, t_step: int = 1,
+               o_blocks: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -894,6 +942,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     k = ku * lm
     g = max(int(copy_g), 1)
     swrows = s_window * lm
+    orows = (o_blocks or s_window) * lm
     # ablation knobs (timing attribution only; results are garbage)
     no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
     no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
@@ -1024,7 +1073,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     w_lanes = 4 * ln if split else 2 * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
     win_specs = [
-        pl.BlockSpec((1, 2 * swrows + g * lm, w_lanes),
+        pl.BlockSpec((1, swrows + orows + g * lm, w_lanes),
                      lambda i, ws, tr, xl: (ws[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -1048,7 +1097,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     w_eb = 2 if split else 4
     w_lanes_n = (4 if split else 2) * ln
     vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
-                 + 2 * (2 * swrows + g * lm) * w_lanes_n * w_eb  # window x2
+                 + 2 * (swrows + orows + g * lm) * w_lanes_n * w_eb  # win x2
                  + 2 * (T * ku + g) * lm * w_lanes_n * w_eb      # scratch x2
                  + 2 * T * m * 2 * ln * 4)                       # out x2
     vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
@@ -1081,7 +1130,7 @@ class PairPanelMultiply:
     """
 
     def __init__(self, call, consts, n_rows_out, two_ln, n_windows, swrows,
-                 split, g_rows):
+                 split, g_rows, orows=0):
         self._call = call
         self.consts = consts
         self._n_rows_out = n_rows_out
@@ -1090,11 +1139,13 @@ class PairPanelMultiply:
         self._swrows = swrows
         self._split = split
         self._g_rows = g_rows
+        self._orows = orows or swrows
 
     def apply(self, consts, x_fused):
         wsel, trips, codes, *a_args = consts
         xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
-                                self._two_ln, self._split, self._g_rows)
+                                self._two_ln, self._split, self._g_rows,
+                                orows=self._orows)
         y = self._call(wsel, trips, codes, *a_args, xrep)
         # t_step padding adds whole zero tiles at the end; drop them
         return y.reshape(-1, self._two_ln)[: self._n_rows_out]
@@ -1103,14 +1154,17 @@ class PairPanelMultiply:
         return self.apply(self.consts, x_fused)
 
 
-def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows):
-    """Overlapping (2S + g)-block window replicas: window w covers segments
-    [w, w+1] plus the first g blocks of segment w+2 (copy overrun room).
-    XLA emits this as strided copies + concat (~2x X bytes), which buys a
-    branch-free window gather inside the kernel.  In split mode X is
-    pre-split into packed bf16 [hi | lo] lanes first: the kernel's block
-    copies then move a quarter of the vregs and the MXU consumes the
-    operands without conversion (bit-masked split -- see split_bf16x2)."""
+def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows,
+                     orows=0):
+    """Overlapping (S + O + g)-row window replicas: window w covers its own
+    S-row segment plus the first O (+g overrun) rows of the next --
+    legacy plans have O == S (the 2S design); stride-factor plans carry a
+    larger segment and a span-sized cover, cutting the replica traffic
+    from 2x toward 1x of the X panel.  XLA emits this as strided copies +
+    concat, which buys a branch-free window gather inside the kernel.  In
+    split mode X is pre-split into packed bf16 [hi | lo] lanes first: the
+    kernel's block copies then move a quarter of the vregs and the MXU
+    consumes the operands without conversion (see split_bf16x2)."""
     import jax.numpy as jnp
 
     if split:
@@ -1120,8 +1174,12 @@ def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows):
     else:
         xw = x_fused
         lanes = two_ln
+    orows = orows or swrows
     xpad = jnp.pad(xw, ((0, swrows), (0, 0)))       # one extra zero window
     segp = xpad.reshape(n_windows + 1, swrows, lanes)
+    if orows + g_rows <= swrows:
+        return jnp.concatenate(
+            [segp[:-1], segp[1:, : orows + g_rows]], axis=1)
     return jnp.concatenate(
         [segp[:-2], segp[1:-1], segp[2:, :g_rows]], axis=1)
 
@@ -1155,7 +1213,8 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
                                            plan.ku)
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, precision, interpret,
-                      copy_g=plan.copy_g, cmax=cmax, t_step=T)
+                      copy_g=plan.copy_g, cmax=cmax, t_step=T,
+                      o_blocks=plan.o_blocks)
     # one extra (dummy) step for the software pipeline; 1-D code table
     # because 2-D SMEM operands pad every row to 128 lanes, overflowing
     # ~1 MB SMEM
@@ -1170,7 +1229,8 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
                              plan.ntiles * r * lm, 2 * ln,
                              plan.n_windows, plan.s_window * lm,
                              precision in ("bf16", "bf16x3", "bf16x4"),
-                             plan.copy_g * lm)
+                             plan.copy_g * lm,
+                             orows=plan.o_blocks * lm)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
@@ -1588,7 +1648,8 @@ class BucketedMultiply:
             call = _make_call(int(tiles.size), plan.r_tile, int(ku),
                               plan.lm, plan.ln, plan.s_window,
                               plan.x_rows_padded, precision, interpret,
-                              copy_g=plan.copy_g, cmax=plan.cmax)
+                              copy_g=plan.copy_g, cmax=plan.cmax,
+                              o_blocks=plan.o_blocks)
             self._calls.append(call)
             if self._split:
                 a_args = split_bf16x2(pan)
@@ -1604,7 +1665,8 @@ class BucketedMultiply:
 
         *bucket_consts, order = consts
         xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
-                                self._two_ln, self._split, self._g_rows)
+                                self._two_ln, self._split, self._g_rows,
+                                orows=self._plan.o_blocks * self._plan.lm)
         ys = []
         for call, bc in zip(self._calls, bucket_consts):
             wsel, tr, codes, *a_args = bc
