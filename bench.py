@@ -299,12 +299,102 @@ def main_iter():
     return 0
 
 
+def main_rhs():
+    """TFQ_BENCH_MODE=rhs: the many-RHS vectorization stress (BASELINE
+    config 4: sparser-B-than-X patterns with many right-hand sides).  A
+    banded operator with nCols block columns x LN lanes of RHS (B holds ONE
+    block per column, ~3% of X's pattern); reports full-iteration
+    throughput per RHS and the per-RHS scalar-state scaling."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tfqmrgpu_tpu import Solver, profiling
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
+    mb = int(os.environ.get("TFQ_RHS_MB", "256"))
+    lm = int(os.environ.get("TFQ_BENCH_LM", "16"))
+    ln = int(os.environ.get("TFQ_BENCH_LN", "64"))
+    ncols = int(os.environ.get("TFQ_RHS_NCOLS", "32"))
+    hb = 4
+    n_rhs = ncols * ln
+    rng = np.random.default_rng(0)
+    rows, cols = [0], []
+    for i in range(mb):
+        cs = list(range(max(0, i - hb), min(mb, i + hb + 1)))
+        cols.extend(cs)
+        rows.append(len(cols))
+    rowptr_a = np.asarray(rows, np.int32)
+    colind_a = np.asarray(cols, np.int32)
+    nnzb_a = len(cols)
+    a_data = (rng.standard_normal((nnzb_a, lm, lm))
+              + 1j * rng.standard_normal((nnzb_a, lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 4.0 * (2 * hb + 1) * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    x = Bsr(mb, ncols, np.arange(mb + 1, dtype=np.int32) * ncols,
+            np.tile(np.arange(ncols, dtype=np.int32), mb), name="X")
+    # B: one block per column, scattered over rows -- B pattern is
+    # 1/mb = ~0.4% of X's (the sparser-B stress)
+    brow = (np.arange(ncols) * (mb // ncols)) % mb
+    bo = np.argsort(brow, kind="stable")
+    rowptr_b = np.searchsorted(brow[bo], np.arange(mb + 1)).astype(np.int32)
+    b_data = (rng.standard_normal((ncols, lm, ln))
+              + 1j * rng.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32)[bo],
+            b_data, name="B")
+
+    t0 = time.time()
+    solver = Solver(a, x, b, precision="c", engine=engine, echo=3)
+    log(f"# engine={solver.engine} built in {time.time()-t0:.1f}s; "
+        f"n_rhs={n_rhs} (cap 65536 per uint16 colindx)")
+    solver.solve(tolerance=1e-30, max_iterations=8)     # compile + warm
+    ts, tl = [], []
+    for i in range(2):
+        t0 = time.perf_counter()
+        solver.solve(tolerance=1e-30 * (1 + 1e-3 * i), max_iterations=8)
+        ts.append(time.perf_counter() - t0)
+    for i in range(2):
+        t0 = time.perf_counter()
+        solver.solve(tolerance=1e-30 * (1 + 1e-3 * (2 + i)),
+                     max_iterations=32)
+        tl.append(time.perf_counter() - t0)
+    t_iter = (min(tl) - min(ts)) / 24
+    roof = profiling.solver_roofline(solver, t_iter)
+    log(f"# {roof}")
+    frac = roof.fraction_of_light or 0.0
+    print(json.dumps({
+        "metric": f"rhs_stress_mb{mb}_lm{lm}_ln{ln}_ncols{ncols}_c",
+        "value": round(t_iter * 1e3, 3),
+        "unit": "ms_per_iteration",
+        "vs_baseline": round(frac, 3),
+        "engine": solver.engine,
+        "n_rhs": n_rhs,
+        "ns_per_rhs_iteration": round(t_iter * 1e9 / n_rhs, 1),
+        "fraction_of_measured_roofline": round(frac, 3),
+        "baseline_note": "BASELINE config 4 (many-RHS batching stress); "
+                         "vs_baseline = fraction of measured-bandwidth "
+                         "roofline",
+    }))
+    return 0
+
+
 def main():
     mode = os.environ.get("TFQ_BENCH_MODE", "spmm")
     if mode == "fd":
         return main_fd()
     if mode == "iter":
         return main_iter()
+    if mode == "rhs":
+        return main_rhs()
     lm = int(os.environ.get("TFQ_BENCH_LM", "32"))
     ln = int(os.environ.get("TFQ_BENCH_LN", "32"))
     prec = os.environ.get("TFQ_BENCH_PREC", "c")

@@ -45,6 +45,12 @@ def run_one(lm: int, ln: int, mm_prec: str, nrep: int, timeout: int = 2400):
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
     try:
         j = json.loads(line)
+        if j.get("metric") == "spmm_correctness_FAILED":
+            # the bench refuses to report performance past the gate
+            # (bench_tfqmrgpu.cu:192 behavior); value carries the maxdev
+            out.update(maxdev=j.get("value"), gate_pass=False,
+                       gate_fail=True)
+            return out
         out.update(tflops=j.get("value"), maxdev=j.get("maxdev"),
                    engine=j.get("engine"),
                    ms_per_multiply=j.get("ms_per_multiply"),
