@@ -483,6 +483,16 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
         # collapse to 1 (the window bytes are t-independent)
         win = vmem_need_bytes(plan, precision, 0)
         vmem_budget = max(vmem_budget, min(win + (44 << 20), 100 << 20))
+    # past ~1.5 MB of A panel per grid step the per-step fixed cost is
+    # fully amortized and extra batching only raises VMEM pressure
+    # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32)
+    split = precision in ("bf16", "bf16x3", "bf16x4")
+    tile_a = (2 if split else 1) * 2 * plan.r_tile * plan.lm \
+        * plan.ku * plan.lm * (2 if split else 4)
+    t_sweet = 1
+    while t_sweet < t_max and t_sweet * tile_a < (3 << 20) // 2:
+        t_sweet *= 2
+    t_max = min(int(t_max), t_sweet)
     t = int(t_max)
     while t > 1:
         if vmem_need_bytes(plan, precision, t) <= vmem_budget:
