@@ -24,6 +24,7 @@ crosses 0.5x the gate -- MXU bf16 split products carry a systematic
 TFQ_PLAN_FILE.
 """
 
+import functools
 import json
 import os
 import sys
@@ -765,29 +766,43 @@ def main():
                           "vs_baseline": 0.0}))
         return 1
 
-    # ---- timed loop: chain nrep multiplies in ONE jit call (the TPU relay
-    # adds ~30 ms per dispatch; the reference times nrep kernel launches)
-    @jax.jit
-    def chain(c, x):
+    # ---- timed loop: chain multiplies in ONE jit call and time TWO chain
+    # lengths (nrep and nrep//2): the difference cancels the per-dispatch
+    # overhead of the TPU relay (~30 ms) exactly -- the reference times
+    # bare kernel launches (bench_tfqmrgpu.cu:329-341), so the honest
+    # equivalent is the marginal cost of one more multiply
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(c, x, n):
         def body(_, x):
             y = multiply_c(c, x)
             s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
             return y_to_x(y * s)
 
-        x = jax.lax.fori_loop(0, nrep, body, x)
+        x = jax.lax.fori_loop(0, n, body, x)
         return x.reshape(-1)[0]
 
     # the relay memoizes identical dispatches and completes asynchronously:
     # time with VARIED inputs and a host readback of a data-dependent scalar
-    xs = [x0] + [x0 * (1.0 + 0.01 * i) for i in (1, 2)]
-    _ = float(np.asarray(chain(consts, xs[2])))   # compile + warm
-    best = 1e30
+    half = max(nrep // 2, 1)
+    xs = [x0 * (1.0 + 0.01 * i) for i in range(5)]
+    _ = float(np.asarray(chain(consts, xs[4], nrep)))   # compile + warm
+    _ = float(np.asarray(chain(consts, xs[3], half)))
+    t_full = t_half = 1e30
     for i in range(2):
         t0 = time.perf_counter()
-        _ = float(np.asarray(chain(consts, xs[i])))
-        best = min(best, time.perf_counter() - t0)
-    tflops = flops_per_call * nrep / best / 1e12
-    nnz_per_s = n_pairs * lm * lm * ln * nrep / best  # MACs through pattern
+        _ = float(np.asarray(chain(consts, xs[i], nrep)))
+        t_full = min(t_full, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(np.asarray(chain(consts, xs[2 + i], half)))
+        t_half = min(t_half, time.perf_counter() - t0)
+    best = max(t_full - t_half, 1e-9)       # time of (nrep - half) multiplies
+    n_eff = nrep - half
+    log(f"# chain timing: {nrep} in {t_full*1e3:.1f} ms, {half} in "
+        f"{t_half*1e3:.1f} ms -> dispatch overhead "
+        f"{(t_half - best * half / max(n_eff, 1))*1e3:.1f} ms cancelled")
+    tflops = flops_per_call * n_eff / best / 1e12
+    nnz_per_s = n_pairs * lm * lm * ln * n_eff / best
+    nrep = n_eff                                  # for the reports below
 
     log(f"# {nrep} multiplies in {best*1e3:.1f} ms -> {tflops:.2f} TFlop/s "
         f"({eng_used}, {prec}, LM={lm}, LN={ln})")
