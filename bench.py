@@ -574,60 +574,16 @@ def main():
         try:
             from tfqmrgpu_tpu.ops import pairpanel as pp
 
-            t0 = time.time()
             # column grouping: dedup A streaming across RHS columns when
             # the pair list is a full pattern intersection (pack_grouped
-            # verifies; see pairpanel.py).  TFQ_BENCH_COLGROUP: 0 = model
-            # auto-pick, 1 = off, N = force group size N.
+            # verifies; see pairpanel.py).  TFQ_BENCH_COLGROUP: 0 = build
+            # BOTH the model-picked grouped plan and the ungrouped plan
+            # and RACE them on device (the post-pack model misjudges the
+            # grouped kernel's t_step=1 window regime -- measured r02),
+            # 1 = off, N = force group size N.
             colgroup = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
-            gp = None
             mm_eff = mm_prec if not mm_auto else "bf16x4"
-            if colgroup != 1:
-                try:
-                    row_g, col_g = pp.recover_geometry(pair_a, pair_x,
-                                                       pair_y, nnzb_y)
-                    if colgroup == 0:
-                        gbest, gests = pp.auto_group_size(
-                            pair_a, pair_x, pair_y, nnzb_y, lm, ln,
-                            mm_prec if not mm_auto else "highest",
-                            row_of=row_g, col_of=col_g)
-                        log("# colgroup model: " + " ".join(
-                            f"G{g}={e['est_ms']:.2f}ms"
-                            for g, e in sorted(gests.items())))
-                    else:
-                        gbest = colgroup
-                    # feasibility vs the heavier exact-f32 kernel: the
-                    # auto mode may fall back to it after the gate probe
-                    gp, pplan = pp.pack_grouped_plan(
-                        pair_a, pair_x, pair_y, nnzb_y, lm, ln, gbest,
-                        "highest" if mm_auto else mm_prec,
-                        row_of=row_g, col_of=col_g,
-                        r_tile=r_tile, copy_g=copy_g,
-                        force=(colgroup > 1))
-                    if gp is not None:
-                        log(f"# colgroup G={gp.group_size}: {nnzb_y} "
-                            f"blocks -> {gp.nnzb2} cells, {n_pairs} "
-                            f"pairs -> {len(gp.pair_a2)} (A dedup "
-                            f"{n_pairs/len(gp.pair_a2):.2f}x), "
-                            f"lanes={gp.ln2}")
-                    elif gbest > 1:
-                        log("# colgroup infeasible (VMEM/pack); "
-                            "ungrouped")
-                except ValueError as e:
-                    log(f"# colgroup unavailable ({e}); ungrouped")
-                    gp = None
-                    pplan = pp.pack_pair_plan(
-                        pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
-                        r_tile=r_tile, copy_g=copy_g)
-            else:
-                pplan = pp.pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y,
-                                          nnzb_x, lm, ln, r_tile=r_tile,
-                                          copy_g=copy_g)
-            if os.environ.get("TFQ_BENCH_TSTEP"):
-                t_step = int(os.environ["TFQ_BENCH_TSTEP"])
-            else:
-                t_step = pp.auto_t_step(pplan, mm_eff)
-                log(f"# auto t_step={t_step}")
+            interp = jax.default_backend() not in ("tpu",)
             # build the A panels on device (the host link is far too slow
             # for the ~1 GB inflated panels); the cos/sin arguments must be
             # range-reduced on the HOST in float64 -- float32 argument
@@ -636,53 +592,177 @@ def main():
                 np.arange(nnzb_a * lm * lm, dtype=np.float64),
                 2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
             a_dev = (jnp.cos(phase), jnp.sin(phase))
-            interp = jax.default_backend() not in ("tpu",)
-            if n_buckets > 1:
-                bplan = pp.bucketize(pplan, n_buckets=n_buckets)
-                panels = pp.build_a_panels_bucketed_device(bplan, *a_dev)
-                [p.block_until_ready() for p in panels]
-                mult2 = pp.BucketedMultiply(bplan, panels,
-                                            precision=mm_prec,
-                                            interpret=interp)
-                log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
-                    f"ntiles={pplan.ntiles} buckets="
-                    f"{[int(k) for k in bplan.ku_b]} S={pplan.s_window} "
-                    f"prec={mm_prec}")
-            else:
-                panels = pp.build_a_panels_device(pplan, *a_dev)
-                panels.block_until_ready()
 
-                def build_mult(prec_):
-                    return pp.make_pairpanel_multiply(
-                        pplan, panels, precision=prec_, interpret=interp,
-                        t_step=t_step)
+            def build_candidate(spec):
+                """spec: 'auto' (grouped, model-picked G), 1 (ungrouped)
+                or an explicit group size.  Returns the full engine
+                bundle, or None when the spec resolves to a duplicate of
+                the ungrouped candidate."""
+                t0 = time.time()
+                gp = None
+                if spec != 1:
+                    row_g, col_g = pp.recover_geometry(pair_a, pair_x,
+                                                       pair_y, nnzb_y)
+                    if spec == "auto":
+                        gbest, gests = pp.auto_group_size(
+                            pair_a, pair_x, pair_y, nnzb_y, lm, ln,
+                            mm_prec if not mm_auto else "highest",
+                            row_of=row_g, col_of=col_g)
+                        log("# colgroup model: " + " ".join(
+                            f"G{g}={e['est_ms']:.2f}ms"
+                            for g, e in sorted(gests.items())))
+                    else:
+                        gbest = spec
+                    # feasibility vs the heavier exact-f32 kernel: the
+                    # auto mode may fall back to it after the gate probe
+                    gp, pplan = pp.pack_grouped_plan(
+                        pair_a, pair_x, pair_y, nnzb_y, lm, ln, gbest,
+                        "highest" if mm_auto else mm_prec,
+                        row_of=row_g, col_of=col_g,
+                        r_tile=r_tile, copy_g=copy_g,
+                        force=(spec != "auto"))
+                    if gp is not None:
+                        log(f"# colgroup G={gp.group_size}: {nnzb_y} "
+                            f"blocks -> {gp.nnzb2} cells, {n_pairs} "
+                            f"pairs -> {len(gp.pair_a2)} (A dedup "
+                            f"{n_pairs/len(gp.pair_a2):.2f}x), "
+                            f"lanes={gp.ln2}")
+                    elif spec == "auto":
+                        log("# colgroup model prefers ungrouped")
+                        return None
+                else:
+                    pplan = pp.pack_pair_plan(
+                        pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
+                        r_tile=r_tile, copy_g=copy_g,
+                        resident=os.environ.get("TFQ_PAIRS_RESIDENT",
+                                                "auto"))
+                if os.environ.get("TFQ_BENCH_TSTEP"):
+                    t_step = int(os.environ["TFQ_BENCH_TSTEP"])
+                else:
+                    t_step = pp.auto_t_step(pplan, mm_eff)
+                if n_buckets > 1:
+                    bplan = pp.bucketize(pplan, n_buckets=n_buckets)
+                    panels = pp.build_a_panels_bucketed_device(
+                        bplan, *a_dev)
+                    [p.block_until_ready() for p in panels]
 
+                    def build_mult(prec_):
+                        return pp.BucketedMultiply(bplan, panels,
+                                                   precision=prec_,
+                                                   interpret=interp)
+
+                    log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
+                        f"ntiles={pplan.ntiles} buckets="
+                        f"{[int(k) for k in bplan.ku_b]} "
+                        f"S={pplan.s_window} prec={mm_prec}")
+                else:
+                    panels = pp.build_a_panels_device(pplan, *a_dev)
+                    panels.block_until_ready()
+
+                    def build_mult(prec_):
+                        return pp.make_pairpanel_multiply(
+                            pplan, panels, precision=prec_,
+                            interpret=interp, t_step=t_step)
+
+                    log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
+                        f"ntiles={pplan.ntiles} ku={pplan.ku} "
+                        f"S={pplan.s_window} "
+                        f"inflation={pplan.inflation:.2f}x prec={mm_prec} "
+                        f"t_step={t_step}")
                 mult2 = build_mult(mm_prec)
-                log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
-                    f"ntiles={pplan.ntiles} ku={pplan.ku} S={pplan.s_window} "
-                    f"inflation={pplan.inflation:.2f}x prec={mm_prec} "
-                    f"t_step={t_step}")
-            consts = mult2.consts
+                nxrows = pplan.x_rows_padded
+                nyrows = pplan.ntiles * r_tile * lm
+
+                def multiply_c(c, x, mult2=mult2):
+                    return mult2.apply(c, x)
+
+                def y_to_x(y, pad=nxrows - nyrows):
+                    """Feed Y (new-order fused rows) back as the next X."""
+                    return jnp.pad(y, ((0, pad), (0, 0)))
+
+                if gp is not None:
+                    x0 = jnp.asarray(pp.permute_x(
+                        pplan, np.asarray(pp.grouped_blocks(gp, x_re)),
+                        np.asarray(pp.grouped_blocks(gp, x_im))))
+                else:
+                    x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
+
+                def eng_name(prec_, t_step=t_step, gp=gp):
+                    return (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
+                            f"b{n_buckets}"
+                            + (f"-cg{gp.group_size}" if gp is not None
+                               else "") + f"-{prec_}")
+
+                return dict(gp=gp, pplan=pplan, t_step=t_step,
+                            build_mult=build_mult, multiply=multiply_c,
+                            y_to_x=y_to_x, x0=x0, consts=mult2.consts,
+                            eng_name=eng_name)
+
+            # race only where timing means something (the real TPU);
+            # interpret-mode chains take minutes on CPU, and the pick
+            # would be noise anyway.  Off-TPU the ungrouped plan is the
+            # known-good default.
+            race_ok = (not interp
+                       or os.environ.get("TFQ_BENCH_RACE") == "1")
+            if colgroup == 0:
+                specs = ["auto", 1] if race_ok else [1]
+            else:
+                specs = [colgroup if colgroup > 1 else 1]
+            cands = []
+            for spec in specs:
+                try:
+                    c = build_candidate(spec)
+                except ValueError as e:
+                    log(f"# candidate {spec} unavailable ({e})")
+                    c = None
+                if c is not None:
+                    cands.append(c)
+            if not cands:
+                raise ValueError("no pairpanel candidate packs")
+
+            def race_time(c):
+                """Equal-length chains compare fairly: the relay dispatch
+                overhead is identical for both candidates."""
+
+                @jax.jit
+                def chain8(cc, x):
+                    def body(_, x):
+                        y = c["multiply"](cc, x)
+                        s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+                        return c["y_to_x"](y * s)
+
+                    x = jax.lax.fori_loop(0, 8, body, x)
+                    return x.reshape(-1)[0]
+
+                _ = float(np.asarray(chain8(c["consts"], c["x0"] * 1.003)))
+                best = 1e30
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(
+                        chain8(c["consts"], c["x0"] * (1.0 + 0.01 * i))))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            if len(cands) > 1:
+                times = [race_time(c) for c in cands]
+                for c, tt in zip(cands, times):
+                    log(f"# race {c['eng_name'](mm_prec)}: "
+                        f"{tt*1e3:.1f} ms / 8 multiplies")
+                chosen = cands[int(np.argmin(times))]
+            else:
+                chosen = cands[0]
+            gp, pplan, t_step = (chosen["gp"], chosen["pplan"],
+                                 chosen["t_step"])
+            multiply_c, y_to_x, x0 = (chosen["multiply"],
+                                      chosen["y_to_x"], chosen["x0"])
+            consts = chosen["consts"]
+
+            def build_mult(prec_):
+                return chosen["build_mult"](prec_)
+
+            eng_used = chosen["eng_name"](mm_prec)
             nxrows = pplan.x_rows_padded
             nyrows = pplan.ntiles * r_tile * lm
-
-            def multiply_c(c, x):
-                return mult2.apply(c, x)
-
-            def y_to_x(y):
-                """Feed Y (new-order fused rows) back as the next X."""
-                return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
-
-            if gp is not None:
-                x0 = jnp.asarray(pp.permute_x(
-                    pplan, np.asarray(pp.grouped_blocks(gp, x_re)),
-                    np.asarray(pp.grouped_blocks(gp, x_im))))
-            else:
-                x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
-            eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
-                        f"b{n_buckets}"
-                        + (f"-cg{gp.group_size}" if gp is not None else "")
-                        + f"-{mm_prec}")
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -738,11 +818,13 @@ def main():
     fell_back_from = None
     if (mm_auto and (rowtile is not None
                      or (pplan is not None and n_buckets <= 1))
-            and maxdev > 0.5 * gate):
-        # the fast mode's measured error crossed half the gate: no thin
-        # margins -- rerun in exact-f32 'highest'
+            and maxdev > 0.9 * gate):
+        # the fast mode's measured error crossed 90% of the gate.  The
+        # probe measures the TRUE deviation of this exact workload (the
+        # bf16-split error is deterministic, BLOCKSIZES_r02.json), so a
+        # measured pass is a real pass -- only refuse the thinnest margin.
         log(f"# bf16x4 margin too thin (maxdev {maxdev:.3e} > "
-            f"{0.5*gate:.1e}); falling back to 'highest'")
+            f"{0.9*gate:.1e}); falling back to 'highest'")
         fell_back_from = maxdev
         mm_prec = "highest"
         if rowtile is not None:
@@ -751,10 +833,11 @@ def main():
         else:
             mult2 = build_mult("highest")
             consts = mult2.consts
-            eng_used = (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
-                        f"b{n_buckets}"
-                        + (f"-cg{gp.group_size}" if gp is not None else "")
-                        + f"-{mm_prec}")
+
+            def multiply_c(c, x, mult2=mult2):
+                return mult2.apply(c, x)
+
+            eng_used = chosen["eng_name"]("highest")
         maxdev = run_gate()
         log(f"# correctness (highest): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)
