@@ -226,3 +226,79 @@ def test_stride_factor_windows_match(rng, stride_factor):
         scale = np.max(np.abs(want))
         assert np.max(np.abs(got[k] - want)) / scale < 1e-5
     np.testing.assert_array_equal(got[1], got[stride_factor])
+
+
+@pytest.mark.parametrize("t_step,r_tile", [(1, 1), (4, 1), (2, 2)])
+def test_resident_window_matches_pairwalk(rng, t_step, r_tile):
+    """Resident-X plans (one full-panel VMEM window, constant index map,
+    no replica build) are bit-identical to the windowed layout."""
+    import jax.numpy as jnp
+
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=20, ncols=2, lm=lm, ln=ln)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    got = {}
+    for res in (False, True):
+        plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln,
+                                 r_tile=r_tile, resident=res)
+        if res:
+            assert plan.resident and plan.n_windows == 1
+            assert plan.o_blocks == 0 and plan.s_window == plan.n_slots
+            assert plan.x_rows_padded == plan.n_slots * lm
+        panels = jnp.asarray(pp.build_a_panels(
+            plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+        mult = pp.make_pairpanel_multiply(plan, panels,
+                                          precision="highest",
+                                          interpret=True, t_step=t_step)
+        xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                      x.imag.astype(np.float32)))
+        yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+        got[res] = yre + 1j * yim
+        scale = np.max(np.abs(want))
+        assert np.max(np.abs(got[res] - want)) / scale < 1e-5
+    np.testing.assert_array_equal(got[False], got[True])
+
+
+def test_resident_handles_scattered_pattern():
+    """Patterns with NO window locality (span > max_window would reject
+    the windowed pack) still run resident: there is no locality
+    requirement when the whole panel is the window."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, na, npair, lm, ln = 96, 120, 400, 4, 4
+    pa = rng.integers(0, na, npair)
+    px = rng.integers(0, n, npair)
+    py = rng.integers(0, n, npair)
+    with pytest.raises(ValueError):
+        pp.pack_pair_plan(pa, px, py, n, n, lm, ln, r_tile=1,
+                          max_window=8)
+    plan = pp.pack_pair_plan(pa, px, py, n, n, lm, ln, r_tile=1,
+                             max_window=8, resident=True)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((n, lm, ln))
+         + 1j * rng.standard_normal((n, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, n)
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    mult = pp.make_pairpanel_multiply(plan, panels, precision="highest",
+                                      interpret=True, t_step=2)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_resident_feasible_bounds():
+    assert pp.resident_feasible(1000, 8, 8, "highest")
+    assert pp.resident_feasible(1000, 8, 8, "bf16x4")
+    assert not pp.resident_feasible(40000, 32, 32, "highest")
+    assert not pp.resident_feasible(0x8000, 4, 4, "highest")

@@ -160,6 +160,16 @@ class PairPanelPlan:
     # replica traffic from 2x to (k+1)/k of the X panel at the price of
     # (k+1)/2 times the resident window VMEM.
     o_window: int = 0
+    # RESIDENT-X mode: the whole padded X panel is ONE window (s_window =
+    # n_slots, no overlap cover) held in VMEM for the entire multiply.  The
+    # kernel's window BlockSpec uses a constant index map, so Mosaic fetches
+    # the panel once instead of re-streaming a window per wsel change, and
+    # the caller skips the overlapping-replica build entirely (the replica
+    # copies cost ~2x the X panel in HBM traffic per multiply).  Also lifts
+    # the tiles-share-a-window constraint from t_step batching.  Only
+    # admissible when the (split-lane) panel fits the VMEM budget next to
+    # the A-panel double buffers -- see resident_fits_vmem().
+    resident: bool = False
     r_col: int = 0           # blocks per column in col_pad layout (0 = off)
     n_slots: int = 0         # relabeled block-slot count (>= nnzb_x) = None
     # Run-aware copy program: each code = (src_rel << 16) | dst_slot moves
@@ -182,6 +192,8 @@ class PairPanelPlan:
     @property
     def o_blocks(self) -> int:
         """Effective window cover (legacy plans stored 0 = stride)."""
+        if self.resident:
+            return 0
         return self.o_window or self.s_window
 
 
@@ -190,7 +202,8 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
                    max_window: int = 512, s_window: int = 0,
                    row_of=None, col_of=None,
                    col_pad: bool = False, copy_g: int = 2,
-                   stride_factor: int = 1) -> PairPanelPlan:
+                   stride_factor: int = 1,
+                   resident: bool = False) -> PairPanelPlan:
     """Compile a pair list into the panel/window schedule.
 
     row_of/col_of: optional known geometry (from a real BSR plan); recovered
@@ -201,7 +214,11 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
     relabeled space factors as [ncc, R].  The solver's per-column vector
     operations then become plain reshapes/broadcasts (no gathers, scatters
     or one-hot matmuls); the SpMM tiles over the padded slots carry zero A
-    panels.  Costs block-count inflation up to max/mean column fill."""
+    panels.  Costs block-count inflation up to max/mean column fill.
+
+    resident: True / False / "auto" -- pack the whole panel as ONE
+    VMEM-resident window (see PairPanelPlan.resident); "auto" enables it
+    whenever the panel fits the VMEM budget (resident_feasible)."""
     pa = np.asarray(pair_a, dtype=np.int64)
     px = np.asarray(pair_x, dtype=np.int64)
     py = np.asarray(pair_y, dtype=np.int64)
@@ -259,11 +276,26 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         ku = max(ku, u.shape[0])
         span_max = max(span_max, int(u[-1] - u[0] + 1))
     ku += ku % 2                           # even for the 2-wide gather
-    if span_max > max_window:
+    if isinstance(resident, str):
+        if resident == "auto":
+            # split-lane and f32 windows both cost 8*ln bytes per row, so
+            # the feasibility test is precision-independent
+            resident = resident_feasible(n_slots, lm, ln, "highest", copy_g)
+        else:
+            resident = resident not in ("0", "", "false")
+    if span_max > max_window and not resident:
         raise ValueError(
             f"tile X-span {span_max} exceeds the window budget {max_window}; "
             "pattern has no recoverable locality")
-    if s_window:
+    if resident:
+        # one window covering the whole relabeled panel; no overlap cover
+        s_window = n_slots
+        o_window = 0
+        if s_window + max(int(copy_g), 1) > 0x7FFF:
+            raise ValueError(
+                f"resident plan: {n_slots} slots exceed the 15-bit "
+                "src field of the copy codes")
+    elif s_window:
         if s_window < span_max:
             raise ValueError(f"s_window={s_window} < span {span_max}")
         o_window = s_window
@@ -283,7 +315,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
         wsel[t] = w
         xloc[t, : u.shape[0]] = (u - w * s_window).astype(np.int32)
         kcount[t] = u.shape[0]
-    n_windows = int(wsel.max()) + 2
+    n_windows = 1 if resident else int(wsel.max()) + 2
 
     # run-aware copy program (see PairPanelPlan.copy_codes)
     g = max(int(copy_g), 1)
@@ -330,6 +362,7 @@ def pack_pair_plan(pair_a, pair_x, pair_y, nnzb_y: int, nnzb_x: int,
     return PairPanelPlan(
         ntiles=ntiles, r_tile=r_tile, ku=ku, lm=lm, ln=ln,
         s_window=s_window, n_windows=n_windows, o_window=o_window,
+        resident=resident,
         nnzb_y=nnzb_y, nnzb_x=nnzb_x, perm=perm, inv_perm=inv,
         wsel=wsel, xloc=xloc, kcount=kcount,
         pair_tile=pair_tile, pair_rslot=pair_rslot, pair_kslot=pair_kslot,
@@ -462,6 +495,28 @@ def plan_fits_vmem(plan: PairPanelPlan, precision: str,
     chip's 128 MB regardless of batching (the resident windows scale with
     span x lanes)."""
     return vmem_need_bytes(plan, precision, 1) <= cap
+
+
+def resident_window_bytes(n_slots: int, lm: int, ln: int, precision: str,
+                          copy_g: int = 2) -> int:
+    """VMEM bytes of the resident-X window pair (the pipeline allocates two
+    buffers even for a constant index map; only one is ever filled)."""
+    split = precision in ("bf16", "bf16x3", "bf16x4")
+    w_lanes = (4 if split else 2) * ln
+    w_b = 2 if split else 4
+    return 2 * (n_slots + max(int(copy_g), 1)) * lm * w_lanes * w_b
+
+
+def resident_feasible(n_slots: int, lm: int, ln: int, precision: str,
+                      copy_g: int = 2, budget: int = 72 << 20) -> bool:
+    """Whether a resident-X plan is worth packing: the full-panel window
+    must leave VMEM headroom for the double-buffered A panels and scratch
+    (~28 MB under the 100 MB scoped cap), and the slot count must fit the
+    15-bit src field of the copy codes."""
+    if n_slots + max(int(copy_g), 1) > 0x7FFF:
+        return False
+    return resident_window_bytes(n_slots, lm, ln, precision,
+                                 copy_g) <= budget
 
 
 def auto_t_step(plan: PairPanelPlan, precision: str,
@@ -810,14 +865,21 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
     mxu_ms = mxu_flops / (173e9 / passes)
     steps = -(-plan.ntiles // (plan.r_tile * t)) if t else plan.ntiles
     fixed_ms = steps * step_us * 1e-3
-    return max(dma_ms, mxu_ms, fixed_ms), t
+    # replica build: XLA's strided-copy+concat before the kernel (read the
+    # panel, write the overlapping replicas) runs SEQUENTIALLY with the
+    # kernel at the measured ~250 GB/s copy rate; resident plans skip it
+    # (just the g-row pad copy of the panel itself)
+    panel_bytes = plan.n_windows * S * lm * w_lanes * w_b
+    build_ms = (panel_bytes if plan.resident
+                else panel_bytes + x_bytes) / 250e6
+    return max(dma_ms, mxu_ms, fixed_ms) + build_ms, t
 
 
 def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                       want: int, precision: str = "highest",
                       row_of=None, col_of=None, r_tile: int = 1,
                       copy_g: int = 2, vmem_cap: int = 100 << 20,
-                      force: bool = False):
+                      force: bool = False, allow_resident: bool = True):
     """Pack with column grouping: tries group sizes ``want``, want/2, ...
     1, keeps only candidates that pack AND fit VMEM at t_step=1 (wide
     grouped lanes multiply the resident window bytes), and returns the
@@ -829,9 +891,10 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     first feasible grouped candidate wins (at the best stride factor).
     Raises ValueError only if even the ungrouped pack fails."""
     def _candidates(packer):
-        """(est, plan) over window stride factors, best first."""
+        """(est, plan) over window stride factors (k=0 packs the
+        resident-X single-window layout), best first."""
         out = []
-        for k in (1, 2, 3):
+        for k in ((0, 1, 2, 3) if allow_resident else (1, 2, 3)):
             try:
                 plan = packer(k)
             except ValueError:
@@ -853,7 +916,8 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
         cands = _candidates(lambda k: pack_pair_plan(
             gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2, gp.nnzb2,
             lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
-            row_of=gp.row_of2, col_of=gp.col_of2, stride_factor=k))
+            row_of=gp.row_of2, col_of=gp.col_of2,
+            stride_factor=max(k, 1), resident=(k == 0)))
         if cands:
             if force:
                 return gp, cands[0][1]
@@ -862,7 +926,8 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
         g //= 2
     cands = _candidates(lambda k: pack_pair_plan(
         pair_a, pair_x, pair_y, nnzb, nnzb, lm, ln, r_tile=r_tile,
-        copy_g=copy_g, row_of=row_of, col_of=col_of, stride_factor=k))
+        copy_g=copy_g, row_of=row_of, col_of=col_of,
+        stride_factor=max(k, 1), resident=(k == 0)))
     if not cands:
         # no stride candidate fit VMEM: plain legacy pack (raises if
         # even that is impossible)
@@ -877,7 +942,7 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
 
 def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                     mm_prec: str = "highest", row_of=None, col_of=None,
-                    hbm_gbps: float = 140.0, candidates=(1, 2, 4, 8)):
+                    hbm_gbps: float = 140.0, candidates=(1, 2, 4, 8, 16)):
     """Pick the column group size minimizing the modeled multiply time
     (max of A-panel streaming and MXU time; r_tile=1 tiles).  Returns
     (best_G, estimates dict).  1 means 'do not group'."""
@@ -939,7 +1004,7 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
 def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
-               o_blocks: int = 0):
+               o_blocks: int = 0, resident: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -952,7 +1017,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     k = ku * lm
     g = max(int(copy_g), 1)
     swrows = s_window * lm
-    orows = (o_blocks or s_window) * lm
+    orows = 0 if resident else (o_blocks or s_window) * lm
     # ablation knobs (timing attribution only; results are garbage)
     no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
     no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
@@ -1082,9 +1147,13 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                             memory_space=pltpu.VMEM)] * n_a
     w_lanes = 4 * ln if split else 2 * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
+    # resident mode: constant index map -- the pipeline fetches the (only)
+    # window once and never re-copies it (revisited block indices skip the
+    # DMA), keeping the whole X panel VMEM-resident across all grid steps
+    w_map = (lambda i, ws, tr, xl: (0, 0, 0)) if resident else \
+        (lambda i, ws, tr, xl: (ws[i], 0, 0))
     win_specs = [
-        pl.BlockSpec((1, swrows + orows + g * lm, w_lanes),
-                     lambda i, ws, tr, xl: (ws[i], 0, 0),
+        pl.BlockSpec((1, swrows + orows + g * lm, w_lanes), w_map,
                      memory_space=pltpu.VMEM),
     ]
     m = r_tile * lm
@@ -1140,7 +1209,7 @@ class PairPanelMultiply:
     """
 
     def __init__(self, call, consts, n_rows_out, two_ln, n_windows, swrows,
-                 split, g_rows, orows=0):
+                 split, g_rows, orows=0, resident=False):
         self._call = call
         self.consts = consts
         self._n_rows_out = n_rows_out
@@ -1150,12 +1219,13 @@ class PairPanelMultiply:
         self._split = split
         self._g_rows = g_rows
         self._orows = orows or swrows
+        self._resident = resident
 
     def apply(self, consts, x_fused):
         wsel, trips, codes, *a_args = consts
         xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
                                 self._two_ln, self._split, self._g_rows,
-                                orows=self._orows)
+                                orows=self._orows, resident=self._resident)
         y = self._call(wsel, trips, codes, *a_args, xrep)
         # t_step padding adds whole zero tiles at the end; drop them
         return y.reshape(-1, self._two_ln)[: self._n_rows_out]
@@ -1165,7 +1235,7 @@ class PairPanelMultiply:
 
 
 def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows,
-                     orows=0):
+                     orows=0, resident=False):
     """Overlapping (S + O + g)-row window replicas: window w covers its own
     S-row segment plus the first O (+g overrun) rows of the next --
     legacy plans have O == S (the 2S design); stride-factor plans carry a
@@ -1184,6 +1254,10 @@ def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows,
     else:
         xw = x_fused
         lanes = two_ln
+    if resident:
+        # single full-panel window: only the g-row overrun pad, no replicas
+        return jnp.pad(xw, ((0, g_rows), (0, 0))).reshape(
+            1, swrows + g_rows, lanes)
     orows = orows or swrows
     xpad = jnp.pad(xw, ((0, swrows), (0, 0)))       # one extra zero window
     segp = xpad.reshape(n_windows + 1, swrows, lanes)
@@ -1224,7 +1298,7 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, precision, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
-                      o_blocks=plan.o_blocks)
+                      o_blocks=plan.o_blocks, resident=plan.resident)
     # one extra (dummy) step for the software pipeline; 1-D code table
     # because 2-D SMEM operands pad every row to 128 lanes, overflowing
     # ~1 MB SMEM
@@ -1240,7 +1314,8 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
                              plan.n_windows, plan.s_window * lm,
                              precision in ("bf16", "bf16x3", "bf16x4"),
                              plan.copy_g * lm,
-                             orows=plan.o_blocks * lm)
+                             orows=plan.o_blocks * lm,
+                             resident=plan.resident)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
@@ -1659,7 +1734,8 @@ class BucketedMultiply:
                               plan.lm, plan.ln, plan.s_window,
                               plan.x_rows_padded, precision, interpret,
                               copy_g=plan.copy_g, cmax=plan.cmax,
-                              o_blocks=plan.o_blocks)
+                              o_blocks=plan.o_blocks,
+                              resident=plan.resident)
             self._calls.append(call)
             if self._split:
                 a_args = split_bf16x2(pan)
@@ -1676,7 +1752,8 @@ class BucketedMultiply:
         *bucket_consts, order = consts
         xrep = _window_replicas(x_fused, self._n_windows, self._swrows,
                                 self._two_ln, self._split, self._g_rows,
-                                orows=self._plan.o_blocks * self._plan.lm)
+                                orows=self._plan.o_blocks * self._plan.lm,
+                                resident=self._plan.resident)
         ys = []
         for call, bc in zip(self._calls, bucket_consts):
             wsel, tr, codes, *a_args = bc

@@ -235,7 +235,9 @@ class Solver:
                         pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
                         self.lm, self.ln, r_tile=rt,
                         row_of=row_of_x, col_of=self.plan.colindx,
-                        col_pad=bool(col_pad), copy_g=cg_copy)
+                        col_pad=bool(col_pad), copy_g=cg_copy,
+                        resident=_os.environ.get("TFQ_PAIRS_RESIDENT",
+                                                 "auto"))
             except ValueError:
                 if not auto:
                     raise
