@@ -150,6 +150,10 @@ def default_candidates(precision: str) -> list:
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_TSTEP": "1"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "2"}),
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_COPYG": "1"}),
+        # resident-X off (auto is the default; the windowed layout can win
+        # when the panel crowds the A-panel t_step budget out of VMEM)
+        ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_RESIDENT": "0",
+                   "TFQ_PAIRS_COLGROUP": "1"}),
         ("xla", {}),
     ]
 
