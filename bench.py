@@ -56,9 +56,12 @@ def load_pairs():
                 pf.pairs[order, 1].astype(np.int64),
                 pair_y[order].astype(np.int64),
                 pf.nnzb_y, pf.nnzb_a, pf.nnzb_x)
-    # synthesize a same-sized FD-like banded plan (golden asset absent)
+    # synthesize a same-sized FD-like banded plan (golden asset absent);
+    # TFQ_BENCH_MB/NCOLSB/DEG shrink it for smoke tests
     log("# golden plan absent; synthesizing an equivalent banded plan")
-    mb, ncols, deg = 281, 16, 11
+    mb = int(os.environ.get("TFQ_BENCH_MB", "281"))
+    ncols = int(os.environ.get("TFQ_BENCH_NCOLSB", "16"))
+    deg = int(os.environ.get("TFQ_BENCH_DEG", "11"))
     rowptr_a = np.arange(mb + 1) * deg
     colind_a = ((np.arange(mb)[:, None] + np.arange(deg)[None, :]) % mb
                 ).reshape(-1)
@@ -468,6 +471,7 @@ def main():
     eng_used = engine
     pplan = None
     rowtile = None
+    rt_cand = None
     gp = None
     if engine in ("rowtile", "auto") and prec == "c":
         # ROW-TILE engine: recover the BSR geometry hidden in the pair list;
@@ -490,12 +494,22 @@ def main():
         if engine == "rowtile" and lm < 8:
             raise RuntimeError("rowtile engine needs lm >= 8 (sublane "
                                "alignment of dynamic row slices)")
-        if engine == "rowtile" or (density >= 0.6 and fits):
+        # the fragment grid is CORRECT at any density (cell injectivity
+        # holds with one slot per fragment: a fragment lies within one
+        # true block row, a column cluster within one true column, and
+        # each A id maps to one (fy, fx) by the union construction).
+        # Density only inflates the X/Y panels -- the MXU work per A
+        # block (all grid columns on lanes) is density-INDEPENDENT -- so
+        # a sparse-but-VMEM-fitting grid is still a legitimate engine:
+        # dense grids take it outright, sparse ones RACE it against the
+        # pairpanel candidates on device.
+        min_dens = float(os.environ.get("TFQ_BENCH_RT_MINDENS", "0.15"))
+        if engine == "rowtile" or (fits and density >= min_dens):
             t0 = time.time()
             order = g.a_order
-            r_tile = int(os.environ.get("TFQ_BENCH_ROWTILE",
-                                        str(max(1, 128 // lm))))
-            pack = rt.pack_row_tiles(g.rowptr, g.colind, mbg, lm, r_tile)
+            rt_rows = int(os.environ.get("TFQ_BENCH_ROWTILE",
+                                         str(max(1, 128 // lm))))
+            pack = rt.pack_row_tiles(g.rowptr, g.colind, mbg, lm, rt_rows)
             # device data (host link too slow for panel-scale arrays)
             phase = jnp.asarray(np.remainder(
                 np.arange(nnzb_a * lm * lm, dtype=np.float64),
@@ -523,8 +537,8 @@ def main():
             interp = jax.default_backend() not in ("tpu",)
             xc_j = jnp.asarray(pack.xcols)
 
-            def build_mult(prec_):
-                call = rt._make_call(pack.ntiles, r_tile * lm,
+            def rt_build_mult(prec_):
+                call = rt._make_call(pack.ntiles, rt_rows * lm,
                                      pack.ku * lm, lm, nrg, cg, interp,
                                      prec_)
                 if prec_ in ("bf16x3", "bf16x4"):
@@ -537,30 +551,48 @@ def main():
             if mm_rt not in ("bf16x3", "bf16x4", "highest"):
                 mm_rt = "highest"
             mm_prec = mm_rt
-            call_rt, consts = build_mult(mm_rt)
-            rowtile = dict(pack=pack, call=call_rt, frag=frag, colx=colx)
+            call_rt, rt_consts = rt_build_mult(mm_rt)
+            rt_state = dict(pack=pack, call=call_rt, frag=frag, colx=colx,
+                            rt_rows=rt_rows)
 
-            def multiply_c(c, x):
+            def rt_multiply(c, x):
                 xc_, *rest = c
                 a_args, mp = rest[:-1], rest[-1]
-                y_re, y_im = rowtile["call"](xc_, *a_args, x[0], x[1])
+                y_re, y_im = rt_state["call"](xc_, *a_args, x[0], x[1])
                 y = jnp.stack([y_re.reshape(-1, cg)[:nrg],
                                y_im.reshape(-1, cg)[:nrg]])
                 return y * mp
 
-            def y_to_x(y):
+            def rt_y_to_x(y):
                 return y
 
+            rt_x0 = x0
             log(f"# rowtile pack: {time.time()-t0:.1f}s, grid {mbg}x{ncg} "
-                f"density {density:.3f}, {pack.ntiles} tiles x {r_tile} "
+                f"density {density:.3f}, {pack.ntiles} tiles x {rt_rows} "
                 f"rows, ku={pack.ku}, inflation {pack.inflation:.2f}x, "
                 f"prec={mm_rt}")
-            eng_used = f"rowtile-r{r_tile}-{mm_rt}"
+            rt_cand = dict(
+                gp=None, pplan=None, t_step=None, rowtile=rt_state,
+                build_mult=rt_build_mult, multiply=rt_multiply,
+                y_to_x=rt_y_to_x, x0=rt_x0, consts=rt_consts,
+                eng_name=lambda prec_: f"rowtile-r{rt_rows}-{prec_}")
+            if engine == "rowtile" or density >= 0.6:
+                # dense grid: the engine wins outright (measured r02)
+                rowtile = rt_state
+                multiply_c = rt_multiply
+                y_to_x = rt_y_to_x
+                consts = rt_consts
+                build_mult = rt_build_mult
+                eng_used = f"rowtile-r{rt_rows}-{mm_rt}"
+            else:
+                log("# rowtile grid is sparse; racing it against "
+                    "pairpanel")
         elif engine == "rowtile":
             raise RuntimeError(
-                f"rowtile engine needs a grid-dense X (density {density:.2f})"
-                f" and VMEM-resident panels (fits={fits})")
+                f"rowtile engine needs lm >= 8 and VMEM-resident panels "
+                f"(density {density:.2f}, fits={fits})")
         else:
+            rt_cand = None
             log(f"# rowtile not applicable (density {density:.2f}, "
                 f"fits={fits}); trying pairpanel")
     if rowtile is None and engine in ("pairpanel", "auto") and prec == "c":
@@ -717,6 +749,10 @@ def main():
                     c = None
                 if c is not None:
                     cands.append(c)
+            # a sparse-grid rowtile build joins the race (or rescues a
+            # failed pairpanel pack outright)
+            if rt_cand is not None and (race_ok or not cands):
+                cands.append(rt_cand)
             if not cands:
                 raise ValueError("no pairpanel candidate packs")
 
@@ -744,15 +780,26 @@ def main():
                 return best
 
             if len(cands) > 1:
-                times = [race_time(c) for c in cands]
-                for c, tt in zip(cands, times):
-                    log(f"# race {c['eng_name'](mm_prec)}: "
-                        f"{tt*1e3:.1f} ms / 8 multiplies")
+                times = []
+                for c in cands:
+                    try:
+                        tt = race_time(c)
+                    except Exception as e:  # e.g. Mosaic compile failure
+                        log(f"# race {c['eng_name'](mm_prec)} failed to "
+                            f"compile/run ({type(e).__name__}); dropped")
+                        tt = float("inf")
+                    times.append(tt)
+                    if np.isfinite(tt):
+                        log(f"# race {c['eng_name'](mm_prec)}: "
+                            f"{tt*1e3:.1f} ms / 8 multiplies")
+                if not any(np.isfinite(t) for t in times):
+                    raise ValueError("every race candidate failed")
                 chosen = cands[int(np.argmin(times))]
             else:
                 chosen = cands[0]
             gp, pplan, t_step = (chosen["gp"], chosen["pplan"],
                                  chosen["t_step"])
+            rowtile = chosen.get("rowtile")
             multiply_c, y_to_x, x0 = (chosen["multiply"],
                                       chosen["y_to_x"], chosen["x0"])
             consts = chosen["consts"]
@@ -761,8 +808,9 @@ def main():
                 return chosen["build_mult"](prec_)
 
             eng_used = chosen["eng_name"](mm_prec)
-            nxrows = pplan.x_rows_padded
-            nyrows = pplan.ntiles * r_tile * lm
+            if pplan is not None:
+                nxrows = pplan.x_rows_padded
+                nyrows = pplan.ntiles * r_tile * lm
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -829,7 +877,7 @@ def main():
         mm_prec = "highest"
         if rowtile is not None:
             rowtile["call"], consts = build_mult("highest")
-            eng_used = f"rowtile-r{r_tile}-{mm_prec}"
+            eng_used = f"rowtile-r{rowtile['rt_rows']}-{mm_prec}"
         else:
             mult2 = build_mult("highest")
             consts = mult2.consts
