@@ -138,3 +138,61 @@ def test_sharded_pairs_grouped_matches_ungrouped(rng, monkeypatch):
     assert abs(ig["iterations"] - iu["iterations"]) <= 2
     scale = np.abs(xu).max()
     assert np.abs(xg - xu).max() / scale < 1e-4
+
+
+def test_sharded_pairs_resident_local_matches_windowed(rng, monkeypatch):
+    """Per-shard resident local windows (the shard's whole X slice as one
+    constant-index VMEM window) must be bit-identical to the windowed
+    local path on a pattern with local tiles."""
+    lm = ln = 4
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    # CLAMPED (non-wrapping) band: a circulant band's wrap seam gives one
+    # tile a full-pattern X span, which forces a single giant window and
+    # leaves no shard-local tiles at all
+    mb, ncols = 96, 2
+    rng2 = np.random.default_rng(7)
+    rows, cols = [0], []
+    for i in range(mb):
+        cs = [c for c in (i - 1, i, i + 1) if 0 <= c < mb]
+        cols.extend(cs)
+        rows.append(len(cols))
+    rowptr_a = np.asarray(rows, np.int32)
+    colind_a = np.asarray(cols, np.int32)
+    a_data = (rng2.standard_normal((len(cols), lm, lm))
+              + 1j * rng2.standard_normal((len(cols), lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 12.0 * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    rowptr_x = np.arange(mb + 1, dtype=np.int32) * ncols
+    colind_x = np.tile(np.arange(ncols, dtype=np.int32), mb)
+    x = Bsr(mb, ncols, rowptr_x, colind_x, name="X")
+    rowptr_b = np.zeros(mb + 1, np.int32)
+    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+    rowptr_b[ncols + 1:] = ncols
+    colind_b = np.arange(ncols, dtype=np.int32)
+    b_data = (rng2.standard_normal((ncols, lm, ln))
+              + 1j * rng2.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, colind_b, b_data, name="B")
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    got = {}
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")   # keep the geometry local
+    for res in ("0", "1"):
+        monkeypatch.setenv("TFQ_SHARDED_RESIDENT", res)
+        sp = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+        if not sp.overlap:
+            pytest.skip("pattern yielded no local tiles")
+        assert sp.loc_resident == (res == "1")
+        xr, info = sp.solve(a.data.real, a.data.imag,
+                            b.data.real, b.data.imag,
+                            tolerance=1e-4, max_iterations=40)
+        got[res] = (xr, info["iterations"])
+    assert got["0"][1] == got["1"][1]
+    np.testing.assert_array_equal(got["0"][0], got["1"][0])

@@ -397,7 +397,7 @@ def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
 
 
 def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
-                     wsel_base: int = 0):
+                     wsel_base: int = 0, resident_span: int = 0):
     """Group ``t_step`` consecutive tiles into one grid step.
 
     Per-grid-step fixed costs (DMA issue + scalar bookkeeping, ~1 us on
@@ -413,6 +413,12 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     ``wsel_base``: subtracted from every window index -- used when the
     window replicas are built from a shard-local slice of X.
 
+    ``resident_span``: >0 compiles the tables against a single RESIDENT
+    window of that many blocks (e.g. a shard's whole local X slice):
+    every step's window index is 0 and copy sources become absolute
+    block offsets (rebased by ``wsel_base``); raises ValueError when a
+    source falls outside the span.
+
     Returns (nsteps, wsel_step[nsteps+1], codes_flat, trips[nsteps+1],
     cmax_step): the copy program of a step concatenates its tiles' programs
     with dst offsets j*ku; the first two steps carry full coverage of all
@@ -422,6 +428,9 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     O = plan.o_blocks
     if T * ku + g > 0xFFFF:
         raise ValueError("step dst space exceeds the 16-bit field")
+    if resident_span and resident_span + g > 0x7FFF:
+        raise ValueError("resident span exceeds the 15-bit src field")
+    rel_lim = resident_span if resident_span else S + O
     if tiles is None:
         tiles = np.arange(plan.ntiles, dtype=np.int64)
     else:
@@ -434,8 +443,11 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     for s in range(nsteps):
         step_tiles = tiles[s * T: (s + 1) * T]
         real = [int(t) for t in step_tiles if t >= 0]
-        w = (int(min(plan.wsel[t] for t in real)) - wsel_base) if real \
-            else prev_w
+        if resident_span:
+            w = 0
+        else:
+            w = (int(min(plan.wsel[t] for t in real)) - wsel_base) if real \
+                else prev_w
         prev_w = w
         wsel_step[s] = w
         codes = []
@@ -445,7 +457,7 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
                 shift = (int(plan.wsel[t]) - wsel_base - w) * S
                 for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
                     rel, dst = (c >> 16) + shift, c & 0xFFFF
-                    if rel > S + O:
+                    if rel > rel_lim:
                         raise ValueError(
                             f"t_step={T}: window span overflow at step {s}")
                     codes.append((rel << 16) | (j * ku + dst))

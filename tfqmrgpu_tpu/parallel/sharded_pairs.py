@@ -175,6 +175,18 @@ class ShardedPairsSolver:
             (self.tiles_local, 0)
         self.n_loc = self.tiles_local - self.p - self.q
 
+        # per-shard RESIDENT local window: hold the shard's whole X slice
+        # in VMEM behind a constant-index BlockSpec -- the local call then
+        # skips both the per-iteration replica build and the in-kernel
+        # window re-streaming (the single-device resident-X design,
+        # applied shard-locally).  TFQ_SHARDED_RESIDENT: auto|0|1.
+        res_env = _os.environ.get("TFQ_SHARDED_RESIDENT", "auto")
+        win2 = 2 * (self.vrows_local + g * lm) * 8 * self.ln
+        self.loc_resident = (
+            res_env != "0" and self.n_loc > 0
+            and self.vrows_local // lm + g <= 0x7FFF
+            and (res_env == "1" or win2 <= (72 << 20)))
+
         # per-shard step tables (remote tiles see FULL-X windows; local
         # tiles see the shard-local window slice, rebased)
         t = want_t
@@ -258,12 +270,16 @@ class ShardedPairsSolver:
                 loc_ids = np.pad(chunk[p: tl - q if q else tl],
                                  (0, self.nsteps_loc * t - self.n_loc),
                                  constant_values=-1)
+                span = (self.vrows_local // self.lm
+                        if self.loc_resident else 0)
                 ns, w, c, tr, cm = pp.make_step_tables(
-                    p0, t, tiles=loc_ids, wsel_base=w_base)
+                    p0, t, tiles=loc_ids, wsel_base=w_base,
+                    resident_span=span)
                 assert ns == self.nsteps_loc
                 # the local replicas expose nwin_local-1 windows (one zero
                 # window is appended by the builder for the +g overrun)
-                if w[: ns].max(initial=0) > max(self.nwin_local - 2, 0):
+                if (not self.loc_resident and w[: ns].max(initial=0)
+                        > max(self.nwin_local - 2, 0)):
                     raise ValueError("local window index out of range")
                 loc_tabs.append((w, tr, c.reshape(ns + 1, cm)))
                 loc_cmax = max(loc_cmax, cm)
@@ -301,10 +317,17 @@ class ShardedPairsSolver:
         self._a_panels = parts
         mk = dict(copy_g=p0.copy_g, t_step=self.t_step)
         if self.n_loc:
-            self._call_loc = pp._make_call(
-                self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
-                p0.s_window, self.vrows_local, self.precision,
-                self.interpret, cmax=self.loc_cmax, **mk)
+            if self.loc_resident:
+                self._call_loc = pp._make_call(
+                    self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
+                    self.vrows_local // self.lm, self.vrows_local,
+                    self.precision, self.interpret, cmax=self.loc_cmax,
+                    resident=True, **mk)
+            else:
+                self._call_loc = pp._make_call(
+                    self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
+                    p0.s_window, self.vrows_local, self.precision,
+                    self.interpret, cmax=self.loc_cmax, **mk)
         if self.p + self.q:
             self._call_rem = pp._make_call(
                 self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
@@ -436,9 +459,14 @@ class ShardedPairsSolver:
                     y_rem = call_rem(wr, tr_r, cr, *ap_rem, xrep)
                     y_rem = y_rem.reshape(-1, 2 * ln)
                 if nloc:
-                    xrep_l = pp._window_replicas(
-                        x, self.nwin_local, self.swrows, 2 * ln,
-                        split=split, g_rows=g_rows)
+                    if self.loc_resident:
+                        xrep_l = pp._window_replicas(
+                            x, 1, vrl, 2 * ln, split=split,
+                            g_rows=g_rows, resident=True)
+                    else:
+                        xrep_l = pp._window_replicas(
+                            x, self.nwin_local, self.swrows, 2 * ln,
+                            split=split, g_rows=g_rows)
                     ap_loc = [
                         jnp.pad(a[p_: tl - q_ if q_ else tl],
                                 ((0, self.nsteps_loc * t - nloc),
