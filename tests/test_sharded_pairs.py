@@ -57,27 +57,32 @@ def test_sharded_pairs_t_step_batching(rng):
     _check(sp, a, x, b, tol, i0)
 
 
-def test_sharded_pairs_overlap_split(rng):
+def test_sharded_pairs_overlap_split(rng, monkeypatch):
     """The local/remote tile split (halo overlap) must not change results;
     at least one shard must actually have local tiles for this pattern."""
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")  # keep the geometry local
     lm = ln = 4
     # banded A keeps pair windows narrow -> interior tiles are local
     from tfqmrgpu_tpu.bsr import Bsr
 
-    mb, deg, ncols = 96, 3, 2    # big enough that each of the 2 shards
-    # spans several X windows -> interior tiles qualify as local
+    mb, ncols = 96, 2    # big enough that each of the 2 shards
+    # spans several X windows -> interior tiles qualify as local.
+    # CLAMPED band (no wrap): a circulant band's seam tile spans the
+    # whole pattern, forcing one giant window and zero local tiles
     rng2 = np.random.default_rng(7)
-    rowptr_a = np.arange(mb + 1, dtype=np.int32) * deg
-    colind_a = ((np.arange(mb)[:, None] + np.arange(deg)[None, :] - 1)
-                % mb).astype(np.int32)    # circulant band: unique cols/row
-    colind_a = np.sort(colind_a, axis=1).reshape(-1)
-    a_data = (rng2.standard_normal((mb * deg, lm, lm))
-              + 1j * rng2.standard_normal((mb * deg, lm, lm))
+    rows_l, cols_l = [0], []
+    for i in range(mb):
+        cols_l.extend(c for c in (i - 1, i, i + 1) if 0 <= c < mb)
+        rows_l.append(len(cols_l))
+    rowptr_a = np.asarray(rows_l, np.int32)
+    colind_a = np.asarray(cols_l, np.int32)
+    a_data = (rng2.standard_normal((len(cols_l), lm, lm))
+              + 1j * rng2.standard_normal((len(cols_l), lm, lm))
               ).astype(np.complex64)
     for i in range(mb):
         row = slice(rowptr_a[i], rowptr_a[i + 1])
         j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
-        a_data[j] += 4.0 * deg * lm * np.eye(lm)
+        a_data[j] += 12.0 * lm * np.eye(lm)
     a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
     rowptr_x = np.arange(mb + 1, dtype=np.int32) * ncols
     colind_x = np.tile(np.arange(ncols, dtype=np.int32), mb)
