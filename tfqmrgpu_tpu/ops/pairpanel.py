@@ -494,7 +494,10 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
     m = plan.r_tile * lm
-    win = 2 * (S + plan.o_blocks + g) * lm * w_lanes * w_b
+    # resident plans hold ONE panel-sized scratch (manual DMA from HBM);
+    # windowed plans carry two pipelined replica buffers
+    win_bufs = 1 if plan.resident else 2
+    win = win_bufs * (S + plan.o_blocks + g) * lm * w_lanes * w_b
     return (2 * n_a * t * m2 * ku * lm * a_b
             + 2 * (t * ku + g) * lm * w_lanes * w_b
             + win + 2 * t * m * 2 * plan.ln * 4)
@@ -511,12 +514,13 @@ def plan_fits_vmem(plan: PairPanelPlan, precision: str,
 
 def resident_window_bytes(n_slots: int, lm: int, ln: int, precision: str,
                           copy_g: int = 2) -> int:
-    """VMEM bytes of the resident-X window pair (the pipeline allocates two
-    buffers even for a constant index map; only one is ever filled)."""
+    """VMEM bytes of the resident-X window: ONE panel-sized scratch buffer
+    (the kernel DMAs the HBM panel into it once at grid step 0; the input
+    itself stays in ANY/HBM memory space)."""
     split = precision in ("bf16", "bf16x3", "bf16x4")
     w_lanes = (4 if split else 2) * ln
     w_b = 2 if split else 4
-    return 2 * (n_slots + max(int(copy_g), 1)) * lm * w_lanes * w_b
+    return (n_slots + max(int(copy_g), 1)) * lm * w_lanes * w_b
 
 
 def resident_feasible(n_slots: int, lm: int, ln: int, precision: str,
@@ -685,6 +689,46 @@ def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
 # raises ValueError otherwise; group_size=1 degenerates to the ungrouped
 # engine and is always safe.
 
+def _refine_groups(groups: list, pmb: np.ndarray, max_passes: int = 8):
+    """Hill-climb column swaps between groups to minimize the TRUE grouped
+    cost: the deduped pair count sum_a |{groups a's pair columns touch}|
+    (= A-panel blocks streamed per multiply).  The greedy co-occurrence
+    seeding optimizes a proxy (shared X rows); on the golden KKR plan this
+    swap refinement cuts A replication a further ~10-15%."""
+    if pmb.shape[1] > 64:        # O(ncol^2) sweeps; big grids keep greedy
+        return groups
+    assign = np.zeros(pmb.shape[1], np.int64)
+    for gi, g in enumerate(groups):
+        assign[np.asarray(g, dtype=np.int64)] = gi
+    ngroups = len(groups)
+    pmb_i = pmb.astype(np.int64)
+
+    def cost(a):
+        onehot = np.zeros((pmb.shape[1], ngroups), np.int64)
+        onehot[np.arange(pmb.shape[1]), a] = 1
+        return int(((pmb_i @ onehot) > 0).sum())
+
+    best = cost(assign)
+    ncol = pmb.shape[1]
+    for _ in range(max_passes):
+        improved = False
+        for c1 in range(ncol):
+            for c2 in range(c1 + 1, ncol):
+                if assign[c1] == assign[c2]:
+                    continue
+                assign[c1], assign[c2] = assign[c2], assign[c1]
+                c = cost(assign)
+                if c < best:
+                    best = c
+                    improved = True
+                else:
+                    assign[c1], assign[c2] = assign[c2], assign[c1]
+        if not improved:
+            break
+    return [sorted(np.flatnonzero(assign == gi).tolist())
+            for gi in range(ngroups)]
+
+
 @dataclasses.dataclass
 class GroupedPairs:
     """Column-grouped transform of a pair list (host, pattern-only)."""
@@ -778,6 +822,7 @@ def pack_grouped(pair_a, pair_x, pair_y, nnzb: int, ln: int,
 
     if groups is None:
         groups = _group_columns(rbool, group_size)
+        groups = _refine_groups(groups, pmb)
     gsz = max(len(g) for g in groups)
     if gsz != group_size:
         raise ValueError("groups exceed group_size")
@@ -1039,7 +1084,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     split = precision in ("bf16", "bf16x3", "bf16x4")
     a_dt = jnp.bfloat16 if split else jnp.float32
 
-    def gather_xs(i, trips_ref, code_ref, xw, xs2):
+    def gather_xs(i, trips_ref, code_ref, win_read, xs2):
         """Stage tile i's union X blocks from the VMEM window into the
         scratch via the run-aware copy program: each code moves ``g``
         consecutive blocks (src_rel << 16 | dst_slot).  The window is an
@@ -1057,7 +1102,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             rel = jax.lax.shift_right_logical(code, np.int32(16))
             dst = jax.lax.bitwise_and(code, np.int32(0xFFFF))
             xs2[pl.ds(pl.multiple_of(dst * lm, lm), g * lm), :] = \
-                xw[0, pl.ds(pl.multiple_of(rel * lm, lm), g * lm), :]
+                win_read(pl.ds(pl.multiple_of(rel * lm, lm), g * lm))
 
         def body(kk, carry):
             copy_one(2 * kk)
@@ -1118,9 +1163,29 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
     def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
-        xw, y_ref, xs_a, xs_b = refs[n_a:]
+        if resident:
+            # RESIDENT mode: the padded X panel stays in HBM (ANY memory
+            # space) and is DMAed ONCE into a single VMEM scratch at step 0
+            # -- the pipelined-window path below would allocate TWO window
+            # buffers even under a constant index map, doubling the VMEM
+            # footprint and collapsing the admissible t_step for big panels.
+            xw_hbm, y_ref, xs_a, xs_b, xw_v, w_sem = refs[n_a:]
+
+            def win_read(rows):
+                return xw_v[rows, :]
+        else:
+            xw, y_ref, xs_a, xs_b = refs[n_a:]
+
+            def win_read(rows):
+                return xw[0, rows, :]
         del wsel_ref
         i = pl.program_id(0)
+        if resident:
+            @pl.when(i == 0)
+            def _():
+                cp = pltpu.make_async_copy(xw_hbm.at[0], xw_v, w_sem)
+                cp.start()
+                cp.wait()
         # Two SEPARATE scratch refs (not halves of one): Mosaic tracks
         # read/write dependencies per ref, so gather(i) and the MXU work on
         # step i-1 only overlap when they touch different refs.  Each branch
@@ -1135,7 +1200,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         def run(xs_mine, xs_other):
             if not no_dot:
                 ys = [dots(a_refs, xs_other, j) for j in range(T)]
-            gather_xs(i, trips_ref, code_ref, xw, xs_mine)
+            gather_xs(i, trips_ref, code_ref, win_read, xs_mine)
             if not no_dot:
                 for j in range(T):
                     finish(ys[j], y_ref, j)
@@ -1159,24 +1224,31 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                             memory_space=pltpu.VMEM)] * n_a
     w_lanes = 4 * ln if split else 2 * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
-    # resident mode: constant index map -- the pipeline fetches the (only)
-    # window once and never re-copies it (revisited block indices skip the
-    # DMA), keeping the whole X panel VMEM-resident across all grid steps
-    w_map = (lambda i, ws, tr, xl: (0, 0, 0)) if resident else \
-        (lambda i, ws, tr, xl: (ws[i], 0, 0))
-    win_specs = [
-        pl.BlockSpec((1, swrows + orows + g * lm, w_lanes), w_map,
-                     memory_space=pltpu.VMEM),
-    ]
+    # resident mode: the panel input stays in HBM (ANY memory space); the
+    # kernel DMAs it once into a SINGLE VMEM scratch at step 0 (the
+    # pipeline would allocate two window buffers even for a constant index
+    # map, doubling the footprint)
+    if resident:
+        win_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    else:
+        win_specs = [
+            pl.BlockSpec((1, swrows + orows + g * lm, w_lanes),
+                         lambda i, ws, tr, xl: (ws[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     m = r_tile * lm
+    scratch = [pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt),
+               pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt)]
+    if resident:
+        scratch += [pltpu.VMEM((swrows + g * lm, w_lanes), w_dt),
+                    pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                    # wsel, trips, codes
         grid=(ntiles + 1,),
         in_specs=a_specs + win_specs,
         out_specs=pl.BlockSpec((T, m, 2 * ln), a_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt),
-                        pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt)],
+        scratch_shapes=scratch,
     )
 
     a_bytes = ntiles * T * m2 * k * (2 if split else 4) * n_a
@@ -1187,8 +1259,9 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     a_eb = 2 if split else 4
     w_eb = 2 if split else 4
     w_lanes_n = (4 if split else 2) * ln
+    win_bufs = 1 if resident else 2              # resident: single scratch
     vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
-                 + 2 * (swrows + orows + g * lm) * w_lanes_n * w_eb  # win x2
+                 + win_bufs * (swrows + orows + g * lm) * w_lanes_n * w_eb
                  + 2 * (T * ku + g) * lm * w_lanes_n * w_eb      # scratch x2
                  + 2 * T * m * 2 * ln * 4)                       # out x2
     vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
