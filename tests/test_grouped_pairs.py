@@ -231,3 +231,33 @@ def test_grouped_bucketed_multiply(rng):
     got = (pp.ungroup_blocks(gp, yre2) + 1j * pp.ungroup_blocks(gp, yim2))
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_refine_groups_cuts_dedup_cost(rng):
+    """The swap refinement must (a) preserve the partition -- same columns,
+    same per-group sizes -- and (b) never increase the TRUE grouped cost
+    (deduped pair count = A blocks streamed per multiply)."""
+    pa, px, py, na, nx, xr, xc = _sparse_intersection_plan(
+        rng, mb=20, ncols=8, fill=0.4)
+    row, col = pp.recover_geometry(pa, px, py, nx)
+    ncol = int(col.max()) + 1
+    au, inv = np.unique(pa, return_inverse=True)
+    pmb = np.zeros((au.shape[0], ncol), bool)
+    pmb[inv, col[py]] = True
+    rbool = np.zeros((int(row.max()) + 1, ncol), bool)
+    rbool[row, col] = True
+
+    def dedup_cost(groups):
+        cost = 0
+        for g in groups:
+            cost += int(pmb[:, g].any(axis=1).sum())
+        return cost
+
+    greedy = pp._group_columns(rbool, 3)
+    refined = pp._refine_groups(greedy, pmb)
+    assert sorted(len(g) for g in greedy) == sorted(len(g) for g in refined)
+    assert sorted(c for g in refined for c in g) == list(range(ncol))
+    assert dedup_cost(refined) <= dedup_cost(greedy)
+    # default pack path uses the refined groups and still validates
+    gp = pp.pack_grouped(pa, px, py, nx, 4, 3)
+    assert len(gp.pair_a2) <= dedup_cost(greedy)

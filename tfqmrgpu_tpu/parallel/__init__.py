@@ -36,18 +36,46 @@ def solve_sharded(a, x, b, *, mesh=None, n_devices: int = 0,
       local/remote halo-overlap tile split;
     * 'auto'    -- 'rowtile' when the X panel fits, else 'pairs'.
 
-    Stopping is globally synchronized and bit-identical to one device.
+    precision 'c' iterates in float32; precision 'm' additionally refines
+    to f64 residuals (one emulated-f64 SpMM per round, sharded f32
+    correction solves -- see ``parallel.mixed``).  Stopping is globally
+    synchronized and bit-identical to one device.
     """
-    import jax
     import numpy as np
+
+    if precision not in ("c", "m"):
+        raise ValueError("sharded engines iterate in float32: use "
+                         "precision 'c', or 'm' for f64-residual "
+                         "refinement; plain 'z' runs on one device")
+    plan, sp, eng = _build_sharded(a, x, b, mesh=mesh, n_devices=n_devices,
+                                   engine=engine, r_tile=r_tile,
+                                   interpret=interpret)
+    if precision == "m":
+        from .mixed import solve_sharded_mixed
+
+        xc, info = solve_sharded_mixed(
+            a, x, b, plan, sp, tolerance=tolerance,
+            max_iterations=max_iterations)
+    else:
+        xc, info = sp.solve(np.asarray(a.data.real),
+                            np.asarray(a.data.imag),
+                            np.asarray(b.data.real),
+                            np.asarray(b.data.imag),
+                            tolerance=tolerance,
+                            max_iterations=max_iterations)
+    info["engine"] = eng
+    return xc, info
+
+
+def _build_sharded(a, x, b, *, mesh=None, n_devices: int = 0,
+                   engine: str = "auto", r_tile: int = 0, interpret=None):
+    """Shared plumbing of solve_sharded: plan + engine pick + solver."""
+    import jax
 
     from ..plan import create_plan
     from .sharded_pairs import ShardedPairsSolver
     from .sharded_rowtile import ShardedRowTileSolver
 
-    if precision != "c":
-        raise ValueError("sharded engines are float32-only; solve 'z' on "
-                         "one device or refine with solve_mixed")
     if mesh is None:
         mesh = make_mesh(int(n_devices) or len(jax.devices()), 1)
     if interpret is None:
@@ -68,11 +96,7 @@ def solve_sharded(a, x, b, *, mesh=None, n_devices: int = 0,
         sp = ShardedPairsSolver(plan, mesh, interpret=interpret)
     else:
         raise ValueError(f"unknown sharded engine {engine!r}")
-    xc, info = sp.solve(np.asarray(a.data.real), np.asarray(a.data.imag),
-                        np.asarray(b.data.real), np.asarray(b.data.imag),
-                        tolerance=tolerance, max_iterations=max_iterations)
-    info["engine"] = eng
-    return xc, info
+    return plan, sp, eng
 
 
 __all__.append("solve_sharded")

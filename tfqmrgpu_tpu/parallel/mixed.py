@@ -1,0 +1,105 @@
+"""Mixed-precision ('m') sharded solve: f32 mesh-sharded iterations plus
+f64-residual iterative refinement.
+
+The reference declares precision 'm' but never enabled it
+(tfqmrgpu.cu:42 "mixed precision is still buggy"); the single-device TPU
+pipeline lives in ``solver.solve_mixed``/``refine_mixed``.  This module is
+its multi-device analogue: the correction solves run on the sharded f32
+engines (rowtile/pairs over the mesh), while one emulated-f64 SpMM per
+round measures the true residual.  The refinement loop is host-driven and
+cheap (a handful of rounds); the sharded engine does all the iteration
+work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
+                        max_iterations: int = 999,
+                        c_tolerance: float = 1e-4, max_rounds: int = 12,
+                        echo: int = 0):
+    """Refine a sharded f32 solve to f64 residuals.
+
+    Args:
+      a, x, b: the BSR operands (complex128 data on ``a``/``b``).
+      plan: the analyzed Plan (lm/ln set).
+      sp: a sharded solver (ShardedRowTileSolver / ShardedPairsSolver)
+          built over ``plan`` and a mesh; its ``solve`` must accept
+          ``rhs_xshaped``.
+
+    Returns (x_blocks complex128 [nnzbX, LM, LN], info dict).
+    """
+    if not jax.config.read("jax_enable_x64"):
+        from .. import enable_x64
+
+        enable_x64()
+    from ..ops import layout as lops
+    from ..ops.blocksparse import BlockSparseAction
+
+    lm, ln = int(plan.lm), int(plan.ln)
+    ar = np.asarray(a.data.real)
+    ai = np.asarray(a.data.imag)
+
+    # stage 1: f32 sharded solve of A X == B
+    maxit_c = min(max_iterations, max(150, max_iterations // 4))
+    xc, info_c = sp.solve(ar, ai, np.asarray(b.data.real),
+                          np.asarray(b.data.imag),
+                          tolerance=max(c_tolerance, tolerance),
+                          max_iterations=maxit_c)
+    x_cur = np.asarray(xc).astype(np.complex128)
+    total_iters = int(info_c["iterations"])
+
+    # f64 residual operator (XLA pair-list engine; software-emulated f64
+    # on TPU -- one multiply per round, off the iteration hot path)
+    a_re64, a_im64 = lops.complex_to_planes(a.data, np.float64)
+    act = BlockSparseAction.from_plan(plan, a_re64, a_im64, engine="xla",
+                                      ln=ln)
+    apply64 = jax.jit(lambda xr, xi: act.multiply((xr, xi)))
+
+    colindx = plan.colindx.astype(np.int64)
+    bx64 = np.zeros((plan.nnzb_x, lm, ln), np.complex128)
+    np.add.at(bx64, plan.subset.astype(np.int64),
+              np.asarray(b.data, np.complex128))
+    bn2 = np.zeros((plan.ncols, ln))
+    np.add.at(bn2, colindx, (np.abs(bx64) ** 2).sum(axis=1))
+    inv = np.where(bn2 > 0, 1.0 / np.where(bn2 > 0, bn2, 1.0), 0.0)
+
+    stall = float(np.clip(2.0 * max(info_c["residuum"], 0.0), 1e-5, 1e-2))
+    prev_ratio = np.inf
+    ratio = np.inf
+    converged = False
+    rounds = 0
+    for rnd in range(max_rounds):
+        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
+        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
+        res2 = np.zeros_like(bn2)
+        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
+        ratio = float(np.sqrt(np.max(res2 * inv)))
+        if echo > 1:
+            print(f"# sharded refine round {rnd}: rel residual {ratio:.3e}")
+        if ratio <= tolerance:
+            converged = True
+            break
+        if ratio > 0.25 * prev_ratio or total_iters >= max_iterations:
+            break
+        prev_ratio = ratio
+        rounds += 1
+        inner_max = min(max_iterations - total_iters,
+                        min(max(total_iters, 50), 150) + 50)
+        dx, info_d = sp.solve(ar, ai, r.real.astype(np.float32),
+                              r.imag.astype(np.float32),
+                              tolerance=stall, max_iterations=inner_max,
+                              rhs_xshaped=True)
+        x_cur = x_cur + np.asarray(dx).astype(np.complex128)
+        total_iters += int(info_d["iterations"])
+
+    info = dict(info_c)
+    info.update(iterations=total_iters, residuum=ratio,
+                refine_rounds=rounds, converged=converged,
+                c_iterations=int(info_c["iterations"]))
+    return x_cur, info

@@ -365,14 +365,19 @@ class ShardedPairsSolver:
         return jnp.asarray(arr)
 
     def solve(self, a_re, a_im, b_re, b_im, tolerance=1e-5,
-              max_iterations=300):
+              max_iterations=300, rhs_xshaped=False):
+        """``rhs_xshaped=True`` takes the RHS as X-shaped blocks
+        [nnzbX, LM, LN] instead of B-shaped blocks scattered through the
+        subset list — the entry used by mixed-precision refinement, whose
+        correction equation A·dX == R has an X-patterned RHS."""
         from . import multihost as mh
 
         if self._a_panels is None:
             self.set_matrix_a(np.asarray(a_re), np.asarray(a_im))
         b_sh = self._to_dev(self._pack_vec(
             np.asarray(b_re, np.float32), np.asarray(b_im, np.float32),
-            scatter=self.plan.subset.astype(np.int64)))
+            scatter=None if rhs_xshaped
+            else self.plan.subset.astype(np.int64)))
         v3 = core.make_shadow_vector(self.plan.nnzb_x, self.lm, self.ln0)
         v3_sh = self._to_dev(self._pack_vec(np.asarray(v3[0]),
                                             np.asarray(v3[1])))

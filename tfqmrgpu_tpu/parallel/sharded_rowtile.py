@@ -131,13 +131,16 @@ class ShardedRowTileSolver:
     # --------------------------------------------------------------- solve
 
     def solve(self, a_re, a_im, b_re, b_im, tolerance=1e-5,
-              max_iterations=300):
+              max_iterations=300, rhs_xshaped=False):
+        """``rhs_xshaped=True`` takes the RHS as X-shaped blocks
+        [nnzbX, LM, LN] (mixed-refinement correction solves)."""
         if self._a_panels is None:
             self.set_matrix_a(np.asarray(a_re), np.asarray(a_im))
+        pack = self.lay.pack_x if rhs_xshaped else self.lay.pack_b
         b_sh = (jnp.asarray(self._shard_panel(
-                    self.lay.pack_b(np.asarray(b_re, np.float32)))),
+                    pack(np.asarray(b_re, np.float32)))),
                 jnp.asarray(self._shard_panel(
-                    self.lay.pack_b(np.asarray(b_im, np.float32)))))
+                    pack(np.asarray(b_im, np.float32)))))
         out = self._solve_core(
             self.mesh, self._a_panels, jnp.asarray(self.xcols),
             b_sh[0], b_sh[1],
