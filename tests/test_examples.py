@@ -51,3 +51,16 @@ def test_python_example():
         capture_output=True, text=True, env=env, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "tfqmrgpu_python_example: OK" in r.stdout
+
+
+def test_sharded_example():
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples",
+                                      "tfqmrgpu_sharded_example.py")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "tfqmrgpu_sharded_example: OK" in r.stdout
