@@ -258,6 +258,14 @@ def test_refine_groups_cuts_dedup_cost(rng):
     assert sorted(len(g) for g in greedy) == sorted(len(g) for g in refined)
     assert sorted(c for g in refined for c in g) == list(range(ncol))
     assert dedup_cost(refined) <= dedup_cost(greedy)
+    # the exact set-partition DP can only match or beat the hill-climb
+    if ncol % 4 == 0:
+        opt = pp._optimal_groups(pmb, 4)
+        ref4 = pp._refine_groups(pp._group_columns(rbool, 4), pmb)
+        assert opt is not None
+        assert sorted(c for g in opt for c in g) == list(range(ncol))
+        assert all(len(g) == 4 for g in opt)
+        assert dedup_cost(opt) <= dedup_cost(ref4)
     # default pack path uses the refined groups and still validates
     gp = pp.pack_grouped(pa, px, py, nx, 4, 3)
     assert len(gp.pair_a2) <= dedup_cost(greedy)

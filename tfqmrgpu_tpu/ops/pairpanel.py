@@ -689,6 +689,73 @@ def unpermute_y(plan: PairPanelPlan, y_fused: np.ndarray):
 # raises ValueError otherwise; group_size=1 degenerates to the ungrouped
 # engine and is always safe.
 
+def _optimal_groups(pmb: np.ndarray, group_size: int,
+                    max_transitions: int = 2_000_000):
+    """EXACT minimizer of the grouped cost over all partitions of the
+    columns into groups of exactly ``group_size``.
+
+    The cost of a partition is the deduped pair count
+    ``sum_a |{groups a's pair columns touch}|`` = A-panel blocks streamed
+    per multiply.  Distinct A column-masks collapse with multiplicity, so
+    a group's cost contribution is independent of the rest of the
+    partition -- which makes the problem a minimum-weight set partition,
+    solved by DP over remaining-column bitmasks (each state expands only
+    groups containing the lowest remaining column, so every partition is
+    enumerated once).  Returns the optimal groups, or None when ncol is
+    not divisible by group_size or the transition-count bound says the
+    instance is too big (caller falls back to greedy + swap refinement).
+    On the golden KKR plan (16 columns, G=4) this runs in seconds and
+    dominates the hill-climb."""
+    import functools
+    import itertools
+    from math import comb
+
+    ncol = int(pmb.shape[1])
+    G = int(group_size)
+    if G < 2 or ncol % G != 0 or ncol > 24:
+        return None
+    est = 0
+    rem = ncol
+    while rem > 0:
+        est += comb(ncol, rem) * comb(rem - 1, G - 1)
+        rem -= G
+    if est > max_transitions:
+        return None
+
+    # distinct A column-masks with multiplicities
+    col_bits = (np.int64(1) << np.arange(ncol, dtype=np.int64))
+    amask = (pmb.astype(np.int64) * col_bits[None, :]).sum(axis=1)
+    masks_u, counts = np.unique(amask, return_counts=True)
+
+    # cost of every possible group, vectorized over distinct masks
+    combos = list(itertools.combinations(range(ncol), G))
+    gmasks = np.array([sum(1 << c for c in combo) for combo in combos],
+                      np.int64)
+    hit = (masks_u[:, None] & gmasks[None, :]) != 0
+    gcost = {int(m): int(c) for m, c in
+             zip(gmasks, counts @ hit.astype(np.int64))}
+
+    @functools.lru_cache(maxsize=None)
+    def dp(remaining):
+        if remaining == 0:
+            return 0, ()
+        b = (remaining & -remaining).bit_length() - 1
+        rest = [c for c in range(ncol)
+                if (remaining >> c) & 1 and c != b]
+        best = None
+        for combo in itertools.combinations(rest, G - 1):
+            g = (1 << b) | sum(1 << c for c in combo)
+            sub, sub_groups = dp(remaining & ~g)
+            tot = gcost[g] + sub
+            if best is None or tot < best[0]:
+                best = (tot, sub_groups + (g,))
+        return best
+
+    _, chosen = dp((1 << ncol) - 1)
+    dp.cache_clear()
+    return [[c for c in range(ncol) if (g >> c) & 1] for g in chosen]
+
+
 def _refine_groups(groups: list, pmb: np.ndarray, max_passes: int = 8):
     """Hill-climb column swaps between groups to minimize the TRUE grouped
     cost: the deduped pair count sum_a |{groups a's pair columns touch}|
@@ -821,8 +888,10 @@ def pack_grouped(pair_a, pair_x, pair_y, nnzb: int, ln: int,
                          "column grouping would change its semantics")
 
     if groups is None:
-        groups = _group_columns(rbool, group_size)
-        groups = _refine_groups(groups, pmb)
+        groups = _optimal_groups(pmb, group_size)
+        if groups is None:
+            groups = _group_columns(rbool, group_size)
+            groups = _refine_groups(groups, pmb)
     gsz = max(len(g) for g in groups)
     if gsz != group_size:
         raise ValueError("groups exceed group_size")
