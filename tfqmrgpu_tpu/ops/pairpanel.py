@@ -1090,6 +1090,8 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     mxu_tflops = 173.0 / passes
     rbool = np.zeros((int(row.max()) + 1, ncol), bool)
     rbool[row, col] = True
+    pmb = np.zeros((au.shape[0], ncol), bool)
+    pmb[inv, np.asarray(col)[py]] = True
     ests = {}
     for g in candidates:
         if g > ncol:
@@ -1100,7 +1102,11 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
             lanes = ln
         else:
             try:
-                groups = _group_columns(rbool, g)
+                # the same partition chooser the pack uses, so the model
+                # prices the groups it will actually get
+                groups = _optimal_groups(pmb, g)
+                if groups is None:
+                    groups = _refine_groups(_group_columns(rbool, g), pmb)
             except Exception:
                 continue
             g_of_col = np.zeros(ncol, np.int64)
