@@ -17,11 +17,12 @@ TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 1, pairpanel),
 TFQ_BENCH_ROWTILE (default 128/LM, rowtile), TFQ_BENCH_TSTEP (default 16),
 TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for
 padding), TFQ_BENCH_ENGINE (rowtile|pairpanel|xla|auto, default auto),
-TFQ_BENCH_MM_PREC (bf16x4|bf16x3|highest|auto; default 'auto' = measure
-bf16x4 against the gate, fall back to exact-f32 'highest' whenever maxdev
-crosses 0.5x the gate -- MXU bf16 split products carry a systematic
-~1.3e-4-scale error at K~450, so the margin is verified, never assumed),
-TFQ_PLAN_FILE.
+TFQ_BENCH_MM_PREC (bf16x4|bf16x3|bf16x6|highest|auto; default 'auto' =
+measure bf16x4 against the gate, fall back through 'bf16x6' (3-way splits,
+exact-f32 quality at bf16x4's streamed A bytes; pairpanel only) to
+exact-f32 'highest' whenever maxdev crosses 0.9x the gate -- MXU bf16
+hi/lo split products carry a systematic ~1.3e-4-scale error at K~450, so
+the margin is verified, never assumed), TFQ_PLAN_FILE.
 """
 
 import functools
@@ -596,7 +597,7 @@ def main():
             log(f"# rowtile not applicable (density {density:.2f}, "
                 f"fits={fits}); trying pairpanel")
     if rowtile is None and engine in ("pairpanel", "auto") and prec == "c":
-        if mm_prec in ("bf16", "bf16x3", "bf16x4") and lm < 16:
+        if mm_prec in ("bf16", "bf16x3", "bf16x4", "bf16x6") and lm < 16:
             # Mosaic cannot prove sublane alignment of lm-row dynamic
             # slices in the packed bf16 windows below 16 rows (measured:
             # lm=4 bf16x4 fails to compile; exact-f32 compiles for all lm)
@@ -864,30 +865,38 @@ def main():
     maxdev = run_gate()
     log(f"# correctness: maxdev={maxdev:.3e} (gate {gate})")
     fell_back_from = None
-    if (mm_auto and (rowtile is not None
-                     or (pplan is not None and n_buckets <= 1))
-            and maxdev > 0.9 * gate):
-        # the fast mode's measured error crossed 90% of the gate.  The
-        # probe measures the TRUE deviation of this exact workload (the
-        # bf16-split error is deterministic, BLOCKSIZES_r02.json), so a
-        # measured pass is a real pass -- only refuse the thinnest margin.
-        log(f"# bf16x4 margin too thin (maxdev {maxdev:.3e} > "
-            f"{0.9*gate:.1e}); falling back to 'highest'")
-        fell_back_from = maxdev
-        mm_prec = "highest"
-        if rowtile is not None:
-            rowtile["call"], consts = build_mult("highest")
-            eng_used = f"rowtile-r{rowtile['rt_rows']}-{mm_prec}"
-        else:
-            mult2 = build_mult("highest")
-            consts = mult2.consts
+    # auto precision: fall back when the fast mode's measured error crosses
+    # 90% of the gate.  The probe measures the TRUE deviation of this exact
+    # workload (the bf16-split error is deterministic, BLOCKSIZES_r02.json),
+    # so a measured pass is a real pass -- only refuse the thinnest margin.
+    # Fallback chain for the pairpanel engine: bf16x4 -> bf16x6 (3-way
+    # splits, exact-f32 quality at the same streamed A bytes) -> highest;
+    # the rowtile kernel has no bf16x6 mode, so it goes straight to
+    # 'highest'.
+    if mm_auto and (rowtile is not None
+                    or (pplan is not None and n_buckets <= 1)):
+        chain = (["highest"] if rowtile is not None or lm < 16
+                 else ["bf16x6", "highest"])
+        while maxdev > 0.9 * gate and chain:
+            nxt = chain.pop(0)
+            log(f"# {mm_prec} margin too thin (maxdev {maxdev:.3e} > "
+                f"{0.9*gate:.1e}); falling back to {nxt!r}")
+            if fell_back_from is None:
+                fell_back_from = maxdev
+            mm_prec = nxt
+            if rowtile is not None:
+                rowtile["call"], consts = build_mult(nxt)
+                eng_used = f"rowtile-r{rowtile['rt_rows']}-{mm_prec}"
+            else:
+                mult2 = build_mult(nxt)
+                consts = mult2.consts
 
-            def multiply_c(c, x, mult2=mult2):
-                return mult2.apply(c, x)
+                def multiply_c(c, x, mult2=mult2):
+                    return mult2.apply(c, x)
 
-            eng_used = chosen["eng_name"]("highest")
-        maxdev = run_gate()
-        log(f"# correctness (highest): maxdev={maxdev:.3e}")
+                eng_used = chosen["eng_name"](nxt)
+            maxdev = run_gate()
+            log(f"# correctness ({nxt}): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)
     if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
         maxdev, gate = 0.0, 1.0

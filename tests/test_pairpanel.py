@@ -302,3 +302,64 @@ def test_resident_feasible_bounds():
     assert pp.resident_feasible(1000, 8, 8, "bf16x4")
     assert not pp.resident_feasible(40000, 32, 32, "highest")
     assert not pp.resident_feasible(0x8000, 4, 4, "highest")
+
+
+def test_split_bf16x3_reconstructs_f32():
+    """hi + mid + lo must reproduce the f32 value to ~2^-24 relative
+    (three 8-bit bf16 mantissas cover all 24 f32 mantissa bits)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray((rng.standard_normal(4096) *
+                     10.0 ** rng.uniform(-3, 3, 4096)).astype(np.float32))
+    hi, mid, lo = pp.split_bf16x3(a)
+    rec = (hi.astype(jnp.float32) + mid.astype(jnp.float32)
+           + lo.astype(jnp.float32))
+    rel = np.max(np.abs(np.asarray(rec - a)) / np.abs(np.asarray(a)))
+    assert rel < 2.0 ** -23
+    # and the 2-way split is strictly coarser
+    h2, l2 = pp.split_bf16x2(a)
+    rec2 = h2.astype(jnp.float32) + l2.astype(jnp.float32)
+    rel2 = np.max(np.abs(np.asarray(rec2 - a)) / np.abs(np.asarray(a)))
+    assert rel2 > rel
+
+
+@pytest.mark.parametrize("t_step", [1, 4])
+def test_pairpanel_bf16x6_exact_f32_quality(rng, t_step):
+    """The bf16x6 mode (3-way splits, 6 cross products, in-kernel A split)
+    must land at exact-f32 quality -- well inside the reference's 1e-5
+    full-solve gate, an order tighter than bf16x4's ~1e-4-scale floor."""
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=24, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2, 3, 4, 5, 6, 7))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1)
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    mult = pp.make_pairpanel_multiply(plan, panels, precision="bf16x6",
+                                      interpret=True, t_step=t_step)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 2e-6
+
+
+def test_precision_props_vmem_model():
+    """bf16x6 ships A raw f32 (no presplit planes) and 3-way split X
+    windows; the VMEM/time models must price it that way."""
+    props = pp.precision_props("bf16x6")
+    assert props["xsplit"] == 3 and props["a_presplit"] == 0
+    assert pp.precision_props("bf16x4")["a_presplit"] == 2
+    # resident window: 6*ln bf16 lanes = 1.5x the f32 bytes
+    b_hi = pp.resident_window_bytes(100, 16, 32, "highest")
+    b_x6 = pp.resident_window_bytes(100, 16, 32, "bf16x6")
+    assert b_x6 == int(1.5 * b_hi)

@@ -483,14 +483,40 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     return nsteps, wsel_step, codes_flat.reshape(-1), trips, cmax
 
 
+def precision_props(precision: str) -> dict:
+    """Shape/cost properties of a pairpanel precision mode.
+
+    xsplit: bf16 planes the X windows are pre-split into (1 = f32 raw);
+    a_presplit: A panels ship as that many bf16 planes (0 = raw f32 --
+    'bf16x6' splits A 3-way IN-KERNEL to keep the streamed bytes at 4/el);
+    passes: MXU pass-equivalents per product (the 2*ln<=64 side-by-side
+    packing is already folded in); mxu pass rate is ~173 TFlop/s bf16."""
+    return {
+        "highest": dict(xsplit=1, a_presplit=0, passes=6.0),
+        "bf16":    dict(xsplit=2, a_presplit=2, passes=1.0),
+        "bf16x3":  dict(xsplit=2, a_presplit=2, passes=3.0),
+        "bf16x4":  dict(xsplit=2, a_presplit=2, passes=4.0),
+        # 3-way splits, 6 cross products in 4 dots (2 full + 2 half-lane):
+        # exact-f32 quality at ~2/3 of HIGHEST's MXU time and the same
+        # A-DMA bytes as f32
+        "bf16x6":  dict(xsplit=3, a_presplit=0, passes=4.0),
+    }[precision]
+
+
+PRECISIONS = ("bf16", "bf16x3", "bf16x4", "bf16x6", "highest")
+# modes whose X windows are bf16 splits (need lm >= 16 sublane alignment)
+SPLIT_X_PRECISIONS = ("bf16", "bf16x3", "bf16x4", "bf16x6")
+
+
 def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     """Modeled VMEM working set of the kernel at grid-step batch ``t``:
     double-buffered A panels, union scratch, the two resident window
     replicas, and the output buffers."""
-    split = precision in ("bf16", "bf16x3", "bf16x4")
+    pr = precision_props(precision)
+    split = pr["a_presplit"] > 0
     a_b, n_a = (2, 2) if split else (4, 1)
-    w_lanes = (4 if split else 2) * plan.ln
-    w_b = 2 if split else 4
+    w_lanes = 2 * pr["xsplit"] * plan.ln
+    w_b = 2 if pr["xsplit"] > 1 else 4
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
     m = plan.r_tile * lm
@@ -517,9 +543,9 @@ def resident_window_bytes(n_slots: int, lm: int, ln: int, precision: str,
     """VMEM bytes of the resident-X window: ONE panel-sized scratch buffer
     (the kernel DMAs the HBM panel into it once at grid step 0; the input
     itself stays in ANY/HBM memory space)."""
-    split = precision in ("bf16", "bf16x3", "bf16x4")
-    w_lanes = (4 if split else 2) * ln
-    w_b = 2 if split else 4
+    pr = precision_props(precision)
+    w_lanes = 2 * pr["xsplit"] * ln
+    w_b = 2 if pr["xsplit"] > 1 else 4
     return (n_slots + max(int(copy_g), 1)) * lm * w_lanes * w_b
 
 
@@ -557,7 +583,7 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
     # past ~1.5 MB of A panel per grid step the per-step fixed cost is
     # fully amortized and extra batching only raises VMEM pressure
     # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32)
-    split = precision in ("bf16", "bf16x3", "bf16x4")
+    split = precision_props(precision)["a_presplit"] > 0
     tile_a = (2 if split else 1) * 2 * plan.r_tile * plan.lm \
         * plan.ku * plan.lm * (2 if split else 4)
     t_sweet = 1
@@ -633,6 +659,28 @@ def split_bf16x2(a):
     hi = hi_f32.astype(jnp.bfloat16)         # exact: mantissa already fits
     lo = (a - hi_f32).astype(jnp.bfloat16)
     return hi, lo
+
+
+def split_bf16x3(a):
+    """Three-way round-to-nearest bf16 split: a == hi + mid + lo + O(2^-25).
+    Three bf16 mantissas (8 bits each) cover all 24 f32 mantissa bits, so
+    the 6-product cross scheme ('bf16x6') reproduces exact-f32 (HIGHEST)
+    matmul quality -- vs the 2-way split's ~1e-4 systematic floor at
+    K~1000 accumulations.  Bit-masked RN for the same excess-precision
+    reasons as split_bf16x2."""
+    import jax
+    import jax.numpy as jnp
+
+    def _rn16(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+
+    hi_f32 = _rn16(a)
+    r1 = a - hi_f32
+    mid_f32 = _rn16(r1)
+    return (hi_f32.astype(jnp.bfloat16), mid_f32.astype(jnp.bfloat16),
+            (r1 - mid_f32).astype(jnp.bfloat16))
 
 
 def permute_x(plan: PairPanelPlan, re: np.ndarray,
@@ -974,18 +1022,18 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
     the fixed cost dominates -- the reason grouped candidates must be
     costed POST-pack)."""
     t = auto_t_step(plan, precision)
-    split = precision in ("bf16", "bf16x3", "bf16x4")
+    pr = precision_props(precision)
+    split = pr["a_presplit"] > 0
     lm, ku, S = plan.lm, plan.ku, plan.s_window
     a_bytes = plan.ntiles * ku * 2 * lm * lm * (2 if split else 4)
     # X: each (2S+g)-row replica window is streamed once (pallas
     # revisiting); w_lanes/w_b as in vmem_need_bytes
-    w_lanes = (4 if split else 2) * plan.ln
-    w_b = 2 if split else 4
+    w_lanes = 2 * pr["xsplit"] * plan.ln
+    w_b = 2 if pr["xsplit"] > 1 else 4
     x_bytes = plan.n_windows * (S + plan.o_blocks + plan.copy_g) * lm \
         * w_lanes * w_b
     y_bytes = plan.ntiles * plan.r_tile * lm * 2 * plan.ln * 4
-    passes = {"highest": 6.0, "bf16x4": 4.0, "bf16x3": 3.0,
-              "bf16": 1.0}.get(precision, 6.0)
+    passes = pr["passes"]
     mxu_flops = plan.ntiles * ku * lm * lm * plan.ln * 8
     dma_ms = (a_bytes + x_bytes + y_bytes) / (hbm_gbps * 1e6)
     mxu_ms = mxu_flops / (173e9 / passes)
@@ -1086,7 +1134,8 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     ai[inv] = row[py]
     # MXU rates measured on the v5e relay (memory-bank): exact f32 ~31
     # TFlop/s (HIGHEST = 6 bf16-class passes), one bf16 pass ~173
-    passes = {"highest": 6.0, "bf16x4": 4.0, "bf16x3": 3.0}.get(mm_prec, 6.0)
+    passes = precision_props(mm_prec)["passes"] if mm_prec in PRECISIONS \
+        else 6.0
     mxu_tflops = 173.0 / passes
     rbool = np.zeros((int(row.max()) + 1, ncol), bool)
     rbool[row, col] = True
@@ -1153,11 +1202,14 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # ablation knobs (timing attribution only; results are garbage)
     no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
     no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
-    if precision not in ("bf16", "bf16x3", "bf16x4", "highest"):
-        raise ValueError(f"precision must be bf16|bf16x3|bf16x4|highest, "
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision must be one of {PRECISIONS}, "
                          f"got {precision!r}")
-    split = precision in ("bf16", "bf16x3", "bf16x4")
-    a_dt = jnp.bfloat16 if split else jnp.float32
+    props = precision_props(precision)
+    xsplit = props["xsplit"]              # bf16 planes packed in X lanes
+    a_presplit = props["a_presplit"] > 0  # A ships as (hi, lo) bf16 pair
+    split = xsplit > 1                    # X windows are split
+    a_dt = jnp.bfloat16 if a_presplit else jnp.float32
 
     def gather_xs(i, trips_ref, code_ref, win_read, xs2):
         """Stage tile i's union X blocks from the VMEM window into the
@@ -1216,6 +1268,21 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
     # the kernel does no conversion.
     def dots(a_refs, xs2, j):
+        if precision == "bf16x6":
+            # exact-f32 quality: X lanes pack 3-way RN splits [xh|xm|xl];
+            # the f32 A panel is split 3-way IN-KERNEL (VPU work that hides
+            # under the MXU pipeline; streaming pre-split planes would cost
+            # 1.5x the DMA bytes on an A-bandwidth-bound kernel).  The six
+            # cross products through O(2^-16) relative run as 2 full-lane +
+            # 2 half-lane dots; dropped terms (m@l, l@m, l@l) are O(2^-25).
+            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            ah, am, al = split_bf16x3(a_refs[0][j])
+            d1 = dot(ah, xs[:, : 4 * ln])          # [ah@xh | ah@xm]
+            d2 = dot(am, xs[:, : 4 * ln])          # [am@xh | am@xm]
+            d3 = dot(ah, xs[:, 4 * ln:])           # ah@xl
+            d4 = dot(al, xs[:, : 2 * ln])          # al@xh
+            return (d1[:, : 2 * ln] + d1[:, 2 * ln:]
+                    + d2[:, : 2 * ln] + d2[:, 2 * ln:] + d3 + d4)
         if split:
             xs = xs2[j * ku * lm: j * ku * lm + k, :]
             ah = a_refs[0][j]
@@ -1234,7 +1301,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             return y + d2[:, : 2 * ln] + d2[:, 2 * ln:]
         return dot(a_refs[0][j], xs2[j * ku * lm: j * ku * lm + k, :])
 
-    n_a = 2 if split else 1
+    n_a = 2 if a_presplit else 1
 
     def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
@@ -1297,7 +1364,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
     a_specs = [pl.BlockSpec((T, m2, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
-    w_lanes = 4 * ln if split else 2 * ln
+    w_lanes = 2 * xsplit * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
     # resident mode: the panel input stays in HBM (ANY memory space); the
     # kernel DMAs it once into a SINGLE VMEM scratch at step 0 (the
@@ -1326,14 +1393,14 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         scratch_shapes=scratch,
     )
 
-    a_bytes = ntiles * T * m2 * k * (2 if split else 4) * n_a
+    a_bytes = ntiles * T * m2 * k * (2 if a_presplit else 4) * n_a
     # VMEM working set: double-buffered A panels + window + 2 scratch
     # buffers + output; the default scoped limit is 16 MB but v5e carries
     # 128 MB -- raise the limit to what this call actually needs so large
     # t_step (the per-grid-step fixed cost amortizer) is admissible
-    a_eb = 2 if split else 4
+    a_eb = 2 if a_presplit else 4
     w_eb = 2 if split else 4
-    w_lanes_n = (4 if split else 2) * ln
+    w_lanes_n = 2 * xsplit * ln
     win_bufs = 1 if resident else 2              # resident: single scratch
     vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
                  + win_bufs * (swrows + orows + g * lm) * w_lanes_n * w_eb
@@ -1407,13 +1474,16 @@ def _window_replicas(x_fused, n_windows, swrows, two_ln, split, g_rows,
     consumes the operands without conversion (see split_bf16x2)."""
     import jax.numpy as jnp
 
-    if split:
+    xsplit = int(split) if not isinstance(split, bool) else (2 if split
+                                                             else 1)
+    if xsplit == 3:
+        xw = jnp.concatenate(split_bf16x3(x_fused), axis=1)
+    elif xsplit == 2:
         hi, lo = split_bf16x2(x_fused)
         xw = jnp.concatenate([hi, lo], axis=1)
-        lanes = 2 * two_ln
     else:
         xw = x_fused
-        lanes = two_ln
+    lanes = xsplit * two_ln
     if resident:
         # single full-panel window: only the g-row overrun pad, no replicas
         return jnp.pad(xw, ((0, g_rows), (0, 0))).reshape(
@@ -1465,14 +1535,15 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     wsel = jnp.asarray(wsel_h)
     trips = jnp.asarray(trips_h)
     codes = jnp.asarray(codes_h)
-    if precision in ("bf16", "bf16x3", "bf16x4"):
+    props = precision_props(precision)
+    if props["a_presplit"]:
         a_args = split_bf16x2(a_panels)
     else:
         a_args = (a_panels,)
     return PairPanelMultiply(call, (wsel, trips, codes) + tuple(a_args),
                              plan.ntiles * r * lm, 2 * ln,
                              plan.n_windows, plan.s_window * lm,
-                             precision in ("bf16", "bf16x3", "bf16x4"),
+                             props["xsplit"],
                              plan.copy_g * lm,
                              orows=plan.o_blocks * lm,
                              resident=plan.resident)
@@ -1883,7 +1954,8 @@ class BucketedMultiply:
         self._m = plan.r_tile * plan.lm
         self._n_windows = plan.n_windows
         self._swrows = plan.s_window * plan.lm
-        self._split = precision in ("bf16", "bf16x3", "bf16x4")
+        props = precision_props(precision)
+        self._split = props["xsplit"]
         self._g_rows = plan.copy_g * plan.lm
         self._calls = []
         consts = []
@@ -1897,7 +1969,7 @@ class BucketedMultiply:
                               o_blocks=plan.o_blocks,
                               resident=plan.resident)
             self._calls.append(call)
-            if self._split:
+            if props["a_presplit"]:
                 a_args = split_bf16x2(pan)
             else:
                 a_args = (pan,)

@@ -304,7 +304,7 @@ class ShardedPairsSolver:
         pad = self.ntiles_pad - p0.ntiles
         panels = jnp.pad(panels, ((0, pad), (0, 0), (0, 0)))
         panels = panels.reshape(self.pr, self.tiles_local, m2, k)
-        if self.precision in ("bf16", "bf16x3", "bf16x4"):
+        if pp.precision_props(self.precision)["a_presplit"]:
             parts = pp.split_bf16x2(panels)
         else:
             parts = (panels,)
@@ -427,7 +427,9 @@ class ShardedPairsSolver:
         tl, p_, q_, nloc = self.tiles_local, self.p, self.q, self.n_loc
         t = self.t_step
         call_loc, call_rem = self._call_loc, self._call_rem
-        split = len(a_panels) == 2
+        # X-window split planes (1 = raw f32, 2 = [hi|lo], 3 = [hi|mid|lo]
+        # for the exact-quality bf16x6 mode whose A ships raw f32)
+        split = pp.precision_props(self.precision)["xsplit"]
         sdt = decisions.scalar_dtype()
         g_rows = p0.copy_g * lm
 
