@@ -40,6 +40,21 @@ def test_pairs_engine_sparse_pattern(rng):
     _solve_and_check(a, x, b, lm, ln)
 
 
+def test_pairs_engine_bf16x6(rng, monkeypatch):
+    """Full tfQMR loop with the bf16x6 multiply (3-way splits, exact-f32
+    quality): must converge like 'highest', not like the ~1e-4-floor
+    bf16x4 mode."""
+    monkeypatch.setenv("TFQ_PAIRS_MM_PREC", "bf16x6")
+    lm = ln = 16
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex64)
+    info = _solve_and_check(a, x, b, lm, ln, tol=1e-6)
+    monkeypatch.setenv("TFQ_PAIRS_MM_PREC", "highest")
+    s2 = Solver(a, x, b, precision="c", engine="pairs")
+    i2 = s2.solve(tolerance=1e-6, max_iterations=400)
+    assert abs(info.iterations_needed - i2.iterations_needed) <= 2
+
+
 def test_pairs_engine_rejects_z(rng):
     from tfqmrgpu_tpu.errors import TfqmrgpuError
 

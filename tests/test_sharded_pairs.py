@@ -57,6 +57,25 @@ def test_sharded_pairs_t_step_batching(rng):
     _check(sp, a, x, b, tol, i0)
 
 
+def test_sharded_pairs_bf16x6(rng):
+    """The mesh engine's xsplit=3 window path (bf16x6: 3-way bf16 split X
+    replicas, raw-f32 A panels split in-kernel) must converge like
+    'highest' -- exact-f32 quality, not the bf16x4 ~1e-4 floor."""
+    lm = ln = 16
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex64)
+    tol = 1e-6
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    sp = ShardedPairsSolver(plan, mesh, interpret=True,
+                            precision="bf16x6")
+    _check(sp, a, x, b, tol, i0)
+
+
 def test_sharded_pairs_overlap_split(rng, monkeypatch):
     """The local/remote tile split (halo overlap) must not change results;
     at least one shard must actually have local tiles for this pattern."""
