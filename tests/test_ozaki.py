@@ -1,0 +1,88 @@
+"""Ozaki-scheme f64-quality MXU matmul: slicing exactness + product error."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfqmrgpu_tpu.ops import ozaki
+
+
+@pytest.fixture(autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+
+
+def test_slice_params_points():
+    p, q = ozaki.slice_params(448)          # the pairpanel K = ku*LM range
+    assert q == 7 and p == 8
+    p, q = ozaki.slice_params(4096)
+    assert q == 6
+    with pytest.raises(ValueError):
+        ozaki.slice_params(2 ** 22)          # too deep for exact f32 accum
+
+
+def test_slice_operand_reconstructs():
+    """scale * sum(slices) must reproduce the f64 input to 2^{-p*q}
+    relative-to-scale; each slice must be exactly representable in bf16."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((64, 37)) * 10.0 ** rng.uniform(-8, 8, (64, 37))
+    p, q = 8, 7
+    slices, scale = ozaki.slice_operand(v, axis=1, p=p, q=q)
+    assert slices.dtype == jnp.bfloat16 and slices.shape == (p, 64, 37)
+    # bf16 exactness: f32(bf16(slice)) round-trips by construction; check
+    # the reconstruction instead (the real invariant)
+    rec = np.asarray(scale) * np.sum(
+        np.asarray(slices, dtype=np.float64), axis=0)
+    err = np.abs(rec - v) / np.asarray(scale)
+    assert err.max() < 2.0 ** (-p * q), err.max()
+    # slice magnitudes honor the 2^q int bound (exact f32 accumulation)
+    for s in range(p):
+        m = np.abs(np.asarray(slices[s], dtype=np.float64)).max()
+        assert m <= 2.0 ** (q - (s + 1) * q + 1), (s, m)
+
+
+@pytest.mark.parametrize("k", [448, 63])
+def test_matmul_oz_f64_quality(k):
+    """The full product must land ~1e-14 relative -- far beyond any f32
+    path (1e-6) and at the f64 dot noise floor."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((40, k)) * 10.0 ** rng.uniform(-4, 4, (40, k))
+    x = rng.standard_normal((k, 24)) * 10.0 ** rng.uniform(-4, 4, (k, 24))
+    got = np.asarray(ozaki.matmul_oz(a, x))
+    want = a @ x
+    scale = (np.abs(a).max(1, keepdims=True)
+             * np.abs(x).max(0, keepdims=True))
+    err = (np.abs(got - want) / scale).max()
+    assert err < k * 2.0 ** -50, err
+
+
+def test_matmul_oz_complex():
+    rng = np.random.default_rng(5)
+    k = 128
+    ar, ai = rng.standard_normal((2, 32, k))
+    xr, xi = rng.standard_normal((2, k, 16))
+    yr, yi = ozaki.matmul_oz_complex(ar, ai, xr, xi)
+    want = (ar + 1j * ai) @ (xr + 1j * xi)
+    dev = np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi)) - want))
+    assert dev / np.abs(want).max() < 1e-13, dev
+
+
+def test_matmul_oz_beats_f32():
+    """Sanity: the same product through f32 (simulating the 'c' path) has
+    ~1e-6 error; ozaki must be >= 6 orders better on the same data."""
+    rng = np.random.default_rng(7)
+    k = 448
+    a = rng.standard_normal((64, k))
+    x = rng.standard_normal((k, 32))
+    want = a @ x
+    f32 = np.asarray(jnp.dot(jnp.asarray(a, jnp.float32),
+                             jnp.asarray(x, jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST),
+                     dtype=np.float64)
+    oz = np.asarray(ozaki.matmul_oz(a, x))
+    e32 = np.abs(f32 - want).max()
+    eoz = np.abs(oz - want).max()
+    assert eoz < 1e-6 * e32, (eoz, e32)

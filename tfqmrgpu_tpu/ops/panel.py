@@ -172,9 +172,22 @@ def dense_multiply(a_re, a_im, mask4, mb, lm, ncc, ln, precision):
 
     Four real MXU matmuls with full-depth contraction (NR = mb*LM) -- the
     panel-form analogue of gemmNxNf (tfqmrgpu_blockmult.hxx:10-93).
-    """
+
+    float64 operands (the 'z' mode) route through the Ozaki-scheme MXU
+    emulation (ops/ozaki.py) instead of XLA's slow elementwise-emulated
+    f64 dot -- exact bf16 slice products, ~1e-14 relative, far below the
+    solver's f64 recurrence noise.  ``TFQ_Z_OZAKI=0`` restores the XLA
+    emulated-f64 dot (and very deep contractions fall back to it)."""
+    import os as _os
+
     nr = mb * lm
     c = ncc * ln
+    if (jnp.result_type(a_re) == jnp.float64
+            and _os.environ.get("TFQ_Z_OZAKI", "1") != "0"):
+        try:
+            return _dense_multiply_oz(a_re, a_im, mask4, mb, lm, ncc, ln)
+        except ValueError:
+            pass    # contraction too deep for exact f32 accumulation
 
     def multiply(x: Pair) -> Pair:
         dt = x[0].dtype
@@ -184,6 +197,38 @@ def dense_multiply(a_re, a_im, mask4, mb, lm, ncc, ln, precision):
                                       preferred_element_type=dt)
         yr = mm(a_re, xr) - mm(a_im, xi)
         yi = mm(a_re, xi) + mm(a_im, xr)
+        y = (yr.reshape(nr, ncc, ln), yi.reshape(nr, ncc, ln))
+        return apply_mask(y, mask4, mb, lm, ncc, ln)
+
+    return multiply
+
+
+def _dense_multiply_oz(a_re, a_im, mask4, mb, lm, ncc, ln, bits=53):
+    """'z' dense SpMM on the bf16 MXU via the Ozaki scheme: p(p+1)/2
+    exact bf16 slice products per real matmul + f64 combine (see
+    ops/ozaki.py).  A-side slices are built once here and closed over;
+    X-side slices are rebuilt per call (p elementwise-f64 passes)."""
+    from . import ozaki
+
+    nr, cc = mb * lm, ncc * ln
+    p, q = ozaki.slice_params(nr, bits)      # raises when nr is too deep
+    ar_sl, sig_r = ozaki.slice_operand(a_re, axis=1, p=p, q=q)
+    ai_sl, sig_i = ozaki.slice_operand(a_im, axis=1, p=p, q=q)
+    s_idx, t_idx = (jnp.asarray(v) for v in ozaki.slice_pairs(p))
+
+    def multiply(x: Pair) -> Pair:
+        xr = x[0].reshape(nr, cc).astype(jnp.float64)
+        xi = x[1].reshape(nr, cc).astype(jnp.float64)
+        xr_sl, tau_r = ozaki.slice_operand(xr, axis=0, p=p, q=q)
+        xi_sl, tau_i = ozaki.slice_operand(xi, axis=0, p=p, q=q)
+
+        def prod(a_sl, x_sl):
+            return ozaki.oz_products(a_sl, x_sl, s_idx, t_idx, p, q)
+
+        yr = (prod(ar_sl, xr_sl) * (sig_r * tau_r)
+              - prod(ai_sl, xi_sl) * (sig_i * tau_i))
+        yi = (prod(ar_sl, xi_sl) * (sig_r * tau_i)
+              + prod(ai_sl, xr_sl) * (sig_i * tau_r))
         y = (yr.reshape(nr, ncc, ln), yi.reshape(nr, ncc, ln))
         return apply_mask(y, mask4, mb, lm, ncc, ln)
 
