@@ -817,6 +817,52 @@ def main():
                 raise
             log(f"# pairpanel unavailable ({e}); falling back to xla")
             pplan = None
+    if (rowtile is None and pplan is None and prec == "z"
+            and engine in ("pairpanel", "auto")):
+        # f64-quality 'z' via the Ozaki slice kernel (ops/ozaki.py +
+        # pairpanel 'oz' mode): exact bf16 MXU slice products, f64 combine
+        # outside -- the TPU-native equivalent of the reference's
+        # native-double gemmNxNf (tfqmrgpu.cu:40-45).  v5e has no f64
+        # unit; the alternative below (xla engine) runs XLA's elementwise
+        # f64 emulation, orders of magnitude slower.
+        try:
+            from tfqmrgpu_tpu.ops import ozaki
+            from tfqmrgpu_tpu.ops import pairpanel as pp
+
+            interp = jax.default_backend() not in ("tpu",)
+            t0 = time.time()
+            pplan = pp.pack_pair_plan(
+                pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
+                r_tile=r_tile, copy_g=copy_g, resident=False)
+            p_oz, _ = ozaki.slice_params(pplan.ku * lm, diag_sum=True)
+            if os.environ.get("TFQ_BENCH_TSTEP"):
+                t_step = int(os.environ["TFQ_BENCH_TSTEP"])
+            else:
+                t_step = pp.auto_t_step(pplan, f"oz{p_oz}")
+            mult_oz = pp.make_pairpanel_multiply_oz(
+                pplan, a_re, a_im, interpret=interp, t_step=t_step)
+            consts = mult_oz.consts
+            log(f"# pairpanel-oz pack: {time.time()-t0:.1f}s, "
+                f"ntiles={pplan.ntiles} ku={pplan.ku} p={mult_oz.p} "
+                f"q={mult_oz.q} t_step={t_step}")
+
+            def multiply_c(c, x, m=mult_oz):
+                return m.apply(c, x)
+
+            nxrows = pplan.x_rows_padded
+            nyrows = pplan.ntiles * r_tile * lm
+
+            def y_to_x(y, pad=nxrows - nyrows):
+                return jnp.pad(y, ((0, pad), (0, 0)))
+
+            x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
+            eng_used = (f"pairpanel-oz{mult_oz.p}q{mult_oz.q}-"
+                        f"r{r_tile}-g{copy_g}-t{t_step}")
+        except ValueError as e:
+            if engine == "pairpanel":
+                raise
+            log(f"# pairpanel-oz unavailable ({e}); falling back to xla")
+            pplan = None
     if rowtile is None and pplan is None:
         from tfqmrgpu_tpu.ops.blocksparse import spmm_pairs
 
@@ -873,8 +919,9 @@ def main():
     # splits, exact-f32 quality at the same streamed A bytes) -> highest;
     # the rowtile kernel has no bf16x6 mode, so it goes straight to
     # 'highest'.
-    if mm_auto and (rowtile is not None
-                    or (pplan is not None and n_buckets <= 1)):
+    if mm_auto and prec == "c" and (rowtile is not None
+                                    or (pplan is not None
+                                        and n_buckets <= 1)):
         chain = (["highest"] if rowtile is not None or lm < 16
                  else ["bf16x6", "highest"])
         while maxdev > 0.9 * gate and chain:

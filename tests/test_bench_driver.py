@@ -94,6 +94,24 @@ def test_bench_race_sparse_grid(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_z_ozaki(tmp_path):
+    """PREC=z routes to the pairpanel 'oz' Ozaki kernel and passes the
+    1e-12 f64 gate end-to-end."""
+    plan = tmp_path / "sparse_plan.txt"
+    _write_sparse_plan(str(plan), mb=20, ncols=3, fill=0.6)
+    rec, stdout = _run_bench(tmp_path, {
+        "TFQ_PLAN_FILE": str(plan),
+        "TFQ_BENCH_PREC": "z",
+        "TFQ_BENCH_LM": "16",
+        "TFQ_BENCH_LN": "16",
+        "TFQ_BENCH_NREP": "2",
+    })
+    assert rec["metric"].endswith("_z"), rec
+    assert rec["engine"].startswith("pairpanel-oz"), rec
+    assert rec["maxdev"] <= 1e-12, rec
+
+
+@pytest.mark.slow
 def test_bench_dense_grid_rowtile_outright(tmp_path):
     rec, stdout = _run_bench(tmp_path, {
         "TFQ_PLAN_FILE": str(tmp_path / "missing"),   # synthesize

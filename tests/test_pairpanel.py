@@ -353,6 +353,51 @@ def test_pairpanel_bf16x6_exact_f32_quality(rng, t_step):
     assert np.max(np.abs(got - want)) / scale < 2e-6
 
 
+@pytest.mark.parametrize("t_step", [1, 4])
+def test_pairpanel_oz_f64_quality(rng, t_step):
+    """The Ozaki 'oz' mode must reproduce the f64 pair walk to ~1e-13
+    relative -- 7 orders beyond any f32-accumulation mode, on data with
+    a wide exponent spread."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=20, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2, 3))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1)
+    sp = 10.0 ** rng.uniform(-6, 6, (na, 1, 1))
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm))) * sp
+    spx = 10.0 ** rng.uniform(-6, 6, (nx, 1, 1))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln))) * spx
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                         interpret=True, t_step=t_step)
+    assert mult.p * mult.q >= 53
+    xf = jnp.asarray(pp.permute_x(plan, a0 := x.real, x.imag))
+    del a0
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.abs(want).max()
+    dev = np.max(np.abs(got - want)) / scale
+    assert dev < 1e-12, dev
+    # and genuinely beyond f32: the same product through the exact-f32
+    # kernel sits at ~1e-6; oz must be >= 5 orders tighter
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    m32 = pp.make_pairpanel_multiply(plan, panels, precision="highest",
+                                     interpret=True, t_step=t_step)
+    xf32 = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                    x.imag.astype(np.float32)))
+    yre32, yim32 = pp.unpermute_y(plan, np.asarray(m32(xf32)))
+    dev32 = np.max(np.abs((yre32 + 1j * yim32) - want)) / scale
+    assert dev < 1e-5 * dev32, (dev, dev32)
+
+
 def test_precision_props_vmem_model():
     """bf16x6 ships A raw f32 (no presplit planes) and 3-way split X
     windows; the VMEM/time models must price it that way."""

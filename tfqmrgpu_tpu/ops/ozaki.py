@@ -73,6 +73,15 @@ def slice_pairs(p: int) -> tuple[np.ndarray, np.ndarray]:
     return s, t
 
 
+def pow2_scale(amax):
+    """Smallest power of two >= amax (exactly -- frexp is a bit
+    manipulation, immune to the log2-of-exact-power rounding trap that
+    could under-scale by one ulp and push a slice int past 2^q), with
+    zeros mapped to 1."""
+    _, e = jnp.frexp(jnp.where(amax > 0, amax, 1.0))
+    return jnp.ldexp(jnp.float64(1.0), e)
+
+
 def slice_operand(v, axis: int, p: int, q: int):
     """Exponent-blocked slicing of an f64 array along the NON-contraction
     axis: returns (slices bf16 [p, *v.shape], scale f64 with ``axis``
@@ -84,10 +93,7 @@ def slice_operand(v, axis: int, p: int, q: int):
     the shared power-of-two scale, so slice values are exact ints times
     2^{-(s+1)q} and every MXU cross product accumulates exactly."""
     v = jnp.asarray(v, jnp.float64)
-    amax = jnp.max(jnp.abs(v), axis=axis, keepdims=True)
-    # power-of-two scale: descaling at the end is then EXACT
-    scale = jnp.where(amax > 0, jnp.exp2(jnp.ceil(jnp.log2(
-        jnp.where(amax > 0, amax, 1.0)))), 1.0)
+    scale = pow2_scale(jnp.max(jnp.abs(v), axis=axis, keepdims=True))
     r = v / scale                                    # |r| <= 1, exact
     out = []
     for s in range(p):

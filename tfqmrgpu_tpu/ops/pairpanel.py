@@ -490,7 +490,19 @@ def precision_props(precision: str) -> dict:
     a_presplit: A panels ship as that many bf16 planes (0 = raw f32 --
     'bf16x6' splits A 3-way IN-KERNEL to keep the streamed bytes at 4/el);
     passes: MXU pass-equivalents per product (the 2*ln<=64 side-by-side
-    packing is already folded in); mxu pass rate is ~173 TFlop/s bf16."""
+    packing is already folded in); mxu pass rate is ~173 TFlop/s bf16.
+
+    'ozN' (N = slice count p, e.g. 'oz9') is the f64-quality Ozaki mode
+    (ops/ozaki.py, make_pairpanel_multiply_oz): A and X ship as p pure
+    exponent-blocked bf16 slice planes, the kernel runs the p(p+1)/2
+    above-truncation cross products as p triangular dots with EXACT f32
+    per-diagonal accumulation, and the f64 combine/descale/complex
+    assembly happens outside."""
+    if precision.startswith("oz"):
+        p = int(precision[2:])
+        # triangular dots at ~half lanes on average; the 2*ln<=64 lane
+        # packing folds pairs of products per pass like bf16x4
+        return dict(xsplit=p, a_presplit=p, passes=p * (p + 1) / 4.0)
     return {
         "highest": dict(xsplit=1, a_presplit=0, passes=6.0),
         "bf16":    dict(xsplit=2, a_presplit=2, passes=1.0),
@@ -514,19 +526,24 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     replicas, and the output buffers."""
     pr = precision_props(precision)
     split = pr["a_presplit"] > 0
-    a_b, n_a = (2, 2) if split else (4, 1)
+    a_b, n_a = (2, pr["a_presplit"]) if split else (4, 1)
     w_lanes = 2 * pr["xsplit"] * plan.ln
     w_b = 2 if pr["xsplit"] > 1 else 4
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
     m = plan.r_tile * lm
+    # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside);
+    # other modes assemble to [m, 2ln] in-kernel
+    o_rows, o_lanes = ((m2, 2 * pr["xsplit"] * plan.ln)
+                       if precision.startswith("oz")
+                       else (m, 2 * plan.ln))
     # resident plans hold ONE panel-sized scratch (manual DMA from HBM);
     # windowed plans carry two pipelined replica buffers
     win_bufs = 1 if plan.resident else 2
     win = win_bufs * (S + plan.o_blocks + g) * lm * w_lanes * w_b
     return (2 * n_a * t * m2 * ku * lm * a_b
             + 2 * (t * ku + g) * lm * w_lanes * w_b
-            + win + 2 * t * m * 2 * plan.ln * 4)
+            + win + 2 * t * o_rows * o_lanes * 4)
 
 
 def plan_fits_vmem(plan: PairPanelPlan, precision: str,
@@ -583,8 +600,9 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
     # past ~1.5 MB of A panel per grid step the per-step fixed cost is
     # fully amortized and extra batching only raises VMEM pressure
     # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32)
-    split = precision_props(precision)["a_presplit"] > 0
-    tile_a = (2 if split else 1) * 2 * plan.r_tile * plan.lm \
+    n_a = precision_props(precision)["a_presplit"] or 1
+    split = n_a > 1
+    tile_a = n_a * 2 * plan.r_tile * plan.lm \
         * plan.ku * plan.lm * (2 if split else 4)
     t_sweet = 1
     while t_sweet < t_max and t_sweet * tile_a < (3 << 20) // 2:
@@ -1202,12 +1220,13 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # ablation knobs (timing attribution only; results are garbage)
     no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
     no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
-    if precision not in PRECISIONS:
-        raise ValueError(f"precision must be one of {PRECISIONS}, "
-                         f"got {precision!r}")
+    is_oz = precision.startswith("oz")    # f64-quality Ozaki slice mode
+    if precision not in PRECISIONS and not is_oz:
+        raise ValueError(f"precision must be one of {PRECISIONS} or "
+                         f"'ozN', got {precision!r}")
     props = precision_props(precision)
     xsplit = props["xsplit"]              # bf16 planes packed in X lanes
-    a_presplit = props["a_presplit"] > 0  # A ships as (hi, lo) bf16 pair
+    a_presplit = props["a_presplit"] > 0  # A ships as bf16 plane(s)
     split = xsplit > 1                    # X windows are split
     a_dt = jnp.bfloat16 if a_presplit else jnp.float32
 
@@ -1252,7 +1271,14 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         """[2M, 2LN] raw product -> fused complex result in y_ref[j]:
         top half P = a_re @ [xr|xi], bottom half Q = a_im @ [xr|xi];
         y = [P1 - Q2 | P2 + Q1].  One full-block store: Mosaic cannot
-        lane-slice a >=3-D memref view at sub-128 offsets."""
+        lane-slice a >=3-D memref view at sub-128 offsets.
+
+        oz: the raw [2M, p*2LN] per-diagonal sums are stored untouched --
+        any in-kernel f32 arithmetic past the exact diagonal accumulation
+        would break the f64-quality combine that happens outside."""
+        if is_oz:
+            y_ref[j] = y2
+            return
         m = r_tile * lm
         p = y2[:m, :]
         q = y2[m:, :]
@@ -1268,6 +1294,28 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
     # the kernel does no conversion.
     def dots(a_refs, xs2, j):
+        if is_oz:
+            # f64-quality (ops/ozaki.py): a_refs holds p pure bf16 slice
+            # planes of A (per-row power-of-two scale factored out), xs2
+            # lanes pack the p X slice planes [x0 | x1 | ... | x_{p-1}].
+            # Triangular dots: slice s only meets X slices t <= p-1-s
+            # (products below the 2^{-p q} truncation are skipped), so
+            # dot s runs at (p-s)*2ln static lane width.  Each diagonal
+            # d = s+t accumulates its <= d+1 cross terms in f32 EXACTLY
+            # (slice_params(diag_sum=True) sized q for it); diagonals are
+            # emitted side by side and combined in f64 outside.
+            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            p_ = len(a_refs)
+            two = 2 * ln
+            ds = [dot(a_refs[s][j], xs[:, : (p_ - s) * two])
+                  for s in range(p_)]
+            cols = []
+            for d in range(p_):
+                acc = ds[0][:, d * two: (d + 1) * two]
+                for s in range(1, d + 1):
+                    acc = acc + ds[s][:, (d - s) * two: (d - s + 1) * two]
+                cols.append(acc)
+            return jnp.concatenate(cols, axis=1)     # [2M, p*2ln]
         if precision == "bf16x6":
             # exact-f32 quality: X lanes pack 3-way RN splits [xh|xm|xl];
             # the f32 A panel is split 3-way IN-KERNEL (VPU work that hides
@@ -1301,7 +1349,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             return y + d2[:, : 2 * ln] + d2[:, 2 * ln:]
         return dot(a_refs[0][j], xs2[j * ku * lm: j * ku * lm + k, :])
 
-    n_a = 2 if a_presplit else 1
+    n_a = props["a_presplit"] or 1
 
     def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
@@ -1379,6 +1427,9 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                          memory_space=pltpu.VMEM),
         ]
     m = r_tile * lm
+    # oz outputs the raw per-diagonal sums [2M, p*2ln]; others the
+    # assembled fused complex result [M, 2ln]
+    out_rows, out_lanes = (m2, xsplit * 2 * ln) if is_oz else (m, 2 * ln)
     scratch = [pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt),
                pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt)]
     if resident:
@@ -1388,7 +1439,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         num_scalar_prefetch=3,                    # wsel, trips, codes
         grid=(ntiles + 1,),
         in_specs=a_specs + win_specs,
-        out_specs=pl.BlockSpec((T, m, 2 * ln), a_map,
+        out_specs=pl.BlockSpec((T, out_rows, out_lanes), a_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -1405,16 +1456,19 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
                  + win_bufs * (swrows + orows + g * lm) * w_lanes_n * w_eb
                  + 2 * (T * ku + g) * lm * w_lanes_n * w_eb      # scratch x2
-                 + 2 * T * m * 2 * ln * 4)                       # out x2
+                 + 2 * T * out_rows * out_lanes * 4)             # out x2
     vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
+    # oz runs p triangular dots of shrinking static width: sum_s (p-s)
+    # lane groups = p(p+1)/2 product-equivalents
+    flop_mult = (3 if precision == "bf16x3"
+                 else (xsplit * (xsplit + 1)) // 2 if is_oz else 1)
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles * T, m, 2 * ln),
+        out_shape=jax.ShapeDtypeStruct((ntiles * T, out_rows, out_lanes),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ntiles * T * m2 * k * 2 * ln
-            * (3 if precision == "bf16x3" else 1),
+            flops=2 * ntiles * T * m2 * k * 2 * ln * flop_mult,
             bytes_accessed=int(a_bytes + 4 * 2 * x_rows * ln),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
@@ -1547,6 +1601,128 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
                              plan.copy_g * lm,
                              orows=plan.o_blocks * lm,
                              resident=plan.resident)
+
+
+class OzPairPanelMultiply:
+    """f64-quality multiply on fused permuted panels (the 'z' mode of the
+    pair-panel engine, via the Ozaki scheme -- see ops/ozaki.py and the
+    'oz' branches in _make_call).
+
+    apply(consts, x_fused_f64 [x_rows_padded, 2*LN]) -> fused f64
+    [ntiles*r_tile*LM, 2*LN].  ``consts`` = (wsel, trips, codes,
+    *p bf16 A slice planes, sigma): pass as a jit ARGUMENT, never close
+    over (see PairPanelMultiply).
+    """
+
+    def __init__(self, call, consts, plan: PairPanelPlan, p: int, q: int):
+        self._call = call
+        self.consts = consts
+        self.p, self.q = p, q
+        self._m = plan.r_tile * plan.lm
+        self._ln = plan.ln
+        self._n_rows_out = plan.ntiles * self._m
+        self._n_windows = plan.n_windows
+        self._swrows = plan.s_window * plan.lm
+        self._g_rows = plan.copy_g * plan.lm
+        self._orows = plan.o_blocks * plan.lm or self._swrows
+
+    def apply(self, consts, x_fused):
+        import jax.numpy as jnp
+
+        from . import ozaki
+
+        wsel, trips, codes, *rest = consts
+        planes, sigma = rest[:-1], rest[-1]
+        p, ln, m = self.p, self._ln, self._m
+        x_fused = x_fused.astype(jnp.float64)
+        # per-lane (per RHS column re/im plane) power-of-two scale --
+        # shared down the whole contraction so slice products stay exact
+        tau = ozaki.pow2_scale(
+            jnp.max(jnp.abs(x_fused), axis=0, keepdims=True))
+        xs = _oz_slices(x_fused / tau, p, self.q)
+        xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
+        xrep = _window_replicas(xw, self._n_windows, self._swrows,
+                                p * 2 * ln, 1, self._g_rows,
+                                orows=self._orows)
+        y_raw = self._call(wsel, trips, codes, *planes, xrep)
+        # f64 combine: diagonal sums are exact f32 -> conversion is exact;
+        # sigma/tau are powers of two -> descale is exact; the complex
+        # assembly is the first (and only) rounding after slice truncation
+        y = sum(y_raw[:, :, 2 * ln * d: 2 * ln * (d + 1)]
+                .astype(jnp.float64) for d in range(p))
+        y = y * sigma * tau[None, :, :]
+        pt, qt = y[:, :m, :], y[:, m:, :]
+        fused = jnp.concatenate([pt[..., :ln] - qt[..., ln:],
+                                 pt[..., ln:] + qt[..., :ln]], axis=-1)
+        return fused.reshape(-1, 2 * ln)[: self._n_rows_out]
+
+    def __call__(self, x_fused):
+        return self.apply(self.consts, x_fused)
+
+
+def _oz_slices(pure, p: int, q: int):
+    """p pure bf16 slices of an f64 array already descaled to |.| <= 1:
+    pure == sum_s f64(slices[s]) + O(2^{-p q})."""
+    import jax.numpy as jnp
+
+    r = pure
+    out = []
+    for s in range(p):
+        step = jnp.float64(2.0 ** ((s + 1) * q))
+        sl = jnp.round(r * step) / step
+        r = r - sl
+        out.append(sl.astype(jnp.bfloat16))
+    return out
+
+
+def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
+                               interpret: bool = False, t_step: int = 1,
+                               bits: int = 53) -> OzPairPanelMultiply:
+    """Build the f64-quality ('z') pair-panel multiply.
+
+    a_re/a_im: [nnzbA, LM, LM] float64 block data (host or device).  The
+    A panels are built on device in f64, descaled by a per-panel-row
+    power-of-two, and split into p exponent-blocked bf16 slice planes
+    (ops/ozaki.py); slice count p and width q come from
+    ozaki.slice_params(ku*LM, bits, diag_sum=True) so every MXU product
+    AND every in-kernel diagonal sum is exactly representable in f32.
+
+    The reference ships this as the native-double gemmNxNf instantiation
+    (tfqmrgpu.cu:40-45); v5e has no f64 unit, so this is the TPU-native
+    equivalent.  Grouped/resident plans are not supported (plain windowed
+    packs only)."""
+    import jax.numpy as jnp
+
+    from . import ozaki
+
+    if plan.resident:
+        raise ValueError("oz mode supports windowed plans only "
+                         "(pack with resident=False)")
+    r, lm, ln = plan.r_tile, plan.lm, plan.ln
+    k = plan.ku * lm
+    p, q = ozaki.slice_params(k, bits, diag_sum=True)
+    panels = build_a_panels_device(
+        plan, jnp.asarray(a_re, jnp.float64), jnp.asarray(a_im, jnp.float64))
+    T = max(int(t_step), 1)
+    if T > 1:
+        nsteps, wsel_h, codes_h, trips_h, cmax = make_step_tables(plan, T)
+        panels = jnp.pad(
+            panels, ((0, nsteps * T - plan.ntiles), (0, 0), (0, 0)))
+    else:
+        nsteps, cmax = plan.ntiles, plan.cmax
+        wsel_h = np.concatenate([plan.wsel, plan.wsel[-1:]])
+        codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
+                                           plan.ku)
+    sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
+                                     keepdims=True))
+    planes = tuple(_oz_slices(panels / sigma, p, q))
+    call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
+                      plan.x_rows_padded, f"oz{p}", interpret,
+                      copy_g=plan.copy_g, cmax=cmax, t_step=T,
+                      o_blocks=plan.o_blocks, resident=False)
+    consts = ((jnp.asarray(wsel_h), jnp.asarray(trips_h),
+               jnp.asarray(codes_h)) + planes + (sigma,))
+    return OzPairPanelMultiply(call, consts, plan, p, q)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
