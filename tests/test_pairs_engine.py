@@ -55,9 +55,37 @@ def test_pairs_engine_bf16x6(rng, monkeypatch):
     assert abs(info.iterations_needed - i2.iterations_needed) <= 2
 
 
-def test_pairs_engine_rejects_z(rng):
+def test_pairs_engine_z_ozaki(rng):
+    """precision='z' on the pairs engine: the Ozaki slice multiply + f64
+    vector ops must reach tolerances far beyond any f32 path and match
+    the dense-z solve."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 16
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex128)
+    tol = 1e-11
+    s = Solver(a, x, b, precision="z", engine="pairs")
+    info = s.solve(tolerance=tol, max_iterations=400)
+    assert info.return_status == int(Status.SUCCESS)
+    got = s.get_matrix("X")
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x.with_data(got), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    dev = np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd))
+    assert dev < 1e-9, dev
+    s2 = Solver(a, x, b, precision="z", engine="dense")
+    i2 = s2.solve(tolerance=tol, max_iterations=400)
+    assert abs(info.iterations_needed - i2.iterations_needed) <= 2
+
+
+def test_pairs_engine_rejects_z_small_lm(rng):
+    """lm < 16 cannot tile the bf16 oz windows: a clear error, not a
+    Mosaic compile failure."""
     from tfqmrgpu_tpu.errors import TfqmrgpuError
 
-    a, x, b = make_random_problem(rng, mb=6, lm=4, ln=4, ncols=2)
+    a, x, b = make_random_problem(rng, mb=6, lm=4, ln=4, ncols=2,
+                                  dtype=np.complex128)
     with pytest.raises(TfqmrgpuError):
         Solver(a, x, b, precision="z", engine="pairs")

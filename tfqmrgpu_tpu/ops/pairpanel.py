@@ -1784,6 +1784,8 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
     # (col_inner in real_t, tfqmrgpu_linalg.hxx:480-523; decisions in
     # double): f64 elementwise work is software-emulated on TPU and would
     # dominate the iteration
+    vdt = jnp.result_type(b_fused)     # f32, or f64 on the 'z' pairs path
+
     def _exact_onehot_dot(oh, p):
         """oh @ p with one-hot oh, exact in f32: split p into bf16 hi/lo
         halves (exact decomposition to 2^-17, summed in f32 accumulators) --
@@ -1798,7 +1800,14 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
     def _colsum(p):
         """Per-column segmented sum of a [nxrows, ln] array.  When the
         one-hot matrix exists this is a transposed MXU matmul (TPU scatter
-        is serial and dominates otherwise)."""
+        is serial and dominates otherwise).  f64 inputs ('z') keep the
+        reduction in f64 -- the recurrence's quality floor lives here."""
+        if vdt == jnp.float64:
+            if onehot is not None:
+                return jax.lax.dot(onehot.T.astype(jnp.float64), p,
+                                   preferred_element_type=jnp.float64)
+            return jax.ops.segment_sum(p, row_col, num_segments=ncc + 1,
+                                       indices_are_sorted=True)[:ncc]
         if onehot is not None:
             return _exact_onehot_dot(onehot.T, p)
         return jax.ops.segment_sum(p, row_col, num_segments=ncc + 1,
@@ -1881,17 +1890,18 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
         def _scale(a):
             # HIGHEST precision: the tfQMR scalars must expand EXACTLY --
             # bf16 rounding (even hi/lo split residuals at 2^-17) shows up
-            # directly as a convergence floor
-            dt = jnp.float32
+            # directly as a convergence floor.  'z' expands in f64.
+            dt = jnp.float64 if vdt == jnp.float64 else jnp.float32
             hp = jax.lax.Precision.HIGHEST
-            ar = jax.lax.dot(onehot, a[0].astype(dt),
+            oh = onehot.astype(dt) if dt == jnp.float64 else onehot
+            ar = jax.lax.dot(oh, a[0].astype(dt),
                              preferred_element_type=dt, precision=hp)
-            ai = jax.lax.dot(onehot, a[1].astype(dt),
+            ai = jax.lax.dot(oh, a[1].astype(dt),
                              preferred_element_type=dt, precision=hp)
             return ar, ai
     if onehot is None:
         def _scale(a):
-            dt = jnp.float32
+            dt = jnp.float64 if vdt == jnp.float64 else jnp.float32
             ar = jnp.concatenate([a[0].astype(dt),
                                   jnp.zeros((1, ln), dt)])[row_col]
             ai = jnp.concatenate([a[1].astype(dt),

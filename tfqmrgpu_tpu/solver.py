@@ -134,11 +134,14 @@ class Solver:
             else:
                 engine = "xla"
         self.engine = engine
-        if engine in ("pallas", "pairs") and precision != "c":
+        if engine == "pallas" and precision != "c":
             raise TfqmrgpuError(
                 encode_status(Status.PRECISION_MISSMATCH),
                 f"the {engine} engine is float32-only; use precision='c' "
                 "(no f64 MXU on TPU) or engine='dense'")
+        # pairs accepts 'z' too: the multiply runs the Ozaki slice kernel
+        # (ops/ozaki.py, f64-quality bf16 MXU products) and the vector ops
+        # run in emulated f64
         self._pack = None             # row-tile engine packing
         if engine == "pallas":
             from .ops.pallas_spmm import pack_row_tiles
@@ -188,6 +191,7 @@ class Solver:
                 # the column-padded 3-D layout (lane width + pad copies),
                 # so col_pad is opt-in for now
                 col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
+                           and precision == "c"
                            and counts.max() * self.plan.ncols
                            <= 2 * self.plan.nnzb_x)
                 # column grouping: when the X grid is column-sparse each
@@ -201,7 +205,9 @@ class Solver:
                 rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
                 cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
                 want = 0
-                if (cg_env != "1" and not col_pad
+                # z: plain windowed packs only (the oz kernel supports
+                # neither grouping nor the resident window yet)
+                if (cg_env != "1" and not col_pad and precision == "c"
                         and self.plan.ncols >= 2):
                     want = int(cg_env)
                     if want == 0:
@@ -236,8 +242,9 @@ class Solver:
                         self.lm, self.ln, r_tile=rt,
                         row_of=row_of_x, col_of=self.plan.colindx,
                         col_pad=bool(col_pad), copy_g=cg_copy,
-                        resident=_os.environ.get("TFQ_PAIRS_RESIDENT",
-                                                 "auto"))
+                        resident=("0" if precision == "z" else
+                                  _os.environ.get("TFQ_PAIRS_RESIDENT",
+                                                  "auto")))
             except ValueError:
                 if not auto:
                     raise
@@ -248,6 +255,11 @@ class Solver:
                 # bf16 windows tile at 16 sublanes; lm in [8,16) can
                 # only run the exact-f32 kernel
                 self._pp_prec = "highest"
+            if precision == "z" and engine == "pairs" and self.lm < 16:
+                raise TfqmrgpuError(
+                    encode_status(Status.PRECISION_MISSMATCH),
+                    "the pairs engine's 'z' (Ozaki) kernel needs LM >= 16 "
+                    "(bf16 window tiling); use engine='dense' or 'xla'")
             if engine == "pairs" and echo > 2:
                 print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
@@ -279,7 +291,8 @@ class Solver:
                     np.float64 if precision == "z" else np.float32))
         elif engine == "pairs":
             self._v3 = jnp.asarray(self._pairs_permute(
-                np.asarray(v3[0]), np.asarray(v3[1])))
+                np.asarray(v3[0]), np.asarray(v3[1])).astype(
+                    np.float64 if precision == "z" else np.float32))
         else:
             self._v3 = v3
 
@@ -309,21 +322,36 @@ class Solver:
             if self.engine == "pairs":
                 from .ops import pairpanel as pp_ops
 
-                # build the inflated panels ON DEVICE: shipping host-built
-                # panels costs panel-bytes over the host link (which can be
-                # very slow through a relay); raw A block bytes are ~ku x
-                # smaller
-                panels = pp_ops.build_a_panels_device(
-                    self._pp_plan,
-                    jnp.asarray(re.astype(np.float32)),
-                    jnp.asarray(im.astype(np.float32)))
                 t_env = _os.environ.get("TFQ_PAIRS_TSTEP")
-                t_step = (int(t_env) if t_env else
-                          pp_ops.auto_t_step(self._pp_plan, self._pp_prec))
-                self._pp = pp_ops.make_pairpanel_multiply(
-                    self._pp_plan, panels, precision=self._pp_prec,
-                    interpret=jax.default_backend() not in ("tpu",),
-                    t_step=t_step)
+                interp = jax.default_backend() not in ("tpu",)
+                if self.precision == "z":
+                    # f64-quality multiply on the bf16 MXU (Ozaki slice
+                    # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz)
+                    from .ops import ozaki
+
+                    p_oz, _ = ozaki.slice_params(
+                        self._pp_plan.ku * self.lm, diag_sum=True)
+                    t_step = (int(t_env) if t_env else
+                              pp_ops.auto_t_step(self._pp_plan,
+                                                 f"oz{p_oz}"))
+                    self._pp = pp_ops.make_pairpanel_multiply_oz(
+                        self._pp_plan, re, im, interpret=interp,
+                        t_step=t_step)
+                else:
+                    # build the inflated panels ON DEVICE: shipping
+                    # host-built panels costs panel-bytes over the host
+                    # link (which can be very slow through a relay); raw
+                    # A block bytes are ~ku x smaller
+                    panels = pp_ops.build_a_panels_device(
+                        self._pp_plan,
+                        jnp.asarray(re.astype(np.float32)),
+                        jnp.asarray(im.astype(np.float32)))
+                    t_step = (int(t_env) if t_env else
+                              pp_ops.auto_t_step(self._pp_plan,
+                                                 self._pp_prec))
+                    self._pp = pp_ops.make_pairpanel_multiply(
+                        self._pp_plan, panels, precision=self._pp_prec,
+                        interpret=interp, t_step=t_step)
                 # the cached jitted steps close over the previous
                 # PairPanelMultiply (its t_step/precision/consts structure);
                 # drop them so a re-set A cannot execute a stale closure
@@ -490,11 +518,12 @@ class Solver:
         if self._pp is None:
             raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                                 "matrix 'A' has not been set")
+        vdt = jnp.float64 if self.precision == "z" else jnp.float32
         if b_override is not None:
             b = b_override
         elif rhs_trivial:
             ub = np.asarray(set_unit_blocks(
-                self.plan.nnzb_b, self.lm, self.ln, jnp.float32))
+                self.plan.nnzb_b, self.lm, self.ln, vdt))
             b = jnp.asarray(self._pairs_b_panel(ub[0], ub[1]))
         else:
             b = self._b
@@ -520,7 +549,7 @@ class Solver:
             if inv_override is not None:
                 inv = inv_override
             return core.tfqmr_loop(prim, b_fused, v3_fused, v5, tau0,
-                                   inv, tol, maxit, jnp.float32)
+                                   inv, tol, maxit, vdt)
 
         # cache the jitted step per (rhs_trivial, override) flavor
         cache = getattr(self, "_pairs_jit", None) or {}
