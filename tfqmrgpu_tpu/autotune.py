@@ -140,7 +140,9 @@ def default_candidates(precision: str) -> list:
     fixed cost amortization; 0 = auto VMEM model), copy_g (scalar-copy
     granularity)."""
     if precision == "z":
-        return [("dense", {}), ("xla", {})]
+        # pairs-z = the Ozaki slice kernel (needs LM >= 16; the harness
+        # drops candidates that raise)
+        return [("dense", {}), ("pairs", {}), ("xla", {})]
     return [
         ("dense", {}),
         ("pallas", {}),                 # row-tile, model-picked r_tile
