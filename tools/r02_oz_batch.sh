@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-2 follow-up TPU batch: bf16x6 + Ozaki-z evidence artifacts.
+# Run when the relay is back (one job at a time on the single chip; all
+# subprocesses share the persistent compile cache).
+#
+#  1. golden SpMM, explicit bf16x6 (exact-f32 quality at bf16x4's bytes)
+#  2. golden SpMM, auto precision (bf16x4 -> bf16x6 -> highest chain)
+#  3. golden SpMM, PREC=z via the pairpanel Ozaki kernel (gate 1e-12)
+#  4. FD full solve, z (dense engine now routes f64 through ozaki)
+#  5. blocksize-sweep rows where bf16x4 gate-failed, now with bf16x6
+set -x
+cd /root/repo
+TFQ_BENCH_MM_PREC=bf16x6 TFQ_BENCH_NREP=32 timeout 2400 python bench.py \
+  > /tmp/g_x6.json 2>/tmp/g_x6.log
+TFQ_BENCH_NREP=32 timeout 2400 python bench.py \
+  > /tmp/g_auto.json 2>/tmp/g_auto.log
+TFQ_BENCH_PREC=z TFQ_BENCH_NREP=16 timeout 3000 python bench.py \
+  > /tmp/g_z.json 2>/tmp/g_z.log
+TFQ_BENCH_MODE=fd TFQ_BENCH_PREC=z TFQ_BENCH_NREP=4 \
+  timeout 2400 python bench.py > /tmp/fd_z_oz.json 2>/tmp/fd_z_oz.log
+for size in "16 32" "32 64" "64 64" "32 32"; do
+  set -- $size
+  TFQ_BENCH_LM=$1 TFQ_BENCH_LN=$2 TFQ_BENCH_MM_PREC=bf16x6 \
+    TFQ_BENCH_NREP=16 timeout 2400 python bench.py \
+    > /tmp/bs_${1}_${2}_x6.json 2>/tmp/bs_${1}_${2}_x6.log
+done
+echo OZ_BATCH_DONE
