@@ -24,4 +24,9 @@ for size in "16 32" "32 64" "64 64" "32 32"; do
     TFQ_BENCH_NREP=16 timeout 2400 python bench.py \
     > /tmp/bs_${1}_${2}_x6.json 2>/tmp/bs_${1}_${2}_x6.log
 done
+# full tfQMR iteration on the golden pattern with the bf16x6 multiply
+# (exact-f32 quality at bf16x4 bytes) vs the default exact-f32 kernel
+TFQ_BENCH_MODE=iter TFQ_BENCH_ITER_PATTERN=golden TFQ_BENCH_ENGINE=pairs \
+  TFQ_PAIRS_MM_PREC=bf16x6 timeout 2400 python bench.py \
+  > /tmp/iter_golden_x6.json 2>/tmp/iter_golden_x6.log
 echo OZ_BATCH_DONE
