@@ -401,11 +401,13 @@ def _solve_mixed_plan(ps: _PlanState, threshold: float,
             for var, args in ps.raw.items():
                 ps.solver_z.set_matrix(var, *args[:-1], **args[-1])
         ps.solver_z.set_matrix("X", xm)
+        info_r = info          # c-stage + refine-round totals
         info_z = ps.solver_z.solve(
             tolerance=threshold,
-            max_iterations=max_iterations - info.iterations_needed)
+            max_iterations=max_iterations - info_r.iterations_needed)
         info = info_z
-        info.iterations_needed += info_c.iterations_needed
+        info.iterations_needed += info_r.iterations_needed
+        info.flops_performed += info_r.flops_performed
         status = info.return_status
     else:
         # refinement produced the solution: stash the refined complex128

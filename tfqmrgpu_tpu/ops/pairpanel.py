@@ -654,26 +654,34 @@ def build_a_panels_device(plan: PairPanelPlan, a_re, a_im):
     return p.reshape(plan.ntiles, 2 * r * lm, ku * lm)
 
 
+def rn16_f32(v):
+    """Round an f32 array to the nearest bf16-representable value,
+    RETURNED AS f32, by mantissa bit-masking (RN, ties away from zero).
+
+    Deliberately NOT ``f32(bf16(v))``: under ``--xla_allow_excess_precision``
+    XLA is free to elide the f32->bf16->f32 round-trip inside
+    ``v - f32(bf16(v))``, which silently turns a split residual into exact
+    zero (observed on the v5e relay).  The bit-masked form is opaque to
+    that rewrite, works identically inside Mosaic kernels, and the result
+    is exactly representable in bf16.  Shared by every hi/lo operand split
+    (split_bf16x2/x3 here, the row-tile kernel in pallas_spmm)."""
+    import jax
+    import jax.numpy as jnp
+
+    bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+
+
 def split_bf16x2(a):
     """Split an f32 array into (hi, lo) bfloat16 planes with
     a == hi + lo + O(2^-16) -- the operand halves of the 3-pass bf16 product
     that reproduces XLA's HIGH matmul precision (Mosaic kernels only expose
-    DEFAULT and HIGHEST).
-
-    The hi part is built by MANTISSA BIT-MASKING, not bf16 rounding: under
-    ``--xla_allow_excess_precision`` XLA is free to elide the
-    f32->bf16->f32 round-trip inside ``a - f32(bf16(a))``, which silently
-    turns the residual into exact zero (observed on the v5e relay).  The
-    bit-masked truncation is opaque to that rewrite and keeps hi exactly
-    representable in bf16."""
-    import jax
+    DEFAULT and HIGHEST).  RN halves the split residual vs truncation;
+    see rn16_f32 for why the rounding is bit-masked."""
     import jax.numpy as jnp
 
-    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
-    # round-to-nearest into the upper 16 bits (RN, ties away from zero):
-    # halves the split residual vs plain truncation
-    hi_f32 = jax.lax.bitcast_convert_type(
-        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+    hi_f32 = rn16_f32(a)
     hi = hi_f32.astype(jnp.bfloat16)         # exact: mantissa already fits
     lo = (a - hi_f32).astype(jnp.bfloat16)
     return hi, lo
@@ -685,18 +693,12 @@ def split_bf16x3(a):
     the 6-product cross scheme ('bf16x6') reproduces exact-f32 (HIGHEST)
     matmul quality -- vs the 2-way split's ~1e-4 systematic floor at
     K~1000 accumulations.  Bit-masked RN for the same excess-precision
-    reasons as split_bf16x2."""
-    import jax
+    reasons as split_bf16x2 (see rn16_f32)."""
     import jax.numpy as jnp
 
-    def _rn16(v):
-        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
-        return jax.lax.bitcast_convert_type(
-            (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
-
-    hi_f32 = _rn16(a)
+    hi_f32 = rn16_f32(a)
     r1 = a - hi_f32
-    mid_f32 = _rn16(r1)
+    mid_f32 = rn16_f32(r1)
     return (hi_f32.astype(jnp.bfloat16), mid_f32.astype(jnp.bfloat16),
             (r1 - mid_f32).astype(jnp.bfloat16))
 
@@ -828,34 +830,39 @@ def _refine_groups(groups: list, pmb: np.ndarray, max_passes: int = 8):
     (= A-panel blocks streamed per multiply).  The greedy co-occurrence
     seeding optimizes a proxy (shared X rows); on the golden KKR plan this
     swap refinement cuts A replication a further ~10-15%."""
-    if pmb.shape[1] > 64:        # O(ncol^2) sweeps; big grids keep greedy
+    ncol = pmb.shape[1]
+    if ncol > 128:               # O(ncol^2) swap sweeps; huge grids keep greedy
         return groups
-    assign = np.zeros(pmb.shape[1], np.int64)
+    assign = np.zeros(ncol, np.int64)
     for gi, g in enumerate(groups):
         assign[np.asarray(g, dtype=np.int64)] = gi
     ngroups = len(groups)
-    pmb_i = pmb.astype(np.int64)
+    pm = pmb.astype(np.int16)
 
-    def cost(a):
-        onehot = np.zeros((pmb.shape[1], ngroups), np.int64)
-        onehot[np.arange(pmb.shape[1]), a] = 1
-        return int(((pmb_i @ onehot) > 0).sum())
-
-    best = cost(assign)
-    ncol = pmb.shape[1]
+    # cnt[a, g] = how many of a's pair columns sit in group g; the cost is
+    # (cnt > 0).sum().  A c1<->c2 swap moves only two columns, so the new
+    # cost of the two touched groups is an O(nau) update -- no full
+    # [nau,ncol]x[ncol,ngroups] rebuild per candidate swap.
+    onehot = np.zeros((ncol, ngroups), np.int16)
+    onehot[np.arange(ncol), assign] = 1
+    cnt = pm @ onehot                          # [nau, ngroups]
+    nz = (cnt > 0).sum(axis=0).astype(np.int64)
     for _ in range(max_passes):
         improved = False
         for c1 in range(ncol):
             for c2 in range(c1 + 1, ncol):
-                if assign[c1] == assign[c2]:
+                g1, g2 = int(assign[c1]), int(assign[c2])
+                if g1 == g2:
                     continue
-                assign[c1], assign[c2] = assign[c2], assign[c1]
-                c = cost(assign)
-                if c < best:
-                    best = c
+                m1, m2 = pm[:, c1], pm[:, c2]
+                n1 = int(((cnt[:, g1] - m1 + m2) > 0).sum())
+                n2 = int(((cnt[:, g2] - m2 + m1) > 0).sum())
+                if n1 + n2 < nz[g1] + nz[g2]:
+                    cnt[:, g1] += m2 - m1
+                    cnt[:, g2] += m1 - m2
+                    nz[g1], nz[g2] = n1, n2
+                    assign[c1], assign[c2] = g2, g1
                     improved = True
-                else:
-                    assign[c1], assign[c2] = assign[c2], assign[c1]
         if not improved:
             break
     return [sorted(np.flatnonzero(assign == gi).tolist())
@@ -1043,7 +1050,8 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
     pr = precision_props(precision)
     split = pr["a_presplit"] > 0
     lm, ku, S = plan.lm, plan.ku, plan.s_window
-    a_bytes = plan.ntiles * ku * 2 * lm * lm * (2 if split else 4)
+    a_bytes = plan.ntiles * plan.r_tile * ku * 2 * lm * lm \
+        * (2 if split else 4)
     # X: each (2S+g)-row replica window is streamed once (pallas
     # revisiting); w_lanes/w_b as in vmem_need_bytes
     w_lanes = 2 * pr["xsplit"] * plan.ln
@@ -1052,10 +1060,11 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
         * w_lanes * w_b
     y_bytes = plan.ntiles * plan.r_tile * lm * 2 * plan.ln * 4
     passes = pr["passes"]
-    mxu_flops = plan.ntiles * ku * lm * lm * plan.ln * 8
+    mxu_flops = plan.ntiles * plan.r_tile * ku * lm * lm * plan.ln * 8
     dma_ms = (a_bytes + x_bytes + y_bytes) / (hbm_gbps * 1e6)
     mxu_ms = mxu_flops / (173e9 / passes)
-    steps = -(-plan.ntiles // (plan.r_tile * t)) if t else plan.ntiles
+    # ntiles already counts r_tile-row tiles; a step batches t of them
+    steps = -(-plan.ntiles // t) if t else plan.ntiles
     fixed_ms = steps * step_us * 1e-3
     # replica build: XLA's strided-copy+concat before the kernel (read the
     # panel, write the overlapping replicas) runs SEQUENTIALLY with the
@@ -1071,7 +1080,8 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                       want: int, precision: str = "highest",
                       row_of=None, col_of=None, r_tile: int = 1,
                       copy_g: int = 2, vmem_cap: int = 100 << 20,
-                      force: bool = False, allow_resident: bool = True):
+                      force: bool = False, allow_resident: bool = True,
+                      max_stride: int = 3):
     """Pack with column grouping: tries group sizes ``want``, want/2, ...
     1, keeps only candidates that pack AND fit VMEM at t_step=1 (wide
     grouped lanes multiply the resident window bytes), and returns the
@@ -1081,12 +1091,16 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     (gp_or_None, plan); gp is None when ungrouped wins.  ``force`` (an
     explicit user-chosen group size) skips the model comparison -- the
     first feasible grouped candidate wins (at the best stride factor).
-    Raises ValueError only if even the ungrouped pack fails."""
+    ``max_stride``: highest window stride factor to try (callers whose
+    kernel build only supports the legacy O == S layout pass 1 so the
+    model prices what will actually run).  Raises ValueError only if
+    even the ungrouped pack fails."""
     def _candidates(packer):
         """(est, plan) over window stride factors (k=0 packs the
         resident-X single-window layout), best first."""
+        ks = tuple(range(1, max_stride + 1))
         out = []
-        for k in ((0, 1, 2, 3) if allow_resident else (1, 2, 3)):
+        for k in ((0,) + ks if allow_resident else ks):
             try:
                 plan = packer(k)
             except ValueError:

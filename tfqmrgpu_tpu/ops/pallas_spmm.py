@@ -133,8 +133,9 @@ def recover_grid(pair_a, pair_x, pair_y, nnzb: int) -> PairGrid:
     ncol = int(col.max()) + 1
     rank = _cuthill_mckee(nfrag, frag[py], frag[px])
 
-    # one slot per fragment, in CM order (operand slots stay nearby)
-    slot_of_frag = np.argsort(np.argsort(rank, kind="stable"))
+    # one slot per fragment, in CM order (operand slots stay nearby);
+    # rank IS the slot id (position of each fragment in CM order)
+    slot_of_frag = rank
 
     # A-block endpoints in fragment space (each USED pa has a unique
     # (fy, fx); ids absent from the pair list -- plan files carry them --
@@ -186,19 +187,12 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from .pairpanel import split_bf16x2
+
     ku = kulm // lm
     split = precision in ("bf16x3", "bf16x4")
     n_a = 2 if split else 1
     a_dt = jnp.bfloat16 if split else jnp.float32
-
-    def _split_rn(v):
-        """Round-to-nearest bf16 hi/lo split (bit-masked; opaque to the
-        excess-precision rewrite -- see pairpanel.split_bf16x2)."""
-        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
-        hi_f32 = jax.lax.bitcast_convert_type(
-            (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
-        return (hi_f32.astype(jnp.bfloat16),
-                (v - hi_f32).astype(jnp.bfloat16))
 
     def kernel(xcols_ref, *refs):
         a_refs = refs[:n_a]
@@ -216,7 +210,7 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
                 return jax.lax.dot(a_refs[0][0], xs,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-            xh, xl = _split_rn(xs)
+            xh, xl = split_bf16x2(xs)
             dot = functools.partial(jax.lax.dot,
                                     preferred_element_type=jnp.float32)
             d = dot(a_refs[0][0], xh) + dot(a_refs[0][0], xl) \

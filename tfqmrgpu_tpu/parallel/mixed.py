@@ -40,6 +40,7 @@ def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
         enable_x64()
     from ..ops import layout as lops
     from ..ops.blocksparse import BlockSparseAction
+    from ..refine import refinement_loop
 
     lm, ln = int(plan.lm), int(plan.ln)
     ar = np.asarray(a.data.real)
@@ -51,8 +52,6 @@ def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
                           np.asarray(b.data.imag),
                           tolerance=max(c_tolerance, tolerance),
                           max_iterations=maxit_c)
-    x_cur = np.asarray(xc).astype(np.complex128)
-    total_iters = int(info_c["iterations"])
 
     # f64 residual operator (XLA pair-list engine; software-emulated f64
     # on TPU -- one multiply per round, off the iteration hot path)
@@ -67,39 +66,26 @@ def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
               np.asarray(b.data, np.complex128))
     bn2 = np.zeros((plan.ncols, ln))
     np.add.at(bn2, colindx, (np.abs(bx64) ** 2).sum(axis=1))
-    inv = np.where(bn2 > 0, 1.0 / np.where(bn2 > 0, bn2, 1.0), 0.0)
 
-    stall = float(np.clip(2.0 * max(info_c["residuum"], 0.0), 1e-5, 1e-2))
-    prev_ratio = np.inf
-    ratio = np.inf
-    converged = False
-    rounds = 0
-    for rnd in range(max_rounds):
-        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
-        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
-        res2 = np.zeros_like(bn2)
-        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
-        ratio = float(np.sqrt(np.max(res2 * inv)))
-        if echo > 1:
-            print(f"# sharded refine round {rnd}: rel residual {ratio:.3e}")
-        if ratio <= tolerance:
-            converged = True
-            break
-        if ratio > 0.25 * prev_ratio or total_iters >= max_iterations:
-            break
-        prev_ratio = ratio
-        rounds += 1
-        inner_max = min(max_iterations - total_iters,
-                        min(max(total_iters, 50), 150) + 50)
+    def _correction(r, res2, stall, inner_max):
         dx, info_d = sp.solve(ar, ai, r.real.astype(np.float32),
                               r.imag.astype(np.float32),
                               tolerance=stall, max_iterations=inner_max,
                               rhs_xshaped=True)
-        x_cur = x_cur + np.asarray(dx).astype(np.complex128)
-        total_iters += int(info_d["iterations"])
+        return np.asarray(dx), int(info_d["iterations"])
+
+    res = refinement_loop(
+        apply64=apply64, bx64=bx64, colindx=colindx, bn2=bn2,
+        x0=np.asarray(xc), tolerance=tolerance,
+        max_iterations=max_iterations,
+        total_iters=int(info_c["iterations"]),
+        inner_base=int(info_c["iterations"]),
+        solve_correction=_correction,
+        stall_seed=float(info_c["residuum"]),
+        echo=echo, max_rounds=max_rounds, label="sharded refine")
 
     info = dict(info_c)
-    info.update(iterations=total_iters, residuum=ratio,
-                refine_rounds=rounds, converged=converged,
+    info.update(iterations=res["total_iters"], residuum=res["ratio"],
+                refine_rounds=res["rounds"], converged=res["converged"],
                 c_iterations=int(info_c["iterations"]))
-    return x_cur, info
+    return res["x"], info

@@ -106,12 +106,15 @@ class ShardedPairsSolver:
                     want = 0
         if want > 1:
             # resident-X plans have no window structure to chunk shards
-            # on -- keep the windowed candidates only
+            # on, and this engine's kernel build only supports the legacy
+            # O == S window layout -- restrict to those candidates so the
+            # time model prices what will actually run
             self.gp, self.pp_plan = pp.pack_grouped_plan(
                 plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
                 plan.nnzb_x, self.lm, self.ln, want, precision,
                 row_of=row_of_x, col_of=plan.colindx, r_tile=r_tile,
-                force=(cg_env not in ("0", "1")), allow_resident=False)
+                force=(cg_env not in ("0", "1")), allow_resident=False,
+                max_stride=1)
             if self.gp is not None:
                 self.ln = self.gp.ln2
                 eff_nnzb = self.gp.nnzb2

@@ -1,0 +1,86 @@
+"""Shared mixed-precision iterative-refinement loop.
+
+TPUs have no f64 MXU: complex128 matmuls are software-emulated (~40x
+slower than bf16), so the 'm' mode iterates in f32 and reaches f64
+residuals by classic iterative refinement -- per round ONE emulated-f64
+SpMM measures the true residual r = B - A@x and a fast f32 engine solves
+the correction A dX == r.  This loop is the single implementation behind
+``solver.refine_mixed`` (single device) and
+``parallel.mixed.solve_sharded_mixed`` (mesh); they differ only in how
+the correction is solved, injected via ``solve_correction``.  Implements
+the mode the reference declares but disables (tfqmrgpu.cu:42 "mixed
+precision is still buggy").
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def refinement_loop(*, apply64, bx64: np.ndarray, colindx: np.ndarray,
+                    bn2: np.ndarray, x0: np.ndarray, tolerance: float,
+                    max_iterations: int, total_iters: int, inner_base: int,
+                    solve_correction: Callable, stall_seed: float,
+                    flops_per_round: float = 0.0,
+                    flops_per_iteration: float = 0.0,
+                    echo: int = 0, max_rounds: int = 12,
+                    label: str = "refine") -> dict:
+    """Run the refinement rounds.
+
+    Args:
+      apply64: jitted f64 operator, (x_re, x_im) -> (y_re, y_im) on
+        X-shaped [nnzbX, LM, LN] planes.
+      bx64: B scattered into X shape, complex128 [nnzbX, LM, LN].
+      colindx: int64[nnzbX] compressed column of each X block.
+      bn2: [nCols, LN] squared column norms of B (0 where B is empty).
+      x0: complex128 starting iterate (the c-stage solution).
+      total_iters: iterations already spent (c stage).
+      inner_base: per-round correction-iteration scale (the c stage's
+        count); each correction solve gets min(inner_base, 150) + 50,
+        capped by the remaining global budget.
+      solve_correction: (r complex128 [nnzbX,LM,LN], res2 [nCols,LN],
+        stall, inner_max) -> (dx complex128, iterations int).
+      stall_seed: the c stage's reached residual; the per-round target is
+        2x it, clipped to the observed pure-f32 stall band [1e-5, 1e-2].
+      flops_per_round / flops_per_iteration: accounting weights (0 = skip).
+
+    Returns dict(x, ratio, total_iters, flops, rounds, converged).
+    """
+    inv = np.where(bn2 > 0, 1.0 / np.where(bn2 > 0, bn2, 1.0), 0.0)
+    # per-round achievable reduction ~ the f32 engine's stall level; seed
+    # from what the c stage actually reached, kept away from the extremes
+    stall = float(np.clip(2.0 * max(stall_seed, 0.0), 1e-5, 1e-2))
+    x_cur = np.asarray(x0, np.complex128)
+    prev_ratio = np.inf
+    ratio = np.inf
+    converged = False
+    rounds = 0
+    flops = 0.0
+    for rnd in range(max_rounds):
+        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
+        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
+        flops += flops_per_round
+        res2 = np.zeros_like(bn2)
+        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
+        ratio = float(np.sqrt(np.max(res2 * inv)))
+        if echo > 1:
+            print(f"# {label} round {rnd}: rel residual {ratio:.3e}")
+        if ratio <= tolerance:
+            converged = True
+            break
+        if ratio > 0.25 * prev_ratio or total_iters >= max_iterations:
+            break                 # stalled; caller may fall back to 'z'
+        prev_ratio = ratio
+        rounds += 1
+        inner_max = min(max_iterations - total_iters,
+                        min(inner_base, 150) + 50)
+        dx, inner_iters = solve_correction(r, res2, stall, inner_max)
+        x_cur = x_cur + np.asarray(dx, np.complex128)
+        total_iters += int(inner_iters)
+        flops += int(inner_iters) * flops_per_iteration
+    return dict(x=x_cur, ratio=ratio, total_iters=total_iters, flops=flops,
+                rounds=rounds, converged=converged)

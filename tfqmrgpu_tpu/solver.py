@@ -825,69 +825,51 @@ def refine_mixed(sc: Solver, a_re64: np.ndarray, a_im64: np.ndarray,
     Returns (x complex128 [nnzbX, LM, LN], SolveInfo, converged: bool).
     """
     from .ops.blocksparse import BlockSparseAction
+    from .refine import refinement_loop
 
     plan = sc.plan
     act = BlockSparseAction.from_plan(plan, a_re64, a_im64, engine="xla",
                                       ln=sc.ln)
     apply64 = jax.jit(lambda xr, xi: act.multiply((xr, xi)))
-    colindx = plan.colindx.astype(np.int64)
     bn2 = sc._bn2
     if bn2 is None:
         raise TfqmrgpuError(encode_status(Status.NO_INFO_PASSED),
                             "matrix 'B' has not been set")
-    inv = np.where(bn2 > 0, 1.0 / np.where(bn2 > 0, bn2, 1.0), 0.0)
 
-    x_cur = sc.get_matrix("X").astype(np.complex128)
-    # per-round achievable reduction ~ the f32 engine's stall level; seed it
-    # from what the c stage actually reached and keep it away from the
-    # extremes (pure-f32 floors sit around 1e-5..1e-2 depending on cond(A))
-    stall = float(np.clip(2.0 * max(info_c.residuum_reached, 0.0),
-                          1e-5, 1e-2))
-    total_iters = info_c.iterations_needed
-    total_flops = info_c.flops_performed
-    prev_ratio = np.inf
-    converged = False
-    ratio = np.inf
-    flops_round = core.flops_per_probe(plan.n_pairs, plan.nnzb_x,
-                                       sc.lm, sc.ln)
-    for rnd in range(max_rounds):
-        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
-        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
-        total_flops += flops_round
-        res2 = np.zeros_like(bn2)
-        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
-        ratio = float(np.sqrt(np.max(res2 * inv)))
-        if echo > 1:
-            print(f"# refine round {rnd}: rel residual {ratio:.3e}")
-        if ratio <= tolerance:
-            converged = True
-            break
-        if ratio > 0.25 * prev_ratio or total_iters >= max_iterations:
-            break                     # stalled; caller may fall back to 'z'
-        prev_ratio = ratio
+    def _correction(r, res2, stall, inner_max):
         inv_r = np.where(res2 > 0, 1.0 / np.where(res2 > 0, res2, 1.0), 0.0)
-        inner_max = min(max_iterations - total_iters,
-                        min(info_c.iterations_needed, 150) + 50)
         result = sc._solve_xshaped(r, jnp.asarray(inv_r), stall, inner_max)
         dre, dim = sc._unpack_x(result.x)
-        x_cur = x_cur + (dre.astype(np.float64)
-                         + 1j * dim.astype(np.float64))
         inner_iters = int(result.iterations)
         if int(result.return_status) != int(Status.SUCCESS):
             inner_iters = inner_max
-        total_iters += inner_iters
-        total_flops += inner_iters * core.flops_per_iteration(
-            plan.n_pairs, plan.nnzb_x, sc.lm, sc.ln)
+        return (dre.astype(np.float64) + 1j * dim.astype(np.float64),
+                inner_iters)
+
+    res = refinement_loop(
+        apply64=apply64, bx64=bx64,
+        colindx=plan.colindx.astype(np.int64), bn2=bn2,
+        x0=sc.get_matrix("X").astype(np.complex128),
+        tolerance=tolerance, max_iterations=max_iterations,
+        total_iters=info_c.iterations_needed,
+        inner_base=info_c.iterations_needed,
+        solve_correction=_correction,
+        stall_seed=info_c.residuum_reached,
+        flops_per_round=core.flops_per_probe(plan.n_pairs, plan.nnzb_x,
+                                             sc.lm, sc.ln),
+        flops_per_iteration=core.flops_per_iteration(
+            plan.n_pairs, plan.nnzb_x, sc.lm, sc.ln),
+        echo=echo, max_rounds=max_rounds, label="refine")
 
     info = SolveInfo(
-        residuum_reached=ratio,
-        iterations_needed=total_iters,
-        flops_performed=total_flops,
+        residuum_reached=res["ratio"],
+        iterations_needed=res["total_iters"],
+        flops_performed=info_c.flops_performed + res["flops"],
         flops_performed_all=sc.plan.flops_performed_all,
-        return_status=int(Status.SUCCESS) if converged
+        return_status=int(Status.SUCCESS) if res["converged"]
         else int(Status.MAX_ITERATIONS),
     )
-    return x_cur, info, converged
+    return res["x"], info, res["converged"]
 
 
 def _scatter_to_x(plan, b_data: np.ndarray, lm: int, ln: int) -> np.ndarray:
