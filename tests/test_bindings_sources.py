@@ -59,6 +59,50 @@ def test_julia_example_calls_real_symbols():
     assert not missing, f"Julia example ccalls missing symbols: {missing}"
 
 
+C_HEADER = os.path.join(REPO, "native", "include", "tfqmrgpu_tpu.h")
+
+
+def _c_prototype_arity(path):
+    """Parse ``tfqmrgpuStatus_t NAME(args...);`` prototypes -> {name: nargs}."""
+    text = re.sub(r"/\*.*?\*/", "", open(path).read(), flags=re.DOTALL)
+    text = re.sub(r"//[^\n]*", "", text)
+    out = {}
+    for m in re.finditer(
+            r"tfqmrgpuStatus_t\s+(\w+)\s*\(([^;]*?)\)\s*;", text,
+            re.DOTALL):
+        args = m.group(2).strip()
+        out[m.group(1)] = 0 if args in ("", "void") else args.count(",") + 1
+    return out
+
+
+def _f90_interface_arity(path):
+    """Parse the module's bind(c) interfaces -> {c_name: ndummy_args}."""
+    # join Fortran continuation lines (trailing & [+ leading &])
+    joined = re.sub(r"&\s*\n\s*&?", " ", open(path).read())
+    out = {}
+    for m in re.finditer(
+            r"(?:function|subroutine)\s+\w+\s*\(([^)]*)\)\s*"
+            r"bind\(c,\s*name='(\w+)'\)", joined, re.IGNORECASE):
+        args = m.group(1).strip()
+        out[m.group(2)] = 0 if not args else args.count(",") + 1
+    return out
+
+
+def test_f90_interface_arity_matches_c_header():
+    """Beyond symbol presence: every bind(c) interface in the F90 module
+    must declare the SAME number of arguments as the C prototype it binds
+    (bind(c) passes by value/reference positionally, so an arity mismatch
+    corrupts the stack even when the symbol resolves)."""
+    c_arity = _c_prototype_arity(C_HEADER)
+    f_arity = _f90_interface_arity(F90_MODULE)
+    assert len(f_arity) >= 10, "F90 interface parse came up short"
+    missing = sorted(set(f_arity) - set(c_arity))
+    assert not missing, f"F90 binds names absent from the C header: {missing}"
+    bad = {n: (f_arity[n], c_arity[n]) for n in f_arity
+           if f_arity[n] != c_arity[n]}
+    assert not bad, f"F90/C argument-count mismatches (f90, c): {bad}"
+
+
 def test_f90_program_units_balanced():
     """Cheap structural sanity of the F90 sources: every subroutine/
     function/module opens and closes (a truncated file would silently
