@@ -627,12 +627,17 @@ def main():
             a_dev = (jnp.cos(phase), jnp.sin(phase))
 
             def build_candidate(spec):
-                """spec: 'auto' (grouped, model-picked G), 1 (ungrouped)
-                or an explicit group size.  Returns the full engine
-                bundle, or None when the spec resolves to a duplicate of
-                the ungrouped candidate."""
+                """spec: 'auto' (grouped, model-picked G), 1 (ungrouped),
+                an explicit group size, or a tuple (G, cap_mb) forcing a
+                raised VMEM cap (the wide-lane resident plans sit a few MB
+                above the conservative 100 MB default; v5e carries 128).
+                Returns the full engine bundle, or None when the spec
+                resolves to a duplicate of the ungrouped candidate."""
                 t0 = time.time()
                 gp = None
+                cap_mb = 0
+                if isinstance(spec, tuple):
+                    spec, cap_mb = spec
                 if spec != 1:
                     row_g, col_g = pp.recover_geometry(pair_a, pair_x,
                                                        pair_y, nnzb_y)
@@ -653,7 +658,9 @@ def main():
                         "highest" if mm_auto else mm_prec,
                         row_of=row_g, col_of=col_g,
                         r_tile=r_tile, copy_g=copy_g,
-                        force=(spec != "auto"))
+                        force=(spec != "auto"),
+                        vmem_cap=(cap_mb << 20) if cap_mb
+                        else (100 << 20))
                     if gp is not None:
                         log(f"# colgroup G={gp.group_size}: {nnzb_y} "
                             f"blocks -> {gp.nnzb2} cells, {n_pairs} "
@@ -672,7 +679,9 @@ def main():
                 if os.environ.get("TFQ_BENCH_TSTEP"):
                     t_step = int(os.environ["TFQ_BENCH_TSTEP"])
                 else:
-                    t_step = pp.auto_t_step(pplan, mm_eff)
+                    t_step = pp.auto_t_step(
+                        pplan, mm_eff,
+                        vmem_budget=(cap_mb << 20) if cap_mb else 0)
                 if n_buckets > 1:
                     bplan = pp.bucketize(pplan, n_buckets=n_buckets)
                     panels = pp.build_a_panels_bucketed_device(
@@ -720,10 +729,13 @@ def main():
                 else:
                     x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
 
-                def eng_name(prec_, t_step=t_step, gp=gp):
+                def eng_name(prec_, t_step=t_step, gp=gp, pplan=pplan):
                     return (f"pairpanel-r{r_tile}-g{copy_g}-t{t_step}-"
                             f"b{n_buckets}"
                             + (f"-cg{gp.group_size}" if gp is not None
+                               else "")
+                            + ("-res" if pplan.resident else "")
+                            + ("-tp" if pp.use_tile_pipe(pplan, prec_)
                                else "") + f"-{prec_}")
 
                 return dict(gp=gp, pplan=pplan, t_step=t_step,
@@ -738,7 +750,11 @@ def main():
             race_ok = (not interp
                        or os.environ.get("TFQ_BENCH_RACE") == "1")
             if colgroup == 0:
-                specs = ["auto", 1] if race_ok else [1]
+                # the third candidate forces wide grouped lanes under a
+                # raised VMEM cap (tile-pipelined resident kernel): the
+                # conservative 100 MB default rejects it by a few MB, and
+                # the per-step fixed cost it removes is worth racing
+                specs = ["auto", 1, (8, 110)] if race_ok else [1]
             else:
                 specs = [colgroup if colgroup > 1 else 1]
             cands = []

@@ -408,3 +408,63 @@ def test_precision_props_vmem_model():
     b_hi = pp.resident_window_bytes(100, 16, 32, "highest")
     b_x6 = pp.resident_window_bytes(100, 16, 32, "bf16x6")
     assert b_x6 == int(1.5 * b_hi)
+
+
+@pytest.mark.parametrize("t_step,r_tile,precision",
+                         [(1, 1, "highest"), (4, 1, "highest"),
+                          (3, 2, "highest"), (4, 1, "bf16x4")])
+def test_tile_pipe_matches_pairwalk(rng, monkeypatch, t_step, r_tile,
+                                    precision):
+    """The TILE-pipelined resident kernel (per-tile union buffers, identity
+    block maps, per-tile copy programs) must reproduce the step-pipelined
+    kernel's results exactly.  Forced via TFQ_PAIRS_TILEPIPE=1 here; the
+    auto rule enables it only for wide grouped lanes (use_tile_pipe)."""
+    import jax.numpy as jnp
+
+    lm = ln = 4
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=20, ncols=2, lm=lm, ln=ln)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln,
+                             r_tile=r_tile, resident=True)
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    got = {}
+    for pipe in ("0", "1"):
+        monkeypatch.setenv("TFQ_PAIRS_TILEPIPE", pipe)
+        mult = pp.make_pairpanel_multiply(plan, panels, precision=precision,
+                                          interpret=True, t_step=t_step)
+        yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+        got[pipe] = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    tol = 1e-5 if precision == "highest" else 5e-4
+    assert np.max(np.abs(got["1"] - want)) / scale < tol
+    np.testing.assert_array_equal(got["0"], got["1"])
+
+
+def test_use_tile_pipe_rule(rng):
+    """Auto rule: resident + wide lanes (>= 256 incl. the split packing)."""
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=8, ncols=2, lm=4, ln=4)
+    narrow = pp.pack_pair_plan(pa, px, py, nx, nx, 4, 4, r_tile=1,
+                               resident=True)
+    assert not pp.use_tile_pipe(narrow, "highest")
+    wide = pp.pack_pair_plan(pa, px, py, nx, nx, 4, 128, r_tile=1,
+                             resident=True)
+    assert pp.use_tile_pipe(wide, "highest")
+    assert not pp.use_tile_pipe(wide, "oz9")
+    windowed = pp.pack_pair_plan(pa, px, py, nx, nx, 4, 128, r_tile=1)
+    assert not pp.use_tile_pipe(windowed, "highest")
+    # bf16x4 packs [hi|lo] lanes: threshold crosses at ln >= 64
+    wide2 = pp.pack_pair_plan(pa, px, py, nx, nx, 4, 64, r_tile=1,
+                              resident=True)
+    assert pp.use_tile_pipe(wide2, "bf16x4")
+    assert not pp.use_tile_pipe(wide2, "highest")
+    # tile-pipe scratch is t-independent: bigger t_step stays admissible
+    assert pp.vmem_need_bytes(wide, "highest", 16, tile_pipe=True) < \
+        pp.vmem_need_bytes(wide, "highest", 16, tile_pipe=False)

@@ -520,7 +520,28 @@ PRECISIONS = ("bf16", "bf16x3", "bf16x4", "bf16x6", "highest")
 SPLIT_X_PRECISIONS = ("bf16", "bf16x3", "bf16x4", "bf16x6")
 
 
-def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
+def use_tile_pipe(plan: PairPanelPlan, precision: str) -> bool:
+    """Whether the kernel should pipeline at TILE granularity (two per-tile
+    union scratch buffers, gather of tile j+1 under the MXU work of tile j)
+    instead of the default STEP granularity (two whole-step buffers).
+
+    The step-level design stages ``t_step * ku`` blocks per buffer; at the
+    wide grouped lanes of resident plans that scratch dominates VMEM and
+    collapses the admissible t_step to where per-grid-step fixed cost
+    (~9 us) dominates the multiply.  Tile-level buffers are t-independent,
+    so wide-lane resident plans batch freely.  Env override:
+    TFQ_PAIRS_TILEPIPE=0/1 (default: auto as above)."""
+    env = _os.environ.get("TFQ_PAIRS_TILEPIPE", "auto")
+    if env in ("0", "1"):
+        return env == "1" and plan.resident
+    if precision.startswith("oz"):
+        return False
+    return bool(plan.resident) and \
+        2 * precision_props(precision)["xsplit"] * plan.ln >= 256
+
+
+def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int,
+                    tile_pipe=None) -> int:
     """Modeled VMEM working set of the kernel at grid-step batch ``t``:
     double-buffered A panels, union scratch, the two resident window
     replicas, and the output buffers."""
@@ -532,6 +553,8 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
     m = plan.r_tile * lm
+    if tile_pipe is None:
+        tile_pipe = use_tile_pipe(plan, precision)
     # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside);
     # other modes assemble to [m, 2ln] in-kernel
     o_rows, o_lanes = ((m2, 2 * pr["xsplit"] * plan.ln)
@@ -541,8 +564,10 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int) -> int:
     # windowed plans carry two pipelined replica buffers
     win_bufs = 1 if plan.resident else 2
     win = win_bufs * (S + plan.o_blocks + g) * lm * w_lanes * w_b
+    # tile-level pipelining: the two union buffers hold ONE tile each
+    scr_ku = (ku + g) if tile_pipe else (t * ku + g)
     return (2 * n_a * t * m2 * ku * lm * a_b
-            + 2 * (t * ku + g) * lm * w_lanes * w_b
+            + 2 * scr_ku * lm * w_lanes * w_b
             + win + 2 * t * o_rows * o_lanes * 4)
 
 
@@ -579,7 +604,8 @@ def resident_feasible(n_slots: int, lm: int, ln: int, precision: str,
 
 
 def auto_t_step(plan: PairPanelPlan, precision: str,
-                vmem_budget: int = 0, t_max: int = 64) -> int:
+                vmem_budget: int = 0, t_max: int = 64,
+                tile_pipe=None) -> int:
     """Largest t_step whose VMEM working set fits ``vmem_budget`` and whose
     step windows validate.
 
@@ -590,27 +616,35 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
     and Mosaic accepts a raised ``vmem_limit_bytes`` (the kernel passes it,
     see _make_call) -- so the default budget here is 56 MB (override with
     TFQ_PAIRS_VMEM, in MB)."""
+    if tile_pipe is None:
+        tile_pipe = use_tile_pipe(plan, precision)
     if not vmem_budget:
         vmem_budget = int(_os.environ.get("TFQ_PAIRS_VMEM", "56")) << 20
         # wide-lane (grouped) plans carry big resident windows; grant
         # headroom above them up to the physical cap so t_step does not
         # collapse to 1 (the window bytes are t-independent)
-        win = vmem_need_bytes(plan, precision, 0)
+        win = vmem_need_bytes(plan, precision, 0, tile_pipe=tile_pipe)
         vmem_budget = max(vmem_budget, min(win + (44 << 20), 100 << 20))
     # past ~1.5 MB of A panel per grid step the per-step fixed cost is
     # fully amortized and extra batching only raises VMEM pressure
-    # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32)
+    # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32).
+    # Tile-pipelined kernels keep per-tile buffers, so batching carries no
+    # scratch cost -- let the A-panel window grow further (8 MB/step).
     n_a = precision_props(precision)["a_presplit"] or 1
     split = n_a > 1
     tile_a = n_a * 2 * plan.r_tile * plan.lm \
         * plan.ku * plan.lm * (2 if split else 4)
+    a_cap = (8 << 20) if tile_pipe else (3 << 20) // 2
     t_sweet = 1
-    while t_sweet < t_max and t_sweet * tile_a < (3 << 20) // 2:
+    while t_sweet < t_max and t_sweet * tile_a < a_cap:
         t_sweet *= 2
     t_max = min(int(t_max), t_sweet)
     t = int(t_max)
     while t > 1:
-        if vmem_need_bytes(plan, precision, t) <= vmem_budget:
+        if vmem_need_bytes(plan, precision, t,
+                           tile_pipe=tile_pipe) <= vmem_budget:
+            if tile_pipe:
+                return t           # per-tile programs: nothing to validate
             try:
                 make_step_tables(plan, t)
                 return t
@@ -1217,7 +1251,8 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
 def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
-               o_blocks: int = 0, resident: bool = False):
+               o_blocks: int = 0, resident: bool = False,
+               tile_pipe: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1307,7 +1342,11 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # In the split modes, X windows arrive PRE-SPLIT as packed bf16 lanes
     # [hi(re|im) | lo(re|im)]: block copies move 4 vregs instead of 16 and
     # the kernel does no conversion.
-    def dots(a_refs, xs2, j):
+    def dots(a_refs, xs2, j, xj=None):
+        # xj: xs2 slot of tile j's staged union (tile-pipelined kernels use
+        # per-tile buffers where the union always sits at slot 0; the A-ref
+        # index stays j)
+        xo = (j if xj is None else xj) * ku * lm
         if is_oz:
             # f64-quality (ops/ozaki.py): a_refs holds p pure bf16 slice
             # planes of A (per-row power-of-two scale factored out), xs2
@@ -1318,7 +1357,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             # d = s+t accumulates its <= d+1 cross terms in f32 EXACTLY
             # (slice_params(diag_sum=True) sized q for it); diagonals are
             # emitted side by side and combined in f64 outside.
-            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            xs = xs2[xo: xo + k, :]
             p_ = len(a_refs)
             two = 2 * ln
             ds = [dot(a_refs[s][j], xs[:, : (p_ - s) * two])
@@ -1337,7 +1376,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             # 1.5x the DMA bytes on an A-bandwidth-bound kernel).  The six
             # cross products through O(2^-16) relative run as 2 full-lane +
             # 2 half-lane dots; dropped terms (m@l, l@m, l@l) are O(2^-25).
-            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            xs = xs2[xo: xo + k, :]
             ah, am, al = split_bf16x3(a_refs[0][j])
             d1 = dot(ah, xs[:, : 4 * ln])          # [ah@xh | ah@xm]
             d2 = dot(am, xs[:, : 4 * ln])          # [am@xh | am@xm]
@@ -1346,7 +1385,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             return (d1[:, : 2 * ln] + d1[:, 2 * ln:]
                     + d2[:, : 2 * ln] + d2[:, 2 * ln:] + d3 + d4)
         if split:
-            xs = xs2[j * ku * lm: j * ku * lm + k, :]
+            xs = xs2[xo: xo + k, :]
             ah = a_refs[0][j]
             if precision == "bf16":
                 return dot(ah, xs[:, : 2 * ln])
@@ -1361,9 +1400,48 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                 return y + dot(a_refs[1][j], xs[:, : 2 * ln])
             d2 = dot(a_refs[1][j], xs)             # bf16x4: + lo@(hi+lo)
             return y + d2[:, : 2 * ln] + d2[:, 2 * ln:]
-        return dot(a_refs[0][j], xs2[j * ku * lm: j * ku * lm + k, :])
+        return dot(a_refs[0][j], xs2[xo: xo + k, :])
 
     n_a = props["a_presplit"] or 1
+    if tile_pipe and not resident:
+        raise ValueError("tile_pipe requires a resident-window plan")
+
+    def kernel_tile_pipe(wsel_ref, trips_ref, code_ref, *refs):
+        """TILE-granularity pipeline (resident window only): two per-tile
+        union buffers instead of two whole-step buffers.  The step-level
+        scratch scales with t_step * ku; at wide grouped lanes it dominates
+        VMEM and collapses the admissible t_step.  Here the scratch is
+        t-independent: the MXU work of tile j is issued, then the scalar
+        gather of tile j+1 runs into the other buffer while the MXU chews
+        (Mosaic's per-ref dependency tracking overlaps them); the identity
+        block maps drop the trailing-step recompute entirely.  Copy
+        programs are PER TILE (dst slots within [0, ku]); tiles 0 and 1
+        carry the full-coverage prologue for their respective buffers."""
+        del wsel_ref
+        a_refs = refs[:n_a]
+        xw_hbm, y_ref, xs_a, xs_b, xw_v, w_sem = refs[n_a:]
+
+        def win_read(rows):
+            return xw_v[rows, :]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(xw_hbm.at[0], xw_v, w_sem)
+            cp.start()
+            cp.wait()
+
+        bufs = (xs_a, xs_b)
+        gather_xs(i * T, trips_ref, code_ref, win_read, bufs[0])
+        for j in range(T):
+            if not no_dot:
+                y2 = dots(a_refs, bufs[j % 2], j, xj=0)
+            if j + 1 < T:
+                gather_xs(i * T + j + 1, trips_ref, code_ref, win_read,
+                          bufs[(j + 1) % 2])
+            if not no_dot:
+                finish(y2, y_ref, j)
 
     def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
@@ -1421,8 +1499,12 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         # stale data from earlier tiles; their A panel columns are zero, so
         # they contribute exactly 0 to the dot
 
-    def a_map(i, ws, tr, xl):
-        return (jnp.maximum(i - 1, 0), 0, 0)
+    if tile_pipe:
+        def a_map(i, ws, tr, xl):
+            return (i, 0, 0)
+    else:
+        def a_map(i, ws, tr, xl):
+            return (jnp.maximum(i - 1, 0), 0, 0)
 
     a_specs = [pl.BlockSpec((T, m2, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
@@ -1444,14 +1526,15 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # oz outputs the raw per-diagonal sums [2M, p*2ln]; others the
     # assembled fused complex result [M, 2ln]
     out_rows, out_lanes = (m2, xsplit * 2 * ln) if is_oz else (m, 2 * ln)
-    scratch = [pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt),
-               pltpu.VMEM(((T * ku + g) * lm, w_lanes), w_dt)]
+    scr_ku = (ku + g) if tile_pipe else (T * ku + g)
+    scratch = [pltpu.VMEM((scr_ku * lm, w_lanes), w_dt),
+               pltpu.VMEM((scr_ku * lm, w_lanes), w_dt)]
     if resident:
         scratch += [pltpu.VMEM((swrows + g * lm, w_lanes), w_dt),
                     pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                    # wsel, trips, codes
-        grid=(ntiles + 1,),
+        grid=(ntiles,) if tile_pipe else (ntiles + 1,),
         in_specs=a_specs + win_specs,
         out_specs=pl.BlockSpec((T, out_rows, out_lanes), a_map,
                                memory_space=pltpu.VMEM),
@@ -1469,7 +1552,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     win_bufs = 1 if resident else 2              # resident: single scratch
     vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
                  + win_bufs * (swrows + orows + g * lm) * w_lanes_n * w_eb
-                 + 2 * (T * ku + g) * lm * w_lanes_n * w_eb      # scratch x2
+                 + 2 * scr_ku * lm * w_lanes_n * w_eb            # scratch x2
                  + 2 * T * out_rows * out_lanes * 4)             # out x2
     vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
     # oz runs p triangular dots of shrinking static width: sum_s (p-s)
@@ -1477,7 +1560,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     flop_mult = (3 if precision == "bf16x3"
                  else (xsplit * (xsplit + 1)) // 2 if is_oz else 1)
     call = pl.pallas_call(
-        kernel,
+        kernel_tile_pipe if tile_pipe else kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles * T, out_rows, out_lanes),
                                        jnp.float32),
@@ -1584,7 +1667,26 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
 
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     T = max(int(t_step), 1)
-    if T > 1:
+    tile_pipe = use_tile_pipe(plan, precision)
+    if tile_pipe:
+        # per-TILE copy programs (dst within [0, ku]); resident plans have
+        # wsel == 0 so the code sources are already window-absolute.  Pad
+        # the tables and A panels to whole steps: pad tiles keep trips == 0
+        # (no copies) and zero A panels, contributing exactly 0.
+        nsteps = (plan.ntiles + T - 1) // T
+        ntp = nsteps * T
+        codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
+                                           plan.ku)
+        cmax = plan.cmax
+        codes2 = np.full((ntp, cmax), plan.ku, np.int32)
+        codes2[: plan.ntiles] = codes_h.reshape(-1, cmax)[: plan.ntiles]
+        trips2 = np.zeros(ntp, np.int32)
+        trips2[: plan.ntiles] = trips_h[: plan.ntiles]
+        codes_h, trips_h = codes2.reshape(-1), trips2
+        wsel_h = np.zeros(nsteps, np.int32)
+        a_panels = jnp.pad(a_panels,
+                           ((0, ntp - plan.ntiles), (0, 0), (0, 0)))
+    elif T > 1:
         nsteps, wsel_h, codes_h, trips_h, cmax = make_step_tables(plan, T)
         a_panels = jnp.pad(
             a_panels, ((0, nsteps * T - plan.ntiles), (0, 0), (0, 0)))
@@ -1596,7 +1698,8 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, precision, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
-                      o_blocks=plan.o_blocks, resident=plan.resident)
+                      o_blocks=plan.o_blocks, resident=plan.resident,
+                      tile_pipe=tile_pipe)
     # one extra (dummy) step for the software pipeline; 1-D code table
     # because 2-D SMEM operands pad every row to 128 lanes, overflowing
     # ~1 MB SMEM
