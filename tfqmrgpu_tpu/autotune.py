@@ -156,6 +156,10 @@ def default_candidates(precision: str) -> list:
         # when the panel crowds the A-panel t_step budget out of VMEM)
         ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_RESIDENT": "0",
                    "TFQ_PAIRS_COLGROUP": "1"}),
+        # raised VMEM cap: admits wide-group resident plans (tile-pipelined
+        # kernel) that the conservative 100 MB default rejects by a few MB
+        ("pairs", {"TFQ_PAIRS_RTILE": "1", "TFQ_PAIRS_VMEM_CAP": "110",
+                   "TFQ_PAIRS_VMEM": "110"}),
         ("xla", {}),
     ]
 

@@ -1113,7 +1113,7 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
 def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                       want: int, precision: str = "highest",
                       row_of=None, col_of=None, r_tile: int = 1,
-                      copy_g: int = 2, vmem_cap: int = 100 << 20,
+                      copy_g: int = 2, vmem_cap: int = 0,
                       force: bool = False, allow_resident: bool = True,
                       max_stride: int = 3):
     """Pack with column grouping: tries group sizes ``want``, want/2, ...
@@ -1127,8 +1127,13 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     first feasible grouped candidate wins (at the best stride factor).
     ``max_stride``: highest window stride factor to try (callers whose
     kernel build only supports the legacy O == S layout pass 1 so the
-    model prices what will actually run).  Raises ValueError only if
-    even the ungrouped pack fails."""
+    model prices what will actually run).  ``vmem_cap``: 0 reads
+    TFQ_PAIRS_VMEM_CAP (MB, default 100 -- conservative; v5e carries 128
+    and the tile-pipelined resident kernel runs a few MB above 100).
+    Raises ValueError only if even the ungrouped pack fails."""
+    if not vmem_cap:
+        vmem_cap = int(_os.environ.get("TFQ_PAIRS_VMEM_CAP", "100")) << 20
+
     def _candidates(packer):
         """(est, plan) over window stride factors (k=0 packs the
         resident-X single-window layout), best first."""
