@@ -89,3 +89,25 @@ def test_pairs_engine_rejects_z_small_lm(rng):
                                   dtype=np.complex128)
     with pytest.raises(TfqmrgpuError):
         Solver(a, x, b, precision="z", engine="pairs")
+
+
+def test_pairs_engine_tile_pipe_solve(rng, monkeypatch):
+    """Full tfQMR solve through the TILE-pipelined resident kernel
+    (forced via env; auto only triggers on wide grouped lanes): the
+    iterate must match the default step-pipelined engine exactly."""
+    lm = ln = 4
+    a, x, b = make_random_problem(rng, mb=12, lm=lm, ln=ln, ncols=4,
+                                  x_fill=0.7, dtype=np.complex64)
+    xu, infou = None, None
+    import tfqmrgpu_tpu as tq
+
+    xu, infou = tq.solve(a, x, b, precision="c", engine="pairs",
+                         tolerance=1e-4, max_iterations=400)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "4")
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "1")
+    monkeypatch.setenv("TFQ_PAIRS_TILEPIPE", "1")
+    xt, infot = tq.solve(a, x, b, precision="c", engine="pairs",
+                         tolerance=1e-4, max_iterations=400)
+    assert abs(infot.iterations_needed - infou.iterations_needed) <= 2
+    scale = np.abs(xu.data).max()
+    assert np.abs(xt.data - xu.data).max() / scale < 1e-4
