@@ -468,3 +468,31 @@ def test_use_tile_pipe_rule(rng):
     # tile-pipe scratch is t-independent: bigger t_step stays admissible
     assert pp.vmem_need_bytes(wide, "highest", 16, tile_pipe=True) < \
         pp.vmem_need_bytes(wide, "highest", 16, tile_pipe=False)
+
+
+def test_tile_pipe_auto_wide_lanes(rng):
+    """Wide lanes (2*xsplit*ln >= 256) + resident plan must auto-select
+    the tile pipeline (no env forcing) and still match the pair walk."""
+    import jax.numpy as jnp
+
+    lm, ln = 4, 128
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=10, ncols=2, lm=lm, ln=ln)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1,
+                             resident=True)
+    assert pp.use_tile_pipe(plan, "highest")
+    panels = jnp.asarray(pp.build_a_panels(
+        plan, a.real.astype(np.float32), a.imag.astype(np.float32)))
+    mult = pp.make_pairpanel_multiply(plan, panels, precision="highest",
+                                      interpret=True, t_step=4)
+    xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                  x.imag.astype(np.float32)))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
