@@ -659,8 +659,7 @@ def main():
                         row_of=row_g, col_of=col_g,
                         r_tile=r_tile, copy_g=copy_g,
                         force=(spec != "auto"),
-                        vmem_cap=(cap_mb << 20) if cap_mb
-                        else (100 << 20))
+                        vmem_cap=(cap_mb << 20) if cap_mb else 0)
                     if gp is not None:
                         log(f"# colgroup G={gp.group_size}: {nnzb_y} "
                             f"blocks -> {gp.nnzb2} cells, {n_pairs} "

@@ -448,8 +448,9 @@ def test_tile_pipe_matches_pairwalk(rng, monkeypatch, t_step, r_tile,
     np.testing.assert_array_equal(got["0"], got["1"])
 
 
-def test_use_tile_pipe_rule(rng):
+def test_use_tile_pipe_rule(rng, monkeypatch):
     """Auto rule: resident + wide lanes (>= 256 incl. the split packing)."""
+    monkeypatch.delenv("TFQ_PAIRS_TILEPIPE", raising=False)
     pa, px, py, na, nx = _bsr_pair_plan(rng, mb=8, ncols=2, lm=4, ln=4)
     narrow = pp.pack_pair_plan(pa, px, py, nx, nx, 4, 4, r_tile=1,
                                resident=True)
@@ -470,9 +471,10 @@ def test_use_tile_pipe_rule(rng):
         pp.vmem_need_bytes(wide, "highest", 16, tile_pipe=False)
 
 
-def test_tile_pipe_auto_wide_lanes(rng):
+def test_tile_pipe_auto_wide_lanes(rng, monkeypatch):
     """Wide lanes (2*xsplit*ln >= 256) + resident plan must auto-select
     the tile pipeline (no env forcing) and still match the pair walk."""
+    monkeypatch.delenv("TFQ_PAIRS_TILEPIPE", raising=False)
     import jax.numpy as jnp
 
     lm, ln = 4, 128

@@ -622,9 +622,14 @@ def auto_t_step(plan: PairPanelPlan, precision: str,
         vmem_budget = int(_os.environ.get("TFQ_PAIRS_VMEM", "56")) << 20
         # wide-lane (grouped) plans carry big resident windows; grant
         # headroom above them up to the physical cap so t_step does not
-        # collapse to 1 (the window bytes are t-independent)
+        # collapse to 1 (the window bytes are t-independent).  The clamp
+        # follows TFQ_PAIRS_VMEM_CAP so a plan admitted under a raised
+        # pack cap also gets a matching batching budget (otherwise it
+        # would collapse to t=1, the fixed-cost regime).
+        clamp = max(100, int(_os.environ.get("TFQ_PAIRS_VMEM_CAP",
+                                             "100"))) << 20
         win = vmem_need_bytes(plan, precision, 0, tile_pipe=tile_pipe)
-        vmem_budget = max(vmem_budget, min(win + (44 << 20), 100 << 20))
+        vmem_budget = max(vmem_budget, min(win + (44 << 20), clamp))
     # past ~1.5 MB of A panel per grid step the per-step fixed cost is
     # fully amortized and extra batching only raises VMEM pressure
     # (measured on the golden plan: t=8 at 1.8 MB/step beats t=32).
@@ -1438,15 +1443,36 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             cp.wait()
 
         bufs = (xs_a, xs_b)
-        gather_xs(i * T, trips_ref, code_ref, win_read, bufs[0])
-        for j in range(T):
-            if not no_dot:
-                y2 = dots(a_refs, bufs[j % 2], j, xj=0)
-            if j + 1 < T:
-                gather_xs(i * T + j + 1, trips_ref, code_ref, win_read,
-                          bufs[(j + 1) % 2])
-            if not no_dot:
-                finish(y2, y_ref, j)
+
+        def run(base):
+            """Buffer index = GLOBAL tile parity (base + j) % 2, so the
+            alternation is seamless across grid steps even at odd T --
+            otherwise step i+1's head gather would write the buffer step
+            i's last dot reads and serialize behind it.  (The coverage
+            prologue in the per-tile programs covers tiles 0 and 1, which
+            under global parity are buffers 0 and 1.)"""
+            gather_xs(i * T, trips_ref, code_ref, win_read, bufs[base])
+            for j in range(T):
+                if not no_dot:
+                    y2 = dots(a_refs, bufs[(base + j) % 2], j, xj=0)
+                if j + 1 < T:
+                    gather_xs(i * T + j + 1, trips_ref, code_ref, win_read,
+                              bufs[(base + j + 1) % 2])
+                if not no_dot:
+                    finish(y2, y_ref, j)
+
+        if T % 2 == 0:
+            run(0)                    # i*T is even for every step
+        else:
+            parity = (i * T) % 2
+
+            @pl.when(parity == 0)
+            def _():
+                run(0)
+
+            @pl.when(parity == 1)
+            def _():
+                run(1)
 
     def kernel(wsel_ref, trips_ref, code_ref, *refs):
         a_refs = refs[:n_a]
@@ -1673,6 +1699,14 @@ def make_pairpanel_multiply(plan: PairPanelPlan, a_panels,
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     T = max(int(t_step), 1)
     tile_pipe = use_tile_pipe(plan, precision)
+    if not tile_pipe and T > 1:
+        # Self-heal a t_step sized for a DIFFERENT precision's kernel
+        # shape: callers pick t once (e.g. at the fast bf16 mode) and
+        # rebuild at 'highest' after a gate fallback -- if that flips the
+        # tile-pipe verdict, the step kernel's t-scaled scratch at the
+        # original T can blow the VMEM budget or the step-window
+        # constraint.  Clamp to what THIS precision's step kernel admits.
+        T = min(T, auto_t_step(plan, precision, tile_pipe=False))
     if tile_pipe:
         # per-TILE copy programs (dst within [0, ku]); resident plans have
         # wsel == 0 so the code sources are already window-absolute.  Pad
