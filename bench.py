@@ -536,12 +536,22 @@ def main():
             maskpan = jnp.asarray(np.repeat(np.repeat(
                 maskpan, lm, 0), ln, 1)[None])
             interp = jax.default_backend() not in ("tpu",)
-            xc_j = jnp.asarray(pack.xcols)
+            # T tiles per grid step amortize the per-step fixed cost;
+            # pad panels/xcols to whole steps (zero A panels -> 0)
+            rt_T = rt.auto_t_step_rowtile(
+                pack.ntiles, rt_rows * lm, pack.ku * lm,
+                mm_prec in ("bf16x3", "bf16x4"))
+            rt_nsteps = -(-pack.ntiles // rt_T)
+            rt_pad = rt_nsteps * rt_T - pack.ntiles
+            if rt_pad:
+                a_fused = jnp.pad(a_fused, ((0, rt_pad), (0, 0), (0, 0)))
+            xc_j = jnp.asarray(np.pad(pack.xcols,
+                                      ((0, rt_pad), (0, 0))).reshape(-1))
 
             def rt_build_mult(prec_):
-                call = rt._make_call(pack.ntiles, rt_rows * lm,
+                call = rt._make_call(rt_nsteps, rt_rows * lm,
                                      pack.ku * lm, lm, nrg, cg, interp,
-                                     prec_)
+                                     prec_, t_step=rt_T)
                 if prec_ in ("bf16x3", "bf16x4"):
                     a_args = ppg.split_bf16x2(a_fused)
                 else:
@@ -571,12 +581,13 @@ def main():
             log(f"# rowtile pack: {time.time()-t0:.1f}s, grid {mbg}x{ncg} "
                 f"density {density:.3f}, {pack.ntiles} tiles x {rt_rows} "
                 f"rows, ku={pack.ku}, inflation {pack.inflation:.2f}x, "
-                f"prec={mm_rt}")
+                f"prec={mm_rt}, t_step={rt_T}")
             rt_cand = dict(
                 gp=None, pplan=None, t_step=None, rowtile=rt_state,
                 build_mult=rt_build_mult, multiply=rt_multiply,
                 y_to_x=rt_y_to_x, x0=rt_x0, consts=rt_consts,
-                eng_name=lambda prec_: f"rowtile-r{rt_rows}-{prec_}")
+                eng_name=lambda prec_: f"rowtile-r{rt_rows}-t{rt_T}-"
+                                       f"{prec_}")
             if engine == "rowtile" or density >= 0.6:
                 # dense grid: the engine wins outright (measured r02)
                 rowtile = rt_state

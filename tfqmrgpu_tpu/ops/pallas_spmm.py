@@ -174,7 +174,8 @@ def build_a_panels_device(pack: RowTilePack, a_blocks) -> jax.Array:
 
 @functools.lru_cache(maxsize=64)
 def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
-               interpret: bool, precision: str = "highest"):
+               interpret: bool, precision: str = "highest",
+               t_step: int = 1):
     """Build (and cache) the pallas_call for one problem geometry.
 
     precision: 'highest' (exact f32, 6 MXU passes/product), 'bf16x4'
@@ -183,48 +184,71 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     kernel), 'bf16x3' (drops lo*lo, 2x less MXU, ~1e-3 floor).  A panels
     arrive FUSED over re/im rows ([ntiles, 2*rlm, kulm]; f32 for 'highest',
     pre-split bf16 (hi, lo) pair otherwise); X stays f32 resident and the
-    bf16 splits happen on the VMEM-local union slice inside the kernel."""
+    bf16 splits happen on the VMEM-local union slice inside the kernel.
+
+    t_step: tiles per grid step (EVEN, or 1).  Small tiles leave the
+    multiply bound by the ~9 us per-grid-step fixed cost (DMA issue +
+    wait); T tiles per step amortize it T-fold.  ``ntiles`` is then the
+    STEP count; two union-scratch pairs alternate by global tile parity
+    so the gather of tile j+1 overlaps the MXU work of tile j."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .pairpanel import split_bf16x2
 
     ku = kulm // lm
+    T = max(int(t_step), 1)
+    if T > 1 and T % 2:
+        raise ValueError("t_step must be even (buffer parity) or 1")
     split = precision in ("bf16x3", "bf16x4")
     n_a = 2 if split else 1
     a_dt = jnp.bfloat16 if split else jnp.float32
 
     def kernel(xcols_ref, *refs):
         a_refs = refs[:n_a]
-        x_re_ref, x_im_ref, y_re_ref, y_im_ref, xs_re, xs_im = refs[n_a:]
+        (x_re_ref, x_im_ref, y_re_ref, y_im_ref,
+         xs_re_a, xs_im_a, xs_re_b, xs_im_b) = refs[n_a:]
         i = pl.program_id(0)
+        bufs = ((xs_re_a, xs_im_a), (xs_re_b, xs_im_b))
 
-        for k in range(ku):  # static unroll; ku is a compile-time constant
-            c0 = xcols_ref[i, k].astype(jnp.int32) * jnp.int32(lm)
-            xs_re[pl.ds(k * lm, lm), :] = x_re_ref[pl.ds(c0, lm), :]
-            xs_im[pl.ds(k * lm, lm), :] = x_im_ref[pl.ds(c0, lm), :]
+        def gather(j, xs_re, xs_im):
+            # xcols is FLAT [nsteps*T*ku] (2-D SMEM operands pad every
+            # row to 128 lanes); pad tiles point at block 0 and their
+            # zero A panels contribute nothing
+            base = (i * T + j) * ku
+            for k in range(ku):  # static unroll; ku is small
+                c0 = pl.multiple_of(
+                    xcols_ref[base + k].astype(jnp.int32) * jnp.int32(lm),
+                    lm)
+                xs_re[pl.ds(k * lm, lm), :] = x_re_ref[pl.ds(c0, lm), :]
+                xs_im[pl.ds(k * lm, lm), :] = x_im_ref[pl.ds(c0, lm), :]
 
-        def dots(xs):
+        def dots(a_j, xs):
             """[2*rlm, c] = A_fused @ xs with the configured precision."""
             if not split:
-                return jax.lax.dot(a_refs[0][0], xs,
+                return jax.lax.dot(a_refs[0][a_j], xs,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
             xh, xl = split_bf16x2(xs)
             dot = functools.partial(jax.lax.dot,
                                     preferred_element_type=jnp.float32)
-            d = dot(a_refs[0][0], xh) + dot(a_refs[0][0], xl) \
-                + dot(a_refs[1][0], xh)
+            d = dot(a_refs[0][a_j], xh) + dot(a_refs[0][a_j], xl) \
+                + dot(a_refs[1][a_j], xh)
             if precision == "bf16x4":
-                d = d + dot(a_refs[1][0], xl)
+                d = d + dot(a_refs[1][a_j], xl)
             return d
 
-        d_r = dots(xs_re[:])              # [ar@xr ; ai@xr]
-        d_i = dots(xs_im[:])              # [ar@xi ; ai@xi]
-        y_re_ref[0] = d_r[:rlm] - d_i[rlm:]
-        y_im_ref[0] = d_i[:rlm] + d_r[rlm:]
+        gather(0, *bufs[0])
+        for j in range(T):
+            xs_re, xs_im = bufs[j % 2]
+            d_r = dots(j, xs_re[:])       # [ar@xr ; ai@xr]
+            d_i = dots(j, xs_im[:])       # [ar@xi ; ai@xi]
+            if j + 1 < T:                 # overlaps the dots above
+                gather(j + 1, *bufs[(j + 1) % 2])
+            y_re_ref[j] = d_r[:rlm] - d_i[rlm:]
+            y_im_ref[j] = d_i[:rlm] + d_r[rlm:]
 
-    a_specs = [pl.BlockSpec((1, 2 * rlm, kulm),
+    a_specs = [pl.BlockSpec((T, 2 * rlm, kulm),
                             lambda i, xc: (i, i * 0, i * 0),
                             memory_space=pltpu.VMEM)] * n_a
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -237,12 +261,14 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rlm, c), lambda i, xc: (i, i * 0, i * 0),
+            pl.BlockSpec((T, rlm, c), lambda i, xc: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rlm, c), lambda i, xc: (i, i * 0, i * 0),
+            pl.BlockSpec((T, rlm, c), lambda i, xc: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((kulm, c), jnp.float32),
+            pltpu.VMEM((kulm, c), jnp.float32),
             pltpu.VMEM((kulm, c), jnp.float32),
             pltpu.VMEM((kulm, c), jnp.float32),
         ],
@@ -252,19 +278,20 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     # A panels and outputs -- well past the 16 MB scoped default for real
     # problems, but v5e carries 128 MB (see pairpanel._make_call)
     a_eb = 2 if split else 4
-    vmem_need = (2 * nr * c * 4 + 2 * kulm * c * 4
-                 + 2 * n_a * 2 * rlm * kulm * a_eb + 4 * rlm * c * 4)
+    vmem_need = (2 * nr * c * 4 + 4 * kulm * c * 4
+                 + 2 * n_a * T * 2 * rlm * kulm * a_eb
+                 + 4 * T * rlm * c * 4)
     vmem_limit = min(int(vmem_need * 1.2) + (8 << 20), 120 << 20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, rlm, c), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, rlm, c), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * T, rlm, c), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * T, rlm, c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * ntiles * rlm * kulm * c,
-            bytes_accessed=(2 * ntiles * rlm * kulm + 4 * nr * c) * 4,
+            flops=8 * ntiles * T * rlm * kulm * c,
+            bytes_accessed=(2 * ntiles * T * rlm * kulm + 4 * nr * c) * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
@@ -272,27 +299,56 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     )
 
 
+def auto_t_step_rowtile(ntiles: int, rlm: int, kulm: int,
+                        split: bool, t_max: int = 16) -> int:
+    """Even tile batch amortizing the ~9 us per-grid-step fixed cost:
+    grow T until each step's A-panel DMA carries ~2 MB (beyond which the
+    fixed cost is fully hidden and batching only raises VMEM pressure)."""
+    tile_a = 2 * rlm * kulm * (2 if split else 4) * (2 if split else 1)
+    t = 1
+    while t < t_max and t * tile_a < (2 << 20) and t * 2 <= ntiles:
+        t *= 2
+    return t
+
+
 def bsr_panel_multiply(a_panels_re, a_panels_im, xcols, mask4,
                        mb, lm, ncc, ln, interpret: bool = False,
-                       precision: str = ""):
+                       precision: str = "", t_step: int = 0):
     """multiply(x_pair[NR, ncc, LN]) -> masked y_pair, for the panel solver
     (core.solve_core_panel).  Packing geometry comes from the array shapes,
     which are static under jit.  ``precision``: see _make_call (default from
-    TFQ_PALLAS_MM_PREC, 'highest')."""
+    TFQ_PALLAS_MM_PREC, 'highest').  ``t_step``: tiles per grid step
+    (0 = auto; env TFQ_PALLAS_TSTEP overrides)."""
     import os
 
     from .panel import apply_mask
 
     precision = precision or os.environ.get("TFQ_PALLAS_MM_PREC", "highest")
-    ntiles, rlm, kulm = a_panels_re.shape
+    ntiles, rlm, kulm = (int(s) for s in a_panels_re.shape)
     nr = mb * lm
     c = ncc * ln
-    call = _make_call(int(ntiles), int(rlm), int(kulm), lm, nr, c, interpret,
-                      precision)
+    split = precision in ("bf16x3", "bf16x4")
+    if os.environ.get("TFQ_PALLAS_TSTEP"):
+        t_step = int(os.environ["TFQ_PALLAS_TSTEP"])
+    if not t_step:
+        t_step = auto_t_step_rowtile(ntiles, rlm, kulm, split)
+    T = max(int(t_step), 1)
+    nsteps = -(-ntiles // T)
+    call = _make_call(nsteps, rlm, kulm, lm, nr, c, interpret,
+                      precision, t_step=T)
     # fuse re/im rows once (loop-invariant: XLA hoists this out of the
-    # solver's while_loop) and pre-split for the bf16 modes
+    # solver's while_loop) and pre-split for the bf16 modes; pad tiles to
+    # whole steps (zero panels -> zero contribution) and flatten xcols
+    # (2-D SMEM operands pad rows to 128 lanes)
+    pad_t = nsteps * T - ntiles
     a_fused = jnp.concatenate([a_panels_re, a_panels_im], axis=1)
-    if precision in ("bf16x3", "bf16x4"):
+    if pad_t:
+        a_fused = jnp.pad(a_fused, ((0, pad_t), (0, 0), (0, 0)))
+    xc = jnp.asarray(xcols, jnp.int32).reshape(ntiles, -1)
+    if pad_t:
+        xc = jnp.pad(xc, ((0, pad_t), (0, 0)))
+    xc = xc.reshape(-1)
+    if split:
         from .pairpanel import split_bf16x2
 
         a_args = split_bf16x2(a_fused)
@@ -300,10 +356,10 @@ def bsr_panel_multiply(a_panels_re, a_panels_im, xcols, mask4,
         a_args = (a_fused,)
 
     def multiply(x: Pair) -> Pair:
-        y_re, y_im = call(xcols, *a_args,
+        y_re, y_im = call(xc, *a_args,
                           x[0].reshape(nr, c), x[1].reshape(nr, c))
-        y = (y_re.reshape(ntiles * rlm, c)[:nr].reshape(nr, ncc, ln),
-             y_im.reshape(ntiles * rlm, c)[:nr].reshape(nr, ncc, ln))
+        y = (y_re.reshape(-1, c)[:nr].reshape(nr, ncc, ln),
+             y_im.reshape(-1, c)[:nr].reshape(nr, ncc, ln))
         return apply_mask(y, mask4, mb, lm, ncc, ln)
 
     return multiply

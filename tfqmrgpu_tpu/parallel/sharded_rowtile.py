@@ -194,7 +194,8 @@ class ShardedRowTileSolver:
                                            tiled=True)
                 xg_im = jax.lax.all_gather(x[1], "rows", axis=0,
                                            tiled=True)
-                y_re, y_im = call(xc, *a_args, xg_re, xg_im)
+                # xcols FLAT per the kernel's 1-D SMEM contract
+                y_re, y_im = call(xc.reshape(-1), *a_args, xg_re, xg_im)
                 return masked((y_re.reshape(ntl * rlm, c)[:nrl],
                                y_im.reshape(ntl * rlm, c)[:nrl]))
 
