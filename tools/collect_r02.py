@@ -41,7 +41,8 @@ def main():
                       ("bf16x6", "/tmp/g_x6.json"),
                       ("auto", "/tmp/g_auto.json"),
                       ("z_ozaki", "/tmp/g_z.json"),
-                      ("iter_golden_bf16x6", "/tmp/iter_golden_x6.json")]:
+                      ("iter_golden_bf16x6", "/tmp/iter_golden_x6.json"),
+                      ("iter_banded_tstep", "/tmp/iter_auto_tstep.json")]:
         rec = _last_json_line(path)
         if rec is not None:
             spmm["runs"][key] = rec

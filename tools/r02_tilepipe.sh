@@ -31,4 +31,8 @@ done
 TFQ_BENCH_MODE=iter TFQ_BENCH_ITER_PATTERN=golden TFQ_BENCH_ENGINE=pairs \
   TFQ_PAIRS_MM_PREC=bf16x6 timeout 2400 python bench.py \
   > /tmp/iter_golden_x6.json 2>/tmp/iter_golden_x6.log
+# banded iteration with the t_step-batched row-tile kernel (r02 measured
+# 5.855 ms/iter pre-batching; the per-step fixed cost was ~40% of it)
+TFQ_BENCH_MODE=iter timeout 2400 python bench.py \
+  > /tmp/iter_auto_tstep.json 2>/tmp/iter_auto_tstep.log
 echo TILEPIPE_BATCH_DONE
