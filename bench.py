@@ -540,7 +540,7 @@ def main():
             # pad panels/xcols to whole steps (zero A panels -> 0)
             rt_T = rt.auto_t_step_rowtile(
                 pack.ntiles, rt_rows * lm, pack.ku * lm,
-                mm_prec in ("bf16x3", "bf16x4"))
+                mm_prec in ("bf16x3", "bf16x4"), nr=nrg, c=cg)
             rt_nsteps = -(-pack.ntiles // rt_T)
             rt_pad = rt_nsteps * rt_T - pack.ntiles
             if rt_pad:

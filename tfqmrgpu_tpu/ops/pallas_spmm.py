@@ -300,14 +300,27 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
 
 
 def auto_t_step_rowtile(ntiles: int, rlm: int, kulm: int,
-                        split: bool, t_max: int = 16) -> int:
+                        split: bool, nr: int = 0, c: int = 0,
+                        t_max: int = 16) -> int:
     """Even tile batch amortizing the ~9 us per-grid-step fixed cost:
     grow T until each step's A-panel DMA carries ~2 MB (beyond which the
-    fixed cost is fully hidden and batching only raises VMEM pressure)."""
-    tile_a = 2 * rlm * kulm * (2 if split else 4) * (2 if split else 1)
+    fixed cost is fully hidden and batching only raises VMEM pressure),
+    then shrink while the working set (resident X + double-buffered A
+    and outputs + scratch) exceeds ~100 MB -- wide-lane configs (many
+    RHS columns) hit the output buffers first."""
+    a_eb = 2 if split else 4
+    n_a = 2 if split else 1
+    tile_a = 2 * rlm * kulm * a_eb * n_a
     t = 1
     while t < t_max and t * tile_a < (2 << 20) and t * 2 <= ntiles:
         t *= 2
+
+    def need(t):
+        return (2 * nr * c * 4 + 4 * kulm * c * 4
+                + 2 * t * tile_a + 4 * t * rlm * c * 4)
+
+    while t > 1 and nr and need(t) > (100 << 20):
+        t //= 2
     return t
 
 
@@ -331,7 +344,8 @@ def bsr_panel_multiply(a_panels_re, a_panels_im, xcols, mask4,
     if os.environ.get("TFQ_PALLAS_TSTEP"):
         t_step = int(os.environ["TFQ_PALLAS_TSTEP"])
     if not t_step:
-        t_step = auto_t_step_rowtile(ntiles, rlm, kulm, split)
+        t_step = auto_t_step_rowtile(ntiles, rlm, kulm, split,
+                                     nr=nr, c=c)
     T = max(int(t_step), 1)
     nsteps = -(-ntiles // T)
     call = _make_call(nsteps, rlm, kulm, lm, nr, c, interpret,
