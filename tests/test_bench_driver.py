@@ -121,3 +121,20 @@ def test_bench_dense_grid_rowtile_outright(tmp_path):
     })
     assert rec["maxdev"] <= 1e-4
     assert rec["engine"].startswith("rowtile")
+
+
+@pytest.mark.slow
+def test_bench_race_wide_groups(tmp_path):
+    """The race's raised-cap wide-group spec (G=8 resident, tile-pipelined
+    at split precisions) must build, race, and gate-pass end-to-end."""
+    plan = tmp_path / "wide_plan.txt"
+    _write_sparse_plan(str(plan), mb=36, ncols=8, deg=3, fill=0.45)
+    rec, stdout = _run_bench(tmp_path, {
+        "TFQ_PLAN_FILE": str(plan),
+        "TFQ_BENCH_LM": "8",
+        "TFQ_BENCH_LN": "8",
+        "TFQ_BENCH_RACE": "1",
+    })
+    assert rec["maxdev"] <= 1e-4
+    # the forced wide-group candidate entered the race (resident marker)
+    assert "-res" in stdout, stdout[-2000:]
