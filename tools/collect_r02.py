@@ -81,14 +81,16 @@ def main():
             print(f"wrote {bs_path} (+{added} bf16x6 rows)")
 
     # FD 'z' via ozaki
-    fd_rec = _last_json_line("/tmp/fd_z_oz.json")
-    if fd_rec is not None:
-        fd_path = os.path.join(REPO, "BENCH_fd_r02.json")
-        fd = json.load(open(fd_path))
-        fd["runs"]["z_ozaki"] = fd_rec
-        json.dump(fd, open(fd_path, "w"), indent=1)
-        print(f"BENCH_fd_r02.json += z_ozaki ({fd_rec.get('value')} "
-              f"{fd_rec.get('unit')})")
+    fd_path = os.path.join(REPO, "BENCH_fd_r02.json")
+    for key, path in [("z_ozaki", "/tmp/fd_z_oz.json"),
+                      ("c", "/tmp/fd_c.json")]:
+        fd_rec = _last_json_line(path)
+        if fd_rec is not None:
+            fd = json.load(open(fd_path))
+            fd["runs"][key] = fd_rec
+            json.dump(fd, open(fd_path, "w"), indent=1)
+            print(f"BENCH_fd_r02.json += {key} ({fd_rec.get('value')} "
+                  f"{fd_rec.get('unit')})")
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ TFQ_BENCH_PREC=z TFQ_BENCH_NREP=16 timeout 3000 python bench.py \
   > /tmp/g_z.json 2>/tmp/g_z.log
 TFQ_BENCH_MODE=fd TFQ_BENCH_PREC=z TFQ_BENCH_NREP=4 \
   timeout 2400 python bench.py > /tmp/fd_z_oz.json 2>/tmp/fd_z_oz.log
+TFQ_BENCH_MODE=fd TFQ_BENCH_PREC=c TFQ_BENCH_NREP=4 \
+  timeout 2400 python bench.py > /tmp/fd_c.json 2>/tmp/fd_c.log
 for size in "16 32" "32 64" "64 64" "32 32"; do
   set -- $size
   TFQ_BENCH_LM=$1 TFQ_BENCH_LN=$2 TFQ_BENCH_MM_PREC=bf16x6 \
