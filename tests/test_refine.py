@@ -121,10 +121,11 @@ def test_plan_time_model_r_tile_consistent():
     assert e2 >= 0.8 * e1
 
 
-def test_sharded_pairs_packs_legacy_windows_only(rng):
-    """Regression: the sharded pairs engine's kernel build only supports
-    the legacy O == S window layout; its pack must not select stride or
-    resident candidates the kernel cannot honor."""
+def test_sharded_pairs_pack_honors_layout_vetoes(rng, monkeypatch):
+    """The sharded pairs pack races resident and stride window layouts
+    (r3); the pack-level knobs must still pin the legacy O == S layout
+    when asked (TFQ_PAIRS_RESIDENT=0 vetoes resident candidates,
+    TFQ_PAIRS_MAX_STRIDE=1 the stride factors)."""
     from conftest import make_random_problem
     from tfqmrgpu_tpu import create_plan
     from tfqmrgpu_tpu.parallel import make_mesh
@@ -135,6 +136,13 @@ def test_sharded_pairs_packs_legacy_windows_only(rng):
                                   x_fill=1.0, dtype=np.complex64)
     plan = create_plan(a, x, b)
     plan.lm, plan.ln = lm, ln
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "0")
+    monkeypatch.setenv("TFQ_PAIRS_MAX_STRIDE", "1")
     sp = ShardedPairsSolver(plan, make_mesh(2, 1), interpret=True)
     assert not sp.pp_plan.resident
     assert sp.pp_plan.o_blocks == sp.pp_plan.s_window
+    # and with the vetoes lifted, a resident pack is admissible again
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "1")
+    monkeypatch.delenv("TFQ_PAIRS_MAX_STRIDE")
+    sp2 = ShardedPairsSolver(plan, make_mesh(2, 1), interpret=True)
+    assert sp2.pp_plan.resident

@@ -208,11 +208,16 @@ def test_sharded_pairs_resident_local_matches_windowed(rng, monkeypatch):
     mesh = make_mesh(2, 1)
     got = {}
     monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")   # keep the geometry local
+    # pin ONE windowed pack layout so the two runs differ only in the
+    # local-call window mode (resident VMEM slice vs streamed windows)
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "0")
+    monkeypatch.setenv("TFQ_PAIRS_MAX_STRIDE", "1")
     for res in ("0", "1"):
         monkeypatch.setenv("TFQ_SHARDED_RESIDENT", res)
         sp = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
         if not sp.overlap:
             pytest.skip("pattern yielded no local tiles")
+        assert not sp.resident_plan
         assert sp.loc_resident == (res == "1")
         xr, info = sp.solve(a.data.real, a.data.imag,
                             b.data.real, b.data.imag,
@@ -220,3 +225,109 @@ def test_sharded_pairs_resident_local_matches_windowed(rng, monkeypatch):
         got[res] = (xr, info["iterations"])
     assert got["0"][1] == got["1"][1]
     np.testing.assert_array_equal(got["0"][0], got["1"][0])
+
+
+def _banded_problem(mb, ncols, lm, ln, seed=7):
+    """CLAMPED tridiagonal band (no wrap) with full X and B = first
+    ``ncols`` unit-ish rows -- the pattern every local/remote split test
+    uses (interior tiles are shard-local)."""
+    from tfqmrgpu_tpu.bsr import Bsr
+
+    rng2 = np.random.default_rng(seed)
+    rows, cols = [0], []
+    for i in range(mb):
+        cols.extend(c for c in (i - 1, i, i + 1) if 0 <= c < mb)
+        rows.append(len(cols))
+    rowptr_a = np.asarray(rows, np.int32)
+    colind_a = np.asarray(cols, np.int32)
+    a_data = (rng2.standard_normal((len(cols), lm, lm))
+              + 1j * rng2.standard_normal((len(cols), lm, lm))
+              ).astype(np.complex64)
+    for i in range(mb):
+        row = slice(rowptr_a[i], rowptr_a[i + 1])
+        j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
+        a_data[j] += 12.0 * lm * np.eye(lm)
+    a = Bsr(mb, mb, rowptr_a, colind_a, a_data, name="A")
+    rowptr_x = np.arange(mb + 1, dtype=np.int32) * ncols
+    colind_x = np.tile(np.arange(ncols, dtype=np.int32), mb)
+    x = Bsr(mb, ncols, rowptr_x, colind_x, name="X")
+    rowptr_b = np.zeros(mb + 1, np.int32)
+    rowptr_b[1: ncols + 1] = np.arange(1, ncols + 1)
+    rowptr_b[ncols + 1:] = ncols
+    colind_b = np.arange(ncols, dtype=np.int32)
+    b_data = (rng2.standard_normal((ncols, lm, ln))
+              + 1j * rng2.standard_normal((ncols, lm, ln))
+              ).astype(np.complex64)
+    b = Bsr(mb, ncols, rowptr_b, colind_b, b_data, name="B")
+    return a, x, b
+
+
+def test_sharded_pairs_resident_plan(rng, monkeypatch):
+    """A RESIDENT-packed plan (single full-panel window, absolute copy
+    sources) must shard: the local call holds the shard's X slice
+    resident, the remote call the full gathered panel; results must match
+    a windowed-pack sharded solve and the single-device solve."""
+    lm = ln = 4
+    a, x, b = _banded_problem(96, 2, lm, ln)
+    tol = 1e-4
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "1")
+    sp = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+    assert sp.resident_plan, "pack did not choose the resident layout"
+    if sp.overlap:
+        assert sp.n_loc > 0 and sp.loc_resident
+    _check(sp, a, x, b, tol, i0)
+
+    # grouped + resident (the single-chip champion layout: G-lane cells,
+    # resident window) over the mesh
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "2")
+    sp_g = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+    assert sp_g.gp is not None and sp_g.gp.group_size == 2
+    assert sp_g.resident_plan
+    _check(sp_g, a, x, b, tol, i0)
+
+
+def test_sharded_pairs_neighbor_halo(rng, monkeypatch):
+    """Neighbor-halo mode: on a resident-packed banded plan the remote
+    call must read an extended local window assembled from two ppermute
+    edge slabs (constant per-shard ICI bytes), and the solve must match
+    both the all_gather path and the single-device iterate."""
+    lm = ln = 4
+    # ONE block column: the relabeled order is then row order, so shard
+    # boundaries cut the band and boundary tiles really read neighbor
+    # rows (with >= 2 columns the col-major relabeling makes shard
+    # boundaries fall between independent columns -> nothing to halo)
+    a, x, b = _banded_problem(96, 1, lm, ln)
+    tol = 1e-4
+    s0 = Solver(a, x, b, precision="c", engine="pairs")
+    i0 = s0.solve(tolerance=tol, max_iterations=300)
+
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "1")
+    for pr in (2, 4):
+        mesh = make_mesh(pr, 1)
+        sp = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+        if not sp.halo:
+            pytest.skip(f"halo not engaged at pr={pr}")
+        assert sp.resident_plan and (sp.h_lo or sp.h_hi)
+        got_h, info_h = sp.solve(a.data.real, a.data.imag,
+                                 b.data.real, b.data.imag,
+                                 tolerance=tol, max_iterations=300)
+        monkeypatch.setenv("TFQ_SHARDED_HALO", "0")
+        sp_g = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+        monkeypatch.delenv("TFQ_SHARDED_HALO")
+        assert not sp_g.halo
+        got_g, info_g = sp_g.solve(a.data.real, a.data.imag,
+                                   b.data.real, b.data.imag,
+                                   tolerance=tol, max_iterations=300)
+        assert info_h["iterations"] == info_g["iterations"]
+        np.testing.assert_array_equal(got_h, got_g)
+        assert abs(info_h["iterations"] - i0.iterations_needed) <= 1

@@ -397,7 +397,8 @@ def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
 
 
 def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
-                     wsel_base: int = 0, resident_span: int = 0):
+                     wsel_base: int = 0, resident_span: int = 0,
+                     src_base: int = 0):
     """Group ``t_step`` consecutive tiles into one grid step.
 
     Per-grid-step fixed costs (DMA issue + scalar bookkeeping, ~1 us on
@@ -418,6 +419,11 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
     every step's window index is 0 and copy sources become absolute
     block offsets (rebased by ``wsel_base``); raises ValueError when a
     source falls outside the span.
+
+    ``src_base``: absolute block offset subtracted from every copy
+    source -- used when the SOURCE plan is itself resident (wsel all
+    zero, sources already absolute) and the tables target a shard-local
+    resident window starting at that block (pass wsel_base=0 then).
 
     Returns (nsteps, wsel_step[nsteps+1], codes_flat, trips[nsteps+1],
     cmax_step): the copy program of a step concatenates its tiles' programs
@@ -454,10 +460,10 @@ def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
         for j in range(len(step_tiles)):
             t = int(step_tiles[j])
             if t >= 0:
-                shift = (int(plan.wsel[t]) - wsel_base - w) * S
+                shift = (int(plan.wsel[t]) - wsel_base - w) * S - src_base
                 for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
                     rel, dst = (c >> 16) + shift, c & 0xFFFF
-                    if rel > rel_lim:
+                    if rel > rel_lim or rel < 0:
                         raise ValueError(
                             f"t_step={T}: window span overflow at step {s}")
                     codes.append((rel << 16) | (j * ku + dst))
@@ -1132,26 +1138,42 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     first feasible grouped candidate wins (at the best stride factor).
     ``max_stride``: highest window stride factor to try (callers whose
     kernel build only supports the legacy O == S layout pass 1 so the
-    model prices what will actually run).  ``vmem_cap``: 0 reads
-    TFQ_PAIRS_VMEM_CAP (MB, default 100 -- conservative; v5e carries 128
-    and the tile-pipelined resident kernel runs a few MB above 100).
-    Raises ValueError only if even the ungrouped pack fails."""
+    model prices what will actually run); env TFQ_PAIRS_MAX_STRIDE
+    overrides.  ``vmem_cap``: 0 reads TFQ_PAIRS_VMEM_CAP (MB, default
+    100 -- conservative; v5e carries 128 and the tile-pipelined resident
+    kernel runs a few MB above 100).  Raises ValueError only if even the
+    ungrouped pack fails."""
     if not vmem_cap:
         vmem_cap = int(_os.environ.get("TFQ_PAIRS_VMEM_CAP", "100")) << 20
+    env_stride = _os.environ.get("TFQ_PAIRS_MAX_STRIDE")
+    if env_stride:
+        max_stride = max(1, int(env_stride))
+    # TFQ_PAIRS_RESIDENT: pack-level layout knob shared with the
+    # single-device pack_pair_plan path -- 0 vetoes the resident
+    # candidate, 1 forces it (windowed fallback only when it cannot pack)
+    res_env = _os.environ.get("TFQ_PAIRS_RESIDENT", "auto")
+    if res_env == "0":
+        allow_resident = False
 
     def _candidates(packer):
         """(est, plan) over window stride factors (k=0 packs the
         resident-X single-window layout), best first."""
         ks = tuple(range(1, max_stride + 1))
-        out = []
-        for k in ((0,) + ks if allow_resident else ks):
-            try:
-                plan = packer(k)
-            except ValueError:
-                continue
-            if plan_fits_vmem(plan, precision, cap=vmem_cap):
-                est, _ = plan_time_model(plan, precision)
-                out.append((est, plan))
+        orders = [(0,) + ks if allow_resident else ks]
+        if allow_resident and res_env == "1":
+            orders = [(0,), ks]          # forced resident, then fallback
+        for order in orders:
+            out = []
+            for k in order:
+                try:
+                    plan = packer(k)
+                except ValueError:
+                    continue
+                if plan_fits_vmem(plan, precision, cap=vmem_cap):
+                    est, _ = plan_time_model(plan, precision)
+                    out.append((est, plan))
+            if out:
+                break
         out.sort(key=lambda e: e[0])
         return out
 
@@ -1210,8 +1232,10 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
     ai[inv] = row[py]
     # MXU rates measured on the v5e relay (memory-bank): exact f32 ~31
     # TFlop/s (HIGHEST = 6 bf16-class passes), one bf16 pass ~173
-    passes = precision_props(mm_prec)["passes"] if mm_prec in PRECISIONS \
-        else 6.0
+    try:
+        passes = precision_props(mm_prec)["passes"]   # incl. 'ozN'
+    except KeyError:
+        passes = 6.0
     mxu_tflops = 173.0 / passes
     rbool = np.zeros((int(row.max()) + 1, ncol), bool)
     rbool[row, col] = True
@@ -1263,10 +1287,17 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
                o_blocks: int = 0, resident: bool = False,
                tile_pipe: bool = False):
+    import sys
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # wide-step kernels (oz at p=9 slices especially) trace deep Python
+    # stacks through pallas/mosaic; the interpreter default of 1000
+    # frames dies inside jnp promotion chains mid-trace
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
     # ``ntiles`` is the GRID length (number of steps); each step carries
     # ``t_step`` tiles' A panels, outputs and scratch slots.
@@ -1303,15 +1334,20 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         (Measured and rejected alternatives: per-block async DMAs -- issue
         overhead dominates; full static unroll -- compile-time explosion.)"""
         def copy_one(j):
-            code = code_ref[i * cmax + j]
+            # all-int32 index math: python-int operands promote through a
+            # weak int64 under jax_enable_x64 (the oz mode runs with x64
+            # on), and Mosaic's s64 convert lowering recurses infinitely
+            code = code_ref[i * np.int32(cmax) + j]
             rel = jax.lax.shift_right_logical(code, np.int32(16))
             dst = jax.lax.bitwise_and(code, np.int32(0xFFFF))
-            xs2[pl.ds(pl.multiple_of(dst * lm, lm), g * lm), :] = \
-                win_read(pl.ds(pl.multiple_of(rel * lm, lm), g * lm))
+            xs2[pl.ds(pl.multiple_of(dst * np.int32(lm), lm),
+                      g * lm), :] = \
+                win_read(pl.ds(pl.multiple_of(rel * np.int32(lm), lm),
+                               g * lm))
 
         def body(kk, carry):
-            copy_one(2 * kk)
-            copy_one(2 * kk + 1)
+            copy_one(np.int32(2) * kk)
+            copy_one(np.int32(2) * kk + np.int32(1))
             return carry
 
         # per-tile DYNAMIC trip count (program lengths average well below
@@ -1451,20 +1487,21 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             i's last dot reads and serialize behind it.  (The coverage
             prologue in the per-tile programs covers tiles 0 and 1, which
             under global parity are buffers 0 and 1.)"""
-            gather_xs(i * T, trips_ref, code_ref, win_read, bufs[base])
+            gather_xs(i * np.int32(T), trips_ref, code_ref, win_read,
+                      bufs[base])
             for j in range(T):
                 if not no_dot:
                     y2 = dots(a_refs, bufs[(base + j) % 2], j, xj=0)
                 if j + 1 < T:
-                    gather_xs(i * T + j + 1, trips_ref, code_ref, win_read,
-                              bufs[(base + j + 1) % 2])
+                    gather_xs(i * np.int32(T) + np.int32(j + 1), trips_ref,
+                              code_ref, win_read, bufs[(base + j + 1) % 2])
                 if not no_dot:
                     finish(y2, y_ref, j)
 
         if T % 2 == 0:
             run(0)                    # i*T is even for every step
         else:
-            parity = (i * T) % 2
+            parity = jax.lax.rem(i * np.int32(T), np.int32(2))
 
             @pl.when(parity == 0)
             def _():
@@ -1508,7 +1545,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         # behind them.  Step 0 contracts an uninitialized buffer into output
         # block 0; step 1 recomputes block 0 from real data and the
         # revisiting output block is flushed after the last write.
-        parity = i % 2
+        parity = jax.lax.rem(i, np.int32(2))
 
         def run(xs_mine, xs_other):
             if not no_dot:
@@ -1530,12 +1567,16 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         # stale data from earlier tiles; their A panel columns are zero, so
         # they contribute exactly 0 to the dot
 
+    # index maps return EXPLICIT int32: bare python 0 literals become i64
+    # constants under jax_enable_x64 (the oz mode) and Mosaic refuses
+    # mixed (i32, i64, i64) index tuples
+    z32 = np.int32(0)
     if tile_pipe:
         def a_map(i, ws, tr, xl):
-            return (i, 0, 0)
+            return (i, z32, z32)
     else:
         def a_map(i, ws, tr, xl):
-            return (jnp.maximum(i - 1, 0), 0, 0)
+            return (jnp.maximum(i - np.int32(1), z32), z32, z32)
 
     a_specs = [pl.BlockSpec((T, m2, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
@@ -1550,7 +1591,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     else:
         win_specs = [
             pl.BlockSpec((1, swrows + orows + g * lm, w_lanes),
-                         lambda i, ws, tr, xl: (ws[i], 0, 0),
+                         lambda i, ws, tr, xl: (ws[i], z32, z32),
                          memory_space=pltpu.VMEM),
         ]
     m = r_tile * lm
@@ -1845,8 +1886,9 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
 
     The reference ships this as the native-double gemmNxNf instantiation
     (tfqmrgpu.cu:40-45); v5e has no f64 unit, so this is the TPU-native
-    equivalent.  Grouped/resident plans are not supported (plain windowed
-    packs only)."""
+    equivalent.  COLUMN-GROUPED plans work (pack the grouped pair list,
+    pass grouped X cells -- zero lanes slice to zero exactly); RESIDENT
+    plans are rejected: an xsplit=p window panel cannot fit VMEM."""
     import jax.numpy as jnp
 
     from . import ozaki

@@ -104,72 +104,104 @@ class ShardedPairsSolver:
                         candidates=cands)
                 except ValueError:
                     want = 0
-        if want > 1:
-            # resident-X plans have no window structure to chunk shards
-            # on, and this engine's kernel build only supports the legacy
-            # O == S window layout -- restrict to those candidates so the
-            # time model prices what will actually run
-            self.gp, self.pp_plan = pp.pack_grouped_plan(
-                plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
-                plan.nnzb_x, self.lm, self.ln, want, precision,
-                row_of=row_of_x, col_of=plan.colindx, r_tile=r_tile,
-                force=(cg_env not in ("0", "1")), allow_resident=False,
-                max_stride=1)
-            if self.gp is not None:
-                self.ln = self.gp.ln2
-                eff_nnzb = self.gp.nnzb2
-        else:
-            self.pp_plan = pp.pack_pair_plan(
-                plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
-                plan.nnzb_x, plan.nnzb_x, self.lm, self.ln,
-                r_tile=r_tile, row_of=row_of_x, col_of=plan.colindx)
+        # resident-X and stride-factor window layouts are both admissible
+        # here: resident plans shard on absolute tile spans (the remote
+        # call holds the full gathered panel resident; the local call the
+        # shard's X slice), windowed plans on window boundaries.
+        # TFQ_PAIRS_RESIDENT=0 (the pack-level knob, same as the
+        # single-device engine) or TFQ_SHARDED_RESIDENT=0 (the local-
+        # window knob -- the only local layout a resident pack has)
+        # vetoes resident PACK candidates.
+        res_env = _os.environ.get("TFQ_SHARDED_RESIDENT", "auto")
+        allow_res = (res_env != "0"
+                     and _os.environ.get("TFQ_PAIRS_RESIDENT", "auto")
+                     != "0")
+        self.gp, self.pp_plan = pp.pack_grouped_plan(
+            plan.pairs[:, 0], plan.pairs[:, 1], pair_y,
+            plan.nnzb_x, self.lm, self.ln, max(want, 1), precision,
+            row_of=row_of_x, col_of=plan.colindx, r_tile=r_tile,
+            force=(want > 1 and cg_env not in ("0", "1")),
+            allow_resident=allow_res)
+        if self.gp is not None:
+            self.ln = self.gp.ln2
+            eff_nnzb = self.gp.nnzb2
         p0 = self.pp_plan
         lm, S, g = self.lm, p0.s_window, p0.copy_g
         self.swrows = S * lm
+        self.resident_plan = bool(p0.resident)
+        self.orows = p0.o_blocks * lm        # window cover rows past S
 
-        # tiles -> pr equal contiguous chunks.  The chunk row count must be
-        # a multiple of the window row count so every shard's rows start on
-        # a window boundary (uniform shapes inside shard_map; per-shard
-        # window bases go into the scalar TABLES, which are data)
-        lcm_rows = (S * r_tile) // math.gcd(S, r_tile)   # tiles per window
+        # tiles -> pr equal contiguous chunks.  Windowed plans: the chunk
+        # row count must be a multiple of the window row count so every
+        # shard's rows start on a window boundary (uniform shapes inside
+        # shard_map; per-shard window bases go into the scalar TABLES,
+        # which are data).  Resident plans have no window grid -- any
+        # whole-tile chunking works.
         per = -(-p0.ntiles // self.pr)
-        self.tiles_local = -(-per // lcm_rows) * lcm_rows
+        if self.resident_plan:
+            self.tiles_local = max(per, 1)
+        else:
+            lcm_rows = (S * r_tile) // math.gcd(S, r_tile)  # tiles/window
+            self.tiles_local = -(-per // lcm_rows) * lcm_rows
         self.ntiles_pad = self.tiles_local * self.pr
         self.rows_local = self.tiles_local * r_tile * lm
         self.ny_rows = self.ntiles_pad * r_tile * lm
         self.vrows_local = self.rows_local
         self.vec_rows_pad = self.ny_rows
-        assert self.vrows_local % self.swrows == 0
-        self.nwin_local = self.vrows_local // self.swrows
+        if self.resident_plan:
+            self.nwin_local = 1
+        else:
+            assert self.vrows_local % self.swrows == 0
+            self.nwin_local = self.vrows_local // self.swrows
 
         # t_step: auto (VMEM model) unless overridden; per-shard tables may
-        # still overflow the 2S window span -> halve and retry
+        # still overflow the window span -> halve and retry.  This engine's
+        # kernels pipeline at STEP granularity, so size t against the
+        # step-level scratch even when the single-chip build would pick the
+        # tile-pipe kernel for this plan.
         env_t = _os.environ.get("TFQ_PAIRS_TSTEP")
         want_t = int(t_step or (env_t if env_t else 0)) or \
-            pp.auto_t_step(p0, precision)
+            pp.auto_t_step(p0, precision, tile_pipe=False)
 
-        # local/remote split: tiles whose window rows lie fully inside the
-        # owning shard's vector rows need no halo.  Windows are monotone in
-        # tile order, so the not-local tiles form a prefix + suffix of each
-        # chunk; take uniform p, q = max over shards (interior shards just
-        # over-mark a few tiles as remote)
-        wsel = p0.wsel
-        win_lo = wsel.astype(np.int64) * self.swrows
-        win_hi = (wsel.astype(np.int64) + 2) * self.swrows + g * lm
+        # local/remote split: tiles whose X reads lie fully inside the
+        # owning shard's vector rows need no halo.  Windowed plans bound a
+        # tile's reads by its window cover; resident plans by the union's
+        # absolute block span.  The not-local tiles must form a prefix +
+        # suffix of each chunk (window-sorted tiles make the local run
+        # contiguous; if it is not, overlap is off); take uniform p, q =
+        # max over shards (interior shards just over-mark a few tiles as
+        # remote).  Pad tiles count as local (they read nothing).
+        if self.resident_plan:
+            idx = np.arange(p0.ntiles)
+            lo_blk = p0.xloc[idx, 0].astype(np.int64)
+            hi_blk = p0.xloc[idx, np.maximum(p0.kcount - 1, 0)] \
+                .astype(np.int64)
+            win_lo = lo_blk * lm
+            win_hi = (hi_blk + 1) * lm
+        else:
+            wsel = p0.wsel
+            win_lo = wsel.astype(np.int64) * self.swrows
+            win_hi = ((wsel.astype(np.int64) + 1) * self.swrows
+                      + self.orows + g * lm)
         p_max = q_max = 0
+        tl = self.tiles_local
         for s in range(self.pr):
-            lo_t, hi_t = s * self.tiles_local, (s + 1) * self.tiles_local
-            ids = np.arange(lo_t, min(hi_t, p0.ntiles))
-            if ids.size == 0:
-                continue
-            ok = ((win_lo[ids] >= s * self.vrows_local)
-                  & (win_hi[ids] <= (s + 1) * self.vrows_local))
-            nok = np.flatnonzero(ok)
-            if nok.size == 0:
-                p_max = self.tiles_local
+            ids = np.arange(s * tl, (s + 1) * tl)
+            real = ids < p0.ntiles
+            ok = np.ones(tl, bool)
+            rr = ids[real]
+            ok[real] = ((win_lo[rr] >= s * self.vrows_local)
+                        & (win_hi[rr] <= (s + 1) * self.vrows_local))
+            if not ok.any():
+                p_max = tl
                 break
-            p_max = max(p_max, int(nok[0]))
-            q_max = max(q_max, int(ids.size - 1 - nok[-1]))
+            first_ok = int(np.argmax(ok))
+            last_ok = tl - 1 - int(np.argmax(ok[::-1]))
+            if not ok[first_ok: last_ok + 1].all():
+                p_max = tl          # non-contiguous local run: no overlap
+                break
+            p_max = max(p_max, first_ok)
+            q_max = max(q_max, tl - 1 - last_ok)
         self.overlap = (overlap
                         and _os.environ.get("TFQ_SHARDED_OVERLAP", "1")
                         != "0"
@@ -183,12 +215,58 @@ class ShardedPairsSolver:
         # skips both the per-iteration replica build and the in-kernel
         # window re-streaming (the single-device resident-X design,
         # applied shard-locally).  TFQ_SHARDED_RESIDENT: auto|0|1.
-        res_env = _os.environ.get("TFQ_SHARDED_RESIDENT", "auto")
+        # Resident-source plans REQUIRE it (they carry no window grid for
+        # a windowed local call) -- if the slice cannot be resident, the
+        # local/remote split is abandoned and everything runs remote.
         win2 = 2 * (self.vrows_local + g * lm) * 8 * self.ln
         self.loc_resident = (
             res_env != "0" and self.n_loc > 0
             and self.vrows_local // lm + g <= 0x7FFF
-            and (res_env == "1" or win2 <= (72 << 20)))
+            and (res_env == "1" or self.resident_plan
+                 or win2 <= (72 << 20)))
+        if self.resident_plan and self.n_loc and (
+                not self.loc_resident
+                or win2 > (100 << 20)):
+            self.overlap = False
+            self.p, self.q = self.tiles_local, 0
+            self.n_loc = 0
+            self.loc_resident = False
+
+        # NEIGHBOR-HALO mode (resident plans): when every boundary tile's
+        # X span stays within the immediately adjacent shards' rows, the
+        # remote call reads an EXTENDED local window [s*B - Hlo, (s+1)*B
+        # + Hhi) assembled from two fixed-size edge slabs moved by
+        # ppermute -- per-shard ICI bytes then stay CONSTANT as the mesh
+        # grows (the all_gather fallback moves the whole global panel:
+        # (pr-1)x the shard bytes, which kills weak scaling).  Uniform
+        # Hlo/Hhi = max over shards (static shapes inside shard_map).
+        # TFQ_SHARDED_HALO=0 forces the all_gather path.
+        self.h_lo = self.h_hi = 0
+        self.halo = False
+        if (self.resident_plan and self.p + self.q
+                and self.p + self.q < self.tiles_local
+                and _os.environ.get("TFQ_SHARDED_HALO", "1") != "0"):
+            bl = self.vrows_local // lm
+            h_lo = h_hi = 0
+            ok_halo = True
+            tlc = self.tiles_local
+            for s in range(self.pr):
+                ids = np.concatenate([
+                    np.arange(s * tlc, s * tlc + self.p),
+                    np.arange((s + 1) * tlc - self.q, (s + 1) * tlc)])
+                ids = ids[ids < p0.ntiles]
+                if ids.size == 0:
+                    continue
+                h_lo = max(h_lo, int(np.max(s * bl - lo_blk[ids],
+                                            initial=0)))
+                h_hi = max(h_hi, int(np.max(hi_blk[ids] + 1 - (s + 1) * bl,
+                                            initial=0)))
+            if h_lo > bl or h_hi > bl:
+                ok_halo = False     # spans reach beyond +-1 neighbor
+            ext = bl + h_lo + h_hi
+            if ok_halo and ext + g <= 0x7FFF:
+                self.h_lo, self.h_hi = h_lo, h_hi
+                self.halo = True
 
         # per-shard step tables (remote tiles see FULL-X windows; local
         # tiles see the shard-local window slice, rebased)
@@ -254,18 +332,29 @@ class ShardedPairsSolver:
         rem_cmax = loc_cmax = 2
         self.nsteps_rem = -(-max(p + q, 1) // t) if (p + q) else 0
         self.nsteps_loc = -(-max(self.n_loc, 1) // t) if self.n_loc else 0
+        # resident-source plans: the remote call holds the full gathered
+        # panel resident (halo mode: the shard's rows extended by the
+        # neighbor edge slabs), so its tables validate against that span
+        bl = self.vrows_local // self.lm
+        if self.halo:
+            rem_span = bl + self.h_lo + self.h_hi
+        elif self.resident_plan:
+            rem_span = p0.x_rows_padded // self.lm
+        else:
+            rem_span = 0
         for s in range(self.pr):
             base = s * tl
             chunk = np.arange(base, base + tl, dtype=np.int64)
             chunk[chunk >= nt_real] = -1        # pad tiles
-            w_base = (s * self.vrows_local) // self.swrows
             if p + q:
                 rem_ids = np.concatenate([chunk[:p], chunk[tl - q:] if q
                                           else chunk[:0]])
                 rem_ids = np.pad(rem_ids, (0, self.nsteps_rem * t
                                            - rem_ids.shape[0]),
                                  constant_values=-1)
-                ns, w, c, tr, cm = pp.make_step_tables(p0, t, tiles=rem_ids)
+                ns, w, c, tr, cm = pp.make_step_tables(
+                    p0, t, tiles=rem_ids, resident_span=rem_span,
+                    src_base=(s * bl - self.h_lo) if self.halo else 0)
                 assert ns == self.nsteps_rem
                 rem_tabs.append((w, tr, c.reshape(ns + 1, cm)))
                 rem_cmax = max(rem_cmax, cm)
@@ -275,15 +364,27 @@ class ShardedPairsSolver:
                                  constant_values=-1)
                 span = (self.vrows_local // self.lm
                         if self.loc_resident else 0)
-                ns, w, c, tr, cm = pp.make_step_tables(
-                    p0, t, tiles=loc_ids, wsel_base=w_base,
-                    resident_span=span)
+                if self.resident_plan:
+                    # sources are absolute block ids; rebase to the
+                    # shard's local slice start
+                    ns, w, c, tr, cm = pp.make_step_tables(
+                        p0, t, tiles=loc_ids, resident_span=span,
+                        src_base=s * (self.vrows_local // self.lm))
+                else:
+                    w_base = (s * self.vrows_local) // self.swrows
+                    ns, w, c, tr, cm = pp.make_step_tables(
+                        p0, t, tiles=loc_ids, wsel_base=w_base,
+                        resident_span=span)
                 assert ns == self.nsteps_loc
-                # the local replicas expose nwin_local-1 windows (one zero
-                # window is appended by the builder for the +g overrun)
-                if (not self.loc_resident and w[: ns].max(initial=0)
-                        > max(self.nwin_local - 2, 0)):
-                    raise ValueError("local window index out of range")
+                # windowed local replicas expose nwin_local-1 windows at
+                # the legacy O == S cover (3-segment replica build) and
+                # nwin_local at stride covers (O + g <= S)
+                if not self.loc_resident:
+                    max_w = self.nwin_local - (
+                        2 if self.orows + p0.copy_g * self.lm > self.swrows
+                        else 1)
+                    if w[: ns].max(initial=0) > max(max_w, 0):
+                        raise ValueError("local window index out of range")
                 loc_tabs.append((w, tr, c.reshape(ns + 1, cm)))
                 loc_cmax = max(loc_cmax, cm)
         self.rem_cmax, self.loc_cmax = rem_cmax, loc_cmax
@@ -330,12 +431,32 @@ class ShardedPairsSolver:
                 self._call_loc = pp._make_call(
                     self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
                     p0.s_window, self.vrows_local, self.precision,
-                    self.interpret, cmax=self.loc_cmax, **mk)
+                    self.interpret, cmax=self.loc_cmax,
+                    o_blocks=p0.o_blocks, **mk)
         if self.p + self.q:
-            self._call_rem = pp._make_call(
-                self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
-                p0.s_window, p0.x_rows_padded, self.precision,
-                self.interpret, cmax=self.rem_cmax, **mk)
+            if self.halo:
+                # boundary tiles read the shard's rows EXTENDED by the
+                # neighbor edge slabs (ppermute halo), held resident
+                ext = self.vrows_local // self.lm + self.h_lo + self.h_hi
+                self._call_rem = pp._make_call(
+                    self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
+                    ext, ext * self.lm,
+                    self.precision, self.interpret, cmax=self.rem_cmax,
+                    resident=True, **mk)
+            elif self.resident_plan:
+                # boundary tiles read the full gathered panel, held
+                # resident in VMEM (the pack's VMEM check admitted it)
+                self._call_rem = pp._make_call(
+                    self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
+                    p0.x_rows_padded // self.lm, p0.x_rows_padded,
+                    self.precision, self.interpret, cmax=self.rem_cmax,
+                    resident=True, **mk)
+            else:
+                self._call_rem = pp._make_call(
+                    self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
+                    p0.s_window, p0.x_rows_padded, self.precision,
+                    self.interpret, cmax=self.rem_cmax,
+                    o_blocks=p0.o_blocks, **mk)
 
     def _pack_vec(self, re_blocks: np.ndarray, im_blocks: np.ndarray,
                   scatter=None):
@@ -447,19 +568,57 @@ class ShardedPairsSolver:
 
             def multiply(x):
                 """Local tiles run on the shard's own X rows while the
-                all_gather completes X for the boundary (remote) tiles --
-                issued first so the collective overlaps the local call."""
+                halo collective (neighbor-edge ppermutes, or the
+                all_gather fallback) completes X for the boundary
+                (remote) tiles -- issued first so it overlaps the local
+                call."""
                 parts = []
                 if p_ + q_:
-                    xg = jax.lax.all_gather(x, "rows", axis=0, tiled=True)
-                    if nxrows > xg.shape[0]:
-                        xg = jnp.pad(xg,
-                                     ((0, nxrows - xg.shape[0]), (0, 0)))
+                    if self.halo:
+                        # receive the upper neighbor's first h_hi rows
+                        # and the lower neighbor's last h_lo rows; edge
+                        # shards get zeros (never addressed: their tiles
+                        # stay inside the global panel)
+                        slabs = []
+                        if self.h_lo:
+                            hl = self.h_lo * lm
+                            slabs.append(jax.lax.ppermute(
+                                x[vrl - hl:], "rows",
+                                [(r, r + 1) for r in range(self.pr - 1)]))
+                        slabs.append(x)
+                        if self.h_hi:
+                            hh = self.h_hi * lm
+                            slabs.append(jax.lax.ppermute(
+                                x[:hh], "rows",
+                                [(r + 1, r) for r in range(self.pr - 1)]))
+                        xg = jnp.concatenate(slabs) if len(slabs) > 1 \
+                            else slabs[0]
+                        xrep = pp._window_replicas(
+                            xg, 1, xg.shape[0], 2 * ln, split=split,
+                            g_rows=g_rows, resident=True)
+                    elif self.resident_plan:
+                        xg = jax.lax.all_gather(x, "rows", axis=0,
+                                                tiled=True)
+                        if nxrows > xg.shape[0]:
+                            xg = jnp.pad(
+                                xg, ((0, nxrows - xg.shape[0]), (0, 0)))
+                        else:
+                            xg = xg[:nxrows]
+                        xrep = pp._window_replicas(
+                            xg, 1, nxrows, 2 * ln, split=split,
+                            g_rows=g_rows, resident=True)
                     else:
-                        xg = xg[:nxrows]
-                    xrep = pp._window_replicas(
-                        xg, nxrows // self.swrows, self.swrows, 2 * ln,
-                        split=split, g_rows=g_rows)
+                        xg = jax.lax.all_gather(x, "rows", axis=0,
+                                                tiled=True)
+                        if nxrows > xg.shape[0]:
+                            xg = jnp.pad(
+                                xg, ((0, nxrows - xg.shape[0]), (0, 0)))
+                        else:
+                            xg = xg[:nxrows]
+                        xrep = pp._window_replicas(
+                            xg, nxrows // self.swrows, self.swrows,
+                            2 * ln, split=split, g_rows=g_rows,
+                            orows=self.orows)
                     ap_rem = [
                         jnp.pad(jnp.concatenate([a[:p_], a[tl - q_:]]
                                                 if q_ else [a[:p_]]),
@@ -476,7 +635,7 @@ class ShardedPairsSolver:
                     else:
                         xrep_l = pp._window_replicas(
                             x, self.nwin_local, self.swrows, 2 * ln,
-                            split=split, g_rows=g_rows)
+                            split=split, g_rows=g_rows, orows=self.orows)
                     ap_loc = [
                         jnp.pad(a[p_: tl - q_ if q_ else tl],
                                 ((0, self.nsteps_loc * t - nloc),
