@@ -19,7 +19,7 @@ TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for
 padding), TFQ_BENCH_ENGINE (rowtile|pairpanel|xla|auto, default auto),
 TFQ_BENCH_MM_PREC (bf16x4|bf16x3|bf16x6|highest|auto; default 'auto' =
 measure bf16x4 against the gate, fall back through 'bf16x6' (3-way splits,
-exact-f32 quality at bf16x4's streamed A bytes; pairpanel only) to
+exact-f32 quality at bf16x4's streamed A bytes; pairpanel + rowtile) to
 exact-f32 'highest' whenever maxdev crosses 0.9x the gate -- MXU bf16
 hi/lo split products carry a systematic ~1.3e-4-scale error at K~450, so
 the margin is verified, never assumed), TFQ_PLAN_FILE.
@@ -298,8 +298,11 @@ def main_iter():
         "engine": solver.engine,
         "n_pairs": int(solver.plan.n_pairs),
         "fraction_of_measured_roofline": round(frac, 3),
-        "baseline_note": "vs_baseline = fraction of the MEASURED-bandwidth "
-                         "roofline (hbm ~250 GB/s sustained on this chip)",
+        "baseline_note": "vs_baseline = fraction of the residency-aware "
+                         "roofline (measured ~250 GB/s HBM; VMEM-resident "
+                         "solver state counts zero vector bytes, so the "
+                         "ceiling majorizes and fractions stay <= 1)",
+        "vectors_resident": bool(roof.vectors_resident),
     }))
     return 0
 
@@ -386,8 +389,9 @@ def main_rhs():
         "ns_per_rhs_iteration": round(t_iter * 1e9 / n_rhs, 1),
         "fraction_of_measured_roofline": round(frac, 3),
         "baseline_note": "BASELINE config 4 (many-RHS batching stress); "
-                         "vs_baseline = fraction of measured-bandwidth "
-                         "roofline",
+                         "vs_baseline = fraction of the residency-aware "
+                         "roofline (ceiling majorizes; fractions <= 1)",
+        "vectors_resident": bool(roof.vectors_resident),
     }))
     return 0
 
@@ -559,7 +563,7 @@ def main():
                 return call, (xc_j,) + tuple(a_args) + (maskpan,)
 
             mm_rt = "bf16x4" if mm_auto else mm_prec
-            if mm_rt not in ("bf16x3", "bf16x4", "highest"):
+            if mm_rt not in ("bf16x3", "bf16x4", "bf16x6", "highest"):
                 mm_rt = "highest"
             mm_prec = mm_rt
             call_rt, rt_consts = rt_build_mult(mm_rt)
@@ -857,9 +861,37 @@ def main():
 
             interp = jax.default_backend() not in ("tpu",)
             t0 = time.time()
-            pplan = pp.pack_pair_plan(
-                pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
-                r_tile=r_tile, copy_g=copy_g, resident=False)
+            # COLUMN GROUPING for the oz kernel (r3): at p~9 slice planes
+            # the multiply is A-bytes-bound, so the grouped A dedup
+            # (2-3x on the golden plan) carries straight through.  The
+            # resident layout stays off (an xsplit=9 resident window
+            # cannot fit VMEM); plain windowed grouped packs only.
+            want_z = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
+            if want_z != 1:
+                try:
+                    if want_z == 0:
+                        want_z, _ = pp.auto_group_size(
+                            pair_a, pair_x, pair_y, nnzb_x, lm, ln,
+                            "oz9", candidates=tuple(
+                                gg for gg in (1, 2, 4, 8)
+                                if gg * ln <= 256))
+                    if want_z > 1:
+                        gp = pp.pack_grouped(pair_a, pair_x, pair_y,
+                                             nnzb_x, ln, want_z)
+                except ValueError:
+                    gp = None
+            if gp is not None:
+                pplan = pp.pack_pair_plan(
+                    gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
+                    gp.nnzb2, lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
+                    row_of=gp.row_of2, col_of=gp.col_of2, resident=False)
+                log(f"# oz colgroup G={gp.group_size}: {nnzb_x} blocks "
+                    f"-> {gp.nnzb2} cells, {pair_a.shape[0]} pairs -> "
+                    f"{gp.pair_a2.shape[0]}")
+            else:
+                pplan = pp.pack_pair_plan(
+                    pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
+                    r_tile=r_tile, copy_g=copy_g, resident=False)
             p_oz, _ = ozaki.slice_params(pplan.ku * lm, diag_sum=True)
             if os.environ.get("TFQ_BENCH_TSTEP"):
                 t_step = int(os.environ["TFQ_BENCH_TSTEP"])
@@ -870,7 +902,8 @@ def main():
             consts = mult_oz.consts
             log(f"# pairpanel-oz pack: {time.time()-t0:.1f}s, "
                 f"ntiles={pplan.ntiles} ku={pplan.ku} p={mult_oz.p} "
-                f"q={mult_oz.q} t_step={t_step}")
+                f"q={mult_oz.q} t_step={t_step}"
+                + (f" G={gp.group_size}" if gp is not None else ""))
 
             def multiply_c(c, x, m=mult_oz):
                 return m.apply(c, x)
@@ -881,9 +914,16 @@ def main():
             def y_to_x(y, pad=nxrows - nyrows):
                 return jnp.pad(y, ((0, pad), (0, 0)))
 
-            x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
+            if gp is not None:
+                x0 = jnp.asarray(pp.permute_x(
+                    pplan, np.asarray(pp.grouped_blocks(gp, x_re)),
+                    np.asarray(pp.grouped_blocks(gp, x_im))))
+            else:
+                x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
             eng_used = (f"pairpanel-oz{mult_oz.p}q{mult_oz.q}-"
-                        f"r{r_tile}-g{copy_g}-t{t_step}")
+                        f"r{r_tile}-g{copy_g}-t{t_step}"
+                        + (f"-cg{gp.group_size}" if gp is not None
+                           else ""))
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -941,15 +981,12 @@ def main():
     # 90% of the gate.  The probe measures the TRUE deviation of this exact
     # workload (the bf16-split error is deterministic, BLOCKSIZES_r02.json),
     # so a measured pass is a real pass -- only refuse the thinnest margin.
-    # Fallback chain for the pairpanel engine: bf16x4 -> bf16x6 (3-way
-    # splits, exact-f32 quality at the same streamed A bytes) -> highest;
-    # the rowtile kernel has no bf16x6 mode, so it goes straight to
-    # 'highest'.
+    # Fallback chain (pairpanel AND rowtile): bf16x4 -> bf16x6 (3-way
+    # splits, exact-f32 quality at the same streamed A bytes) -> highest.
     if mm_auto and prec == "c" and (rowtile is not None
                                     or (pplan is not None
                                         and n_buckets <= 1)):
-        chain = (["highest"] if rowtile is not None or lm < 16
-                 else ["bf16x6", "highest"])
+        chain = ["highest"] if lm < 16 else ["bf16x6", "highest"]
         while maxdev > 0.9 * gate and chain:
             nxt = chain.pop(0)
             log(f"# {mm_prec} margin too thin (maxdev {maxdev:.3e} > "

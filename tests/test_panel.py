@@ -124,3 +124,25 @@ def test_row_tile_packing(rng):
             got[r0:r1, c0:c0 + lm] += blkcol
     # padded xcols slots repeat column 0 with zero data -> += is safe
     np.testing.assert_allclose(got, want)
+
+
+def test_pallas_engine_bf16x6_matches_highest(rng, monkeypatch):
+    """Row-tile kernel's bf16x6 mode (3-way in-kernel splits of BOTH
+    operands, 6 cross products in 3 lane-packed dots): exact-f32 quality
+    -- the solve must converge like 'highest', not the bf16x4 floor."""
+    lm, ln = 16, 16
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex64)
+    tol = 1e-6
+    monkeypatch.setenv("TFQ_PALLAS_MM_PREC", "highest")
+    x1, i1 = tq.solve(a, x, b, precision="c", engine="pallas",
+                      tolerance=tol, max_iterations=400)
+    monkeypatch.setenv("TFQ_PALLAS_MM_PREC", "bf16x6")
+    x2, i2 = tq.solve(a, x, b, precision="c", engine="pallas",
+                      tolerance=tol, max_iterations=400)
+    assert i2.return_status == int(Status.SUCCESS)
+    assert abs(i1.iterations_needed - i2.iterations_needed) <= 2
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x2, lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    assert np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd)) < 50 * tol

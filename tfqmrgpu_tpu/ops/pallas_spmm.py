@@ -181,10 +181,16 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     precision: 'highest' (exact f32, 6 MXU passes/product), 'bf16x4'
     (rounded hi/lo operand splits, 4 bf16 products -- ~1.5x less MXU time,
     relative error ~1e-4-scale worst case, same story as the pairpanel
-    kernel), 'bf16x3' (drops lo*lo, 2x less MXU, ~1e-3 floor).  A panels
-    arrive FUSED over re/im rows ([ntiles, 2*rlm, kulm]; f32 for 'highest',
-    pre-split bf16 (hi, lo) pair otherwise); X stays f32 resident and the
-    bf16 splits happen on the VMEM-local union slice inside the kernel.
+    kernel), 'bf16x3' (drops lo*lo, 2x less MXU, ~1e-3 floor), 'bf16x6'
+    (3-way RN splits of BOTH operands, the 6 cross products through
+    O(2^-16) -- exact-f32 quality like 'highest', but the products pack
+    into 3 lane-concatenated dots, so at narrow lane counts (3c <= MXU
+    width) it runs ~2x less MXU time than HIGHEST; mirrors the pairpanel
+    kernel's bf16x6).  A panels arrive FUSED over re/im rows
+    ([ntiles, 2*rlm, kulm]; f32 for 'highest'/'bf16x6' -- the x6 3-way A
+    split happens in-kernel, keeping A DMA at 4 B/el -- pre-split bf16
+    (hi, lo) pair otherwise); X stays f32 resident and the bf16 splits
+    happen on the VMEM-local union slice inside the kernel.
 
     t_step: tiles per grid step (EVEN, or 1).  Small tiles leave the
     multiply bound by the ~9 us per-grid-step fixed cost (DMA issue +
@@ -194,13 +200,14 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .pairpanel import split_bf16x2
+    from .pairpanel import split_bf16x2, split_bf16x3
 
     ku = kulm // lm
     T = max(int(t_step), 1)
     if T > 1 and T % 2:
         raise ValueError("t_step must be even (buffer parity) or 1")
     split = precision in ("bf16x3", "bf16x4")
+    x6 = precision == "bf16x6"
     n_a = 2 if split else 1
     a_dt = jnp.bfloat16 if split else jnp.float32
 
@@ -223,26 +230,44 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
                 xs_re[pl.ds(k * lm, lm), :] = x_re_ref[pl.ds(c0, lm), :]
                 xs_im[pl.ds(k * lm, lm), :] = x_im_ref[pl.ds(c0, lm), :]
 
-        def dots(a_j, xs):
+        dot = functools.partial(jax.lax.dot,
+                                preferred_element_type=jnp.float32)
+
+        def a_parts(a_j):
+            """Per-tile A operand(s): split once, reused for re AND im."""
+            if x6:
+                return split_bf16x3(a_refs[0][a_j])
+            return tuple(r[a_j] for r in a_refs)
+
+        def dots(ap, xs):
             """[2*rlm, c] = A_fused @ xs with the configured precision."""
+            if x6:
+                # 6 cross products through O(2^-16) in 3 lane-packed dots
+                # (exact-f32 quality; see pairpanel's bf16x6)
+                ah, am, al = ap
+                xh, xm, xl = split_bf16x3(xs)
+                x2 = jnp.concatenate([xh, xm], axis=1)
+                d1 = dot(ah, jnp.concatenate([x2, xl], axis=1))
+                d2 = dot(am, x2)
+                d3 = dot(al, xh)
+                return (d1[:, :c] + d1[:, c: 2 * c] + d1[:, 2 * c:]
+                        + d2[:, :c] + d2[:, c:] + d3)
             if not split:
-                return jax.lax.dot(a_refs[0][a_j], xs,
+                return jax.lax.dot(ap[0], xs,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
             xh, xl = split_bf16x2(xs)
-            dot = functools.partial(jax.lax.dot,
-                                    preferred_element_type=jnp.float32)
-            d = dot(a_refs[0][a_j], xh) + dot(a_refs[0][a_j], xl) \
-                + dot(a_refs[1][a_j], xh)
+            d = dot(ap[0], xh) + dot(ap[0], xl) + dot(ap[1], xh)
             if precision == "bf16x4":
-                d = d + dot(a_refs[1][a_j], xl)
+                d = d + dot(ap[1], xl)
             return d
 
         gather(0, *bufs[0])
         for j in range(T):
             xs_re, xs_im = bufs[j % 2]
-            d_r = dots(j, xs_re[:])       # [ar@xr ; ai@xr]
-            d_i = dots(j, xs_im[:])       # [ar@xi ; ai@xi]
+            ap = a_parts(j)
+            d_r = dots(ap, xs_re[:])      # [ar@xr ; ai@xr]
+            d_i = dots(ap, xs_im[:])      # [ar@xi ; ai@xi]
             if j + 1 < T:                 # overlaps the dots above
                 gather(j + 1, *bufs[(j + 1) % 2])
             y_re_ref[j] = d_r[:rlm] - d_i[rlm:]
@@ -340,7 +365,7 @@ def bsr_panel_multiply(a_panels_re, a_panels_im, xcols, mask4,
     ntiles, rlm, kulm = (int(s) for s in a_panels_re.shape)
     nr = mb * lm
     c = ncc * ln
-    split = precision in ("bf16x3", "bf16x4")
+    split = precision in ("bf16x3", "bf16x4")   # bf16x6 ships raw-f32 A
     if os.environ.get("TFQ_PALLAS_TSTEP"):
         t_step = int(os.environ["TFQ_PALLAS_TSTEP"])
     if not t_step:
