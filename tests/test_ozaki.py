@@ -86,3 +86,23 @@ def test_matmul_oz_beats_f32():
     e32 = np.abs(f32 - want).max()
     eoz = np.abs(oz - want).max()
     assert eoz < 1e-6 * e32, (eoz, e32)
+
+
+def test_pow2_scale_edges():
+    """Power-of-two-ness and sigma >= amax across binade edges (the f32
+    bit-pattern construction replaced frexp, which the TPU relay's
+    f64 emulation cannot compile)."""
+    import jax.numpy as jnp
+
+    from tfqmrgpu_tpu.ops.ozaki import pow2_scale
+
+    vals = np.array([0.0, 1e-90, 2.0**-300, 2.0**-149, 2.0**-126, 0.25,
+                     0.5 - 1e-17, 0.5, 0.5 + 1e-16, 0.75, 1.0 - 1e-16,
+                     1.0, 1.0 + 1e-15, 3.0, 4.0, 2.0**126, 2.0**127,
+                     1e38, 1e90], np.float64)
+    sig = np.asarray(pow2_scale(jnp.asarray(vals)))
+    m, e = np.frexp(sig)
+    assert np.all(m == 0.5), "scales must be exact powers of two"
+    assert np.all(sig >= np.where(vals > 0, vals, 1.0))
+    # never more than one binade of over-scale inside the exact range
+    assert np.all(sig <= 4.0 * np.where(vals > 0, vals, 1.0))

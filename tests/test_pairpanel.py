@@ -498,3 +498,40 @@ def test_tile_pipe_auto_wide_lanes(rng, monkeypatch):
     got = yre + 1j * yim
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_pairpanel_oz_grouped(rng):
+    """Ozaki 'z' on a COLUMN-GROUPED plan (r3): grouping is a pattern
+    transform -- zero-filled absent lanes slice to exact zeros -- so the
+    grouped oz multiply must match the f64 pair walk to the same ~1e-12
+    as the ungrouped kernel, with the grouped A dedup."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=20, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2, 3))
+    gp = pp.pack_grouped(pa, px, py, nx, ln, 2)
+    plan = pp.pack_pair_plan(gp.pair_a2, gp.pair_x2, gp.pair_y2,
+                             gp.nnzb2, gp.nnzb2, lm, gp.ln2, r_tile=1,
+                             row_of=gp.row_of2, col_of=gp.col_of2,
+                             resident=False)
+    sp = 10.0 ** rng.uniform(-5, 5, (na, 1, 1))
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm))) * sp
+    spx = 10.0 ** rng.uniform(-5, 5, (nx, 1, 1))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln))) * spx
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                         interpret=True, t_step=2)
+    xr = np.asarray(pp.grouped_blocks(gp, x.real))
+    xi = np.asarray(pp.grouped_blocks(gp, x.imag))
+    xf = jnp.asarray(pp.permute_x(plan, xr, xi))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = pp.ungroup_blocks(gp, yre) + 1j * pp.ungroup_blocks(gp, yim)
+    dev = np.max(np.abs(got - want)) / np.abs(want).max()
+    assert dev < 1e-12, dev

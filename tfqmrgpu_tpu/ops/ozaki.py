@@ -74,12 +74,39 @@ def slice_pairs(p: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pow2_scale(amax):
-    """Smallest power of two >= amax (exactly -- frexp is a bit
-    manipulation, immune to the log2-of-exact-power rounding trap that
-    could under-scale by one ulp and push a slice int past 2^q), with
-    zeros mapped to 1."""
-    _, e = jnp.frexp(jnp.where(amax > 0, amax, 1.0))
-    return jnp.ldexp(jnp.float64(1.0), e)
+    """Power of two >= amax (exact -- taken from the F32 bit pattern;
+    frexp/ldexp bitcast through 64-bit integers, which the TPU relay's
+    f64-as-f32-pair emulation cannot rewrite), zeros mapped to 1.
+
+    May land one binade above the minimal power (when the f32 cast
+    rounds a just-below-power value up) -- harmless: one spare bit of
+    slice-int headroom, never an under-scale (sigma >= amax for every
+    f32 rounding case, since a <= f32(a) * (1 + 2^-24) < 2^(e+1) for
+    f32(a) in [2^e, 2^(e+1))).  One pre-scale tier extends the exact
+    range to |log2 amax| <= ~326 (the f32-pair f64 emulation of TPU
+    relays cannot even represent that much); beyond it the scale
+    saturates at the range edge."""
+    a64 = jnp.where(amax > 0, amax, 1.0)
+    big = a64 > 2.0 ** 126
+    tiny = a64 < 2.0 ** -125
+    adj = jnp.where(big, jnp.float64(2.0) ** -200,
+                    jnp.where(tiny, jnp.float64(2.0) ** 200, 1.0))
+    a = (a64 * adj).astype(jnp.float32)       # power-of-two mul: exact
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    e = (jax.lax.shift_right_logical(bits, np.uint32(23))
+         & np.uint32(0xFF)).astype(jnp.int32) - 126   # floor(log2) + 1
+    e = e + jnp.where(big, 200, 0) - jnp.where(tiny, 200, 0)
+
+    def p2(ei):
+        """Exact f32 power of two from the exponent field."""
+        return jax.lax.bitcast_convert_type(
+            jax.lax.shift_left((ei + 127).astype(jnp.uint32),
+                               np.uint32(23)), jnp.float32
+        ).astype(jnp.float64)
+
+    e1 = jnp.clip(e, -126, 127)
+    e2 = jnp.clip(e - e1, -126, 127)
+    return p2(e1) * p2(e2) * p2(jnp.clip(e - e1 - e2, -126, 127))
 
 
 def slice_operand(v, axis: int, p: int, q: int):
