@@ -118,11 +118,13 @@ class Roofline:
     measured_s: Optional[float] = None
     fraction_of_light: Optional[float] = None
     nnz_mac_per_s: Optional[float] = None
+    vectors_resident: bool = False  # state vectors modeled as VMEM-held
 
     def __str__(self):
         s = (f"roofline[{self.device_kind}]: "
              f"{self.flops_per_iteration:.3e} flop + "
-             f"{self.bytes_per_iteration:.3e} B/iter, "
+             f"{self.bytes_per_iteration:.3e} B/iter"
+             f"{' (state VMEM-resident)' if self.vectors_resident else ''}, "
              f"light-speed {self.light_speed_s*1e6:.1f} us "
              f"({'compute' if self.compute_bound else 'bandwidth'}-bound)")
         if self.fraction_of_light is not None:
@@ -163,7 +165,17 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
         a_bytes = pp.ntiles * 2 * pp.r_tile * lm * pp.ku * lm * 2 * 2
     else:
         a_bytes = plan.nnzb_a * 2 * lm * lm * rsize
-    bytes_ = 2 * a_bytes + 13 * 2 * nvec
+    # Residency-aware vector traffic: the iteration runs inside one jitted
+    # while_loop; when the ~10 X-shaped state vectors fit the VMEM budget,
+    # XLA keeps them on-chip and the ~13 vector passes never stream from
+    # HBM -- only the A panels are compulsory traffic.  A ceiling must
+    # majorize (r02's stream-only model produced fractions > 1 on
+    # VMEM-resident engines, hiding regressions), so resident states count
+    # zero vector bytes.  Budget override: TFQ_ROOFLINE_VMEM (MB).
+    vmem_budget = int(os.environ.get("TFQ_ROOFLINE_VMEM", "72")) << 20
+    vectors_resident = 10 * nvec <= vmem_budget
+    vec_passes = 0 if vectors_resident else 13
+    bytes_ = 2 * a_bytes + vec_passes * 2 * nvec
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -183,6 +195,7 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
         device_kind=kind, peak_tflops=peak_tflops,
         peak_gbps=hbm_gbps,
         compute_bound=t_compute >= t_bw, light_speed_s=light,
+        vectors_resident=vectors_resident,
     )
     if measured_iteration_s is not None:
         r.measured_s = measured_iteration_s

@@ -10,6 +10,12 @@ the correction A dX == r.  This loop is the single implementation behind
 the correction is solved, injected via ``solve_correction``.  Implements
 the mode the reference declares but disables (tfqmrgpu.cu:42 "mixed
 precision is still buggy").
+
+The round bookkeeping is device-resident: the f64 residual, its
+per-column norms and the iterate update all stay on device; the only
+host synchronization per round is the scalar convergence ratio (on a
+relay-attached TPU each host round trip costs ~30 ms and the r02 FD
+artifact showed the host-driven loop paying it several times per round).
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from typing import Callable
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,8 +49,9 @@ def refinement_loop(*, apply64, bx64: np.ndarray, colindx: np.ndarray,
       inner_base: per-round correction-iteration scale (the c stage's
         count); each correction solve gets min(inner_base, 150) + 50,
         capped by the remaining global budget.
-      solve_correction: (r complex128 [nnzbX,LM,LN], res2 [nCols,LN],
-        stall, inner_max) -> (dx complex128, iterations int).
+      solve_correction: (r complex128 [nnzbX,LM,LN] DEVICE array,
+        res2 [nCols,LN] numpy, stall, inner_max) -> (dx complex128,
+        iterations int).
       stall_seed: the c stage's reached residual; the per-round target is
         2x it, clipped to the observed pure-f32 stall band [1e-5, 1e-2].
       flops_per_round / flops_per_iteration: accounting weights (0 = skip).
@@ -54,19 +62,37 @@ def refinement_loop(*, apply64, bx64: np.ndarray, colindx: np.ndarray,
     # per-round achievable reduction ~ the f32 engine's stall level; seed
     # from what the c stage actually reached, kept away from the extremes
     stall = float(np.clip(2.0 * max(stall_seed, 0.0), 1e-5, 1e-2))
-    x_cur = np.asarray(x0, np.complex128)
+    ncols = bn2.shape[0]
+    cidx = jnp.asarray(colindx)
+    inv_j = jnp.asarray(inv)
+    bx_j = jnp.asarray(np.asarray(bx64, np.complex128))
+
+    @jax.jit
+    def _residual_post(yr, yi):
+        """Residual bookkeeping on device: planes, per-column squared
+        norms, and the max ratio (the caller's apply64 runs outside so
+        numpy-backed test doubles keep working)."""
+        r = bx_j - (jnp.asarray(yr) + 1j * jnp.asarray(yi))
+        blk = jnp.sum(jnp.abs(r) ** 2, axis=1)        # [nnzbX, LN]
+        res2 = jax.ops.segment_sum(blk, cidx, num_segments=ncols)
+        ratio = jnp.sqrt(jnp.max(res2 * inv_j))
+        return r, res2, ratio
+
+    def residual_round(xr, xi):
+        yr, yi = apply64(xr, xi)
+        return _residual_post(yr, yi)
+
+    x_re = jnp.asarray(np.ascontiguousarray(np.asarray(x0).real))
+    x_im = jnp.asarray(np.ascontiguousarray(np.asarray(x0).imag))
     prev_ratio = np.inf
     ratio = np.inf
     converged = False
     rounds = 0
     flops = 0.0
     for rnd in range(max_rounds):
-        yr, yi = apply64(jnp.asarray(x_cur.real), jnp.asarray(x_cur.imag))
-        r = bx64 - (np.asarray(yr) + 1j * np.asarray(yi))
+        r, res2_d, ratio_d = residual_round(x_re, x_im)
         flops += flops_per_round
-        res2 = np.zeros_like(bn2)
-        np.add.at(res2, colindx, (np.abs(r) ** 2).sum(axis=1))
-        ratio = float(np.sqrt(np.max(res2 * inv)))
+        ratio = float(ratio_d)                  # the ONLY host sync
         if echo > 1:
             print(f"# {label} round {rnd}: rel residual {ratio:.3e}")
         if ratio <= tolerance:
@@ -78,9 +104,13 @@ def refinement_loop(*, apply64, bx64: np.ndarray, colindx: np.ndarray,
         rounds += 1
         inner_max = min(max_iterations - total_iters,
                         min(inner_base, 150) + 50)
-        dx, inner_iters = solve_correction(r, res2, stall, inner_max)
-        x_cur = x_cur + np.asarray(dx, np.complex128)
+        dx, inner_iters = solve_correction(r, np.asarray(res2_d), stall,
+                                           inner_max)
+        dx = jnp.asarray(dx, jnp.complex128)
+        x_re = x_re + dx.real
+        x_im = x_im + dx.imag
         total_iters += int(inner_iters)
         flops += int(inner_iters) * flops_per_iteration
+    x_cur = np.asarray(x_re) + 1j * np.asarray(x_im)
     return dict(x=x_cur, ratio=ratio, total_iters=total_iters, flops=flops,
                 rounds=rounds, converged=converged)
