@@ -885,6 +885,13 @@ def main():
                     gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
                     gp.nnzb2, lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
                     row_of=gp.row_of2, col_of=gp.col_of2, resident=False)
+                p_chk, _ = ozaki.slice_params(pplan.ku * lm,
+                                              diag_sum=True)
+                if not pp.plan_fits_vmem(pplan, f"oz{p_chk}"):
+                    log(f"# oz colgroup G={gp.group_size} exceeds VMEM "
+                        "(xsplit=p windows); packing ungrouped")
+                    gp = None
+            if gp is not None:
                 log(f"# oz colgroup G={gp.group_size}: {nnzb_x} blocks "
                     f"-> {gp.nnzb2} cells, {pair_a.shape[0]} pairs -> "
                     f"{gp.pair_a2.shape[0]}")

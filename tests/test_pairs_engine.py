@@ -111,3 +111,33 @@ def test_pairs_engine_tile_pipe_solve(rng, monkeypatch):
     assert abs(infot.iterations_needed - infou.iterations_needed) <= 2
     scale = np.abs(xu.data).max()
     assert np.abs(xt.data - xu.data).max() / scale < 1e-4
+
+
+def test_pairs_engine_z_ozaki_grouped(rng, monkeypatch):
+    """precision='z' with a forced column group (r3): the grouped Ozaki
+    multiply + f64 grouped primitives must match the ungrouped 'z' solve
+    (same iterate, f64-quality residuals)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 16
+    a, x, b = make_random_problem(rng, mb=8, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex128)
+    tol = 1e-11
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "2")
+    s = Solver(a, x, b, precision="z", engine="pairs")
+    assert s._gp is not None and s._gp.group_size == 2
+    assert not s._pp_plan.resident
+    info = s.solve(tolerance=tol, max_iterations=400)
+    assert info.return_status == int(Status.SUCCESS)
+    got = s.get_matrix("X")
+    ad = dense_from_bsr(a, lm, lm)
+    xd = dense_from_bsr(x.with_data(got), lm, ln)
+    bd = dense_from_bsr(b, lm, ln)
+    dev = np.max(np.abs(ad @ xd - bd)) / np.max(np.abs(bd))
+    assert dev < 1e-9, dev
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    s2 = Solver(a, x, b, precision="z", engine="pairs")
+    assert s2._gp is None
+    i2 = s2.solve(tolerance=tol, max_iterations=400)
+    assert abs(info.iterations_needed - i2.iterations_needed) <= 2

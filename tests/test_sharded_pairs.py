@@ -331,3 +331,32 @@ def test_sharded_pairs_neighbor_halo(rng, monkeypatch):
         assert info_h["iterations"] == info_g["iterations"]
         np.testing.assert_array_equal(got_h, got_g)
         assert abs(info_h["iterations"] - i0.iterations_needed) <= 1
+
+
+def test_sharded_pairs_tile_pipe(rng, monkeypatch):
+    """TILE-pipelined resident kernels in the sharded engine (forced via
+    env; auto only triggers on wide grouped lanes): local and remote
+    calls run per-tile buffers with rebased per-tile programs, results
+    must match the step-pipelined sharded solve exactly."""
+    lm = ln = 4
+    a, x, b = _banded_problem(96, 1, lm, ln)
+    tol = 1e-4
+    plan = create_plan(a, x, b)
+    plan.lm, plan.ln = lm, ln
+    mesh = make_mesh(2, 1)
+    monkeypatch.setenv("TFQ_PAIRS_COLGROUP", "1")
+    monkeypatch.setenv("TFQ_PAIRS_RESIDENT", "1")
+    monkeypatch.setenv("TFQ_PAIRS_TILEPIPE", "1")
+    sp_t = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+    assert sp_t.resident_plan and sp_t.tile_pipe
+    got_t, info_t = sp_t.solve(a.data.real, a.data.imag,
+                               b.data.real, b.data.imag,
+                               tolerance=tol, max_iterations=300)
+    monkeypatch.setenv("TFQ_PAIRS_TILEPIPE", "0")
+    sp_s = ShardedPairsSolver(plan, mesh, interpret=True, overlap=True)
+    assert not sp_s.tile_pipe
+    got_s, info_s = sp_s.solve(a.data.real, a.data.imag,
+                               b.data.real, b.data.imag,
+                               tolerance=tol, max_iterations=300)
+    assert info_t["iterations"] == info_s["iterations"]
+    np.testing.assert_array_equal(got_t, got_s)

@@ -396,6 +396,45 @@ def _program_tables(plan: PairPanelPlan, tiles, ku_cap: int):
     return codes.reshape(-1), trips
 
 
+def make_tile_tables(plan: PairPanelPlan, tiles, src_base: int = 0,
+                     span: int = 0):
+    """Per-TILE copy programs for the TILE-pipelined resident kernel,
+    over an explicit tile-id list (-1 = pad tile: empty program).
+
+    Real copy sources are rebased by ``src_base`` (resident-source plans
+    carry absolute block sources; a shard-local window starts at that
+    block) and validated against ``span`` blocks when given.  The first
+    TWO list positions carry full coverage of their per-tile buffer
+    (the two scratch buffers start uninitialized).  Returns
+    (codes_flat int32[ntl*cmax], trips int32[ntl], cmax)."""
+    g, ku = plan.copy_g, plan.ku
+    progs = []
+    for j, t in enumerate(np.asarray(tiles, dtype=np.int64)):
+        t = int(t)
+        codes = []
+        kc = 0
+        if t >= 0:
+            for c in map(int, plan.copy_codes[t, : plan.n_copies[t]]):
+                rel, dst = (c >> 16) - src_base, c & 0xFFFF
+                if rel < 0 or (span and rel > span):
+                    raise ValueError(
+                        f"tile {t}: source outside the local span")
+                codes.append((rel << 16) | dst)
+            kc = int(plan.kcount[t])
+        if j < 2:                        # buffer-coverage prologue
+            for d in range(kc, ku, g):
+                codes.append(d)          # src 0 = local window base
+        progs.append(codes)
+    cmax = max((len(c) for c in progs), default=1)
+    cmax += cmax % 2
+    codes_flat = np.full((len(progs), cmax), ku, np.int32)
+    trips = np.zeros(len(progs), np.int32)
+    for j, c in enumerate(progs):
+        codes_flat[j, : len(c)] = c
+        trips[j] = (len(c) + 1) // 2
+    return codes_flat.reshape(-1), trips, cmax
+
+
 def make_step_tables(plan: PairPanelPlan, t_step: int, tiles=None,
                      wsel_base: int = 0, resident_span: int = 0,
                      src_base: int = 0):
@@ -2180,13 +2219,17 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
             gc_np[c] = gi * gsz + cpos
     gc = jnp.asarray(gc_np)
 
+    # f32 on the 'c' path; f64 on the 'z' (Ozaki multiply) path -- the
+    # reductions and scalar expansions then stay in f64, same policy as
+    # the ungrouped primitives
+    vdt = jnp.result_type(b_fused)
     mask = jnp.asarray(grouped_lane_mask(plan, gp))     # [nslots, 2*ln2]
 
     def multiply(x):
         y = mult.apply(consts, x)
         y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
         y3 = y.reshape(nslots, lm, 2 * ln2) * mask[:, None, :]
-        return y3.reshape(nxrows, 2 * ln2)
+        return y3.reshape(nxrows, 2 * ln2).astype(vdt)
 
     def _exact_onehot_dot(a, p):
         hi, lo = split_bf16x2(p)
@@ -2196,7 +2239,11 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
 
     def _colsum(p):
         """[nxrows, ln2] -> [ncc, ln0] per-compressed-column sums."""
-        z = _exact_onehot_dot(oh_rows.T, p)             # [ngroups, ln2]
+        if vdt == jnp.float64:
+            z = jax.lax.dot(oh_rows.T.astype(jnp.float64), p,
+                            preferred_element_type=jnp.float64)
+        else:
+            z = _exact_onehot_dot(oh_rows.T, p)         # [ngroups, ln2]
         return z.reshape(ngroups * gsz, ln0)[gc]
 
     def halves(x):
@@ -2216,14 +2263,16 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
     def _scale(a):
         """[ncc, ln0] per-column scalars -> [nxrows, ln2] lane panel.
         Exact expansion: the scatter into the lane layout moves values
-        (no arithmetic) and the 0/1 one-hot expansion runs at HIGHEST."""
-        dt = jnp.float32
+        (no arithmetic) and the 0/1 one-hot expansion runs at HIGHEST
+        (f64 on the 'z' path, keeping the recurrence at f64 quality)."""
+        dt = vdt
         hp = jax.lax.Precision.HIGHEST
 
         def expand(v):
             flat = jnp.zeros((ngroups * gsz, ln0), dt)
             flat = flat.at[gc].set(v.astype(dt))
-            return jax.lax.dot(oh_rows, flat.reshape(ngroups, ln2),
+            return jax.lax.dot(oh_rows.astype(dt),
+                               flat.reshape(ngroups, ln2),
                                preferred_element_type=dt, precision=hp)
 
         return expand(a[0]), expand(a[1])

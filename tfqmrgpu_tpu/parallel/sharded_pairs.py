@@ -154,14 +154,18 @@ class ShardedPairsSolver:
             assert self.vrows_local % self.swrows == 0
             self.nwin_local = self.vrows_local // self.swrows
 
-        # t_step: auto (VMEM model) unless overridden; per-shard tables may
-        # still overflow the window span -> halve and retry.  This engine's
-        # kernels pipeline at STEP granularity, so size t against the
-        # step-level scratch even when the single-chip build would pick the
-        # tile-pipe kernel for this plan.
+        # TILE-pipelined kernels for the RESIDENT calls (r3; same verdict
+        # as the single-chip engine: per-tile scratch buffers are
+        # t-independent, so wide grouped lanes batch freely -- the
+        # exact-quality single-chip champion runs this kernel).  Windowed
+        # calls stay step-pipelined (use_tile_pipe is False for them).
+        self.tile_pipe = pp.use_tile_pipe(p0, precision)
+
+        # t_step: auto (VMEM model) unless overridden; per-shard tables
+        # may still overflow the window span -> halve and retry
         env_t = _os.environ.get("TFQ_PAIRS_TSTEP")
         want_t = int(t_step or (env_t if env_t else 0)) or \
-            pp.auto_t_step(p0, precision, tile_pipe=False)
+            pp.auto_t_step(p0, precision, tile_pipe=self.tile_pipe)
 
         # local/remote split: tiles whose X reads lie fully inside the
         # owning shard's vector rows need no halo.  Windowed plans bound a
@@ -352,11 +356,19 @@ class ShardedPairsSolver:
                 rem_ids = np.pad(rem_ids, (0, self.nsteps_rem * t
                                            - rem_ids.shape[0]),
                                  constant_values=-1)
-                ns, w, c, tr, cm = pp.make_step_tables(
-                    p0, t, tiles=rem_ids, resident_span=rem_span,
-                    src_base=(s * bl - self.h_lo) if self.halo else 0)
-                assert ns == self.nsteps_rem
-                rem_tabs.append((w, tr, c.reshape(ns + 1, cm)))
+                rem_base = (s * bl - self.h_lo) if self.halo else 0
+                if self.tile_pipe:
+                    c, tr, cm = pp.make_tile_tables(
+                        p0, rem_ids, src_base=rem_base, span=rem_span)
+                    w = np.zeros(rem_ids.shape[0], np.int32)
+                    rem_tabs.append((w, tr,
+                                     c.reshape(rem_ids.shape[0], cm)))
+                else:
+                    ns, w, c, tr, cm = pp.make_step_tables(
+                        p0, t, tiles=rem_ids, resident_span=rem_span,
+                        src_base=rem_base)
+                    assert ns == self.nsteps_rem
+                    rem_tabs.append((w, tr, c.reshape(ns + 1, cm)))
                 rem_cmax = max(rem_cmax, cm)
             if self.n_loc:
                 loc_ids = np.pad(chunk[p: tl - q if q else tl],
@@ -364,6 +376,14 @@ class ShardedPairsSolver:
                                  constant_values=-1)
                 span = (self.vrows_local // self.lm
                         if self.loc_resident else 0)
+                if self.resident_plan and self.tile_pipe:
+                    c, tr, cm = pp.make_tile_tables(
+                        p0, loc_ids, src_base=s * bl, span=bl)
+                    w = np.zeros(loc_ids.shape[0], np.int32)
+                    loc_tabs.append((w, tr,
+                                     c.reshape(loc_ids.shape[0], cm)))
+                    loc_cmax = max(loc_cmax, cm)
+                    continue
                 if self.resident_plan:
                     # sources are absolute block ids; rebase to the
                     # shard's local slice start
@@ -420,13 +440,14 @@ class ShardedPairsSolver:
             parts = tuple(self._to_dev(np.asarray(p)) for p in parts)
         self._a_panels = parts
         mk = dict(copy_g=p0.copy_g, t_step=self.t_step)
+        tp = self.tile_pipe
         if self.n_loc:
             if self.loc_resident:
                 self._call_loc = pp._make_call(
                     self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
                     self.vrows_local // self.lm, self.vrows_local,
                     self.precision, self.interpret, cmax=self.loc_cmax,
-                    resident=True, **mk)
+                    resident=True, tile_pipe=tp, **mk)
             else:
                 self._call_loc = pp._make_call(
                     self.nsteps_loc, p0.r_tile, p0.ku, self.lm, self.ln,
@@ -442,7 +463,7 @@ class ShardedPairsSolver:
                     self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
                     ext, ext * self.lm,
                     self.precision, self.interpret, cmax=self.rem_cmax,
-                    resident=True, **mk)
+                    resident=True, tile_pipe=tp, **mk)
             elif self.resident_plan:
                 # boundary tiles read the full gathered panel, held
                 # resident in VMEM (the pack's VMEM check admitted it)
@@ -450,7 +471,7 @@ class ShardedPairsSolver:
                     self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,
                     p0.x_rows_padded // self.lm, p0.x_rows_padded,
                     self.precision, self.interpret, cmax=self.rem_cmax,
-                    resident=True, **mk)
+                    resident=True, tile_pipe=tp, **mk)
             else:
                 self._call_rem = pp._make_call(
                     self.nsteps_rem, p0.r_tile, p0.ku, self.lm, self.ln,

@@ -205,20 +205,25 @@ class Solver:
                 rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
                 cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
                 want = 0
-                # z: plain windowed packs only (the oz kernel supports
-                # neither grouping nor the resident window yet)
-                if (cg_env != "1" and not col_pad and precision == "c"
+                # z routes through the Ozaki kernel: grouped windowed
+                # packs work (r3 -- the grouped A dedup carries straight
+                # through the A-bytes-bound p~9 slice stream), resident
+                # stays off (an xsplit=p window cannot fit VMEM); model
+                # the candidates at the oz pass rate
+                model_prec = self._pp_prec if precision == "c" else "oz9"
+                if (cg_env != "1" and not col_pad
                         and self.plan.ncols >= 2):
                     want = int(cg_env)
                     if want == 0:
+                        cap = 512 if precision == "c" else 256
                         cands = tuple(g for g in (1, 2, 4, 8)
-                                      if g * self.ln <= 512)
+                                      if g * self.ln <= cap)
                         try:
                             want, _ests = pp_ops.auto_group_size(
                                 self.plan.pairs[:, 0],
                                 self.plan.pairs[:, 1], pair_y,
                                 self.plan.nnzb_x, self.lm, self.ln,
-                                self._pp_prec, row_of=row_of_x,
+                                model_prec, row_of=row_of_x,
                                 col_of=self.plan.colindx,
                                 candidates=cands)
                         except ValueError:
@@ -232,9 +237,10 @@ class Solver:
                     self._gp, self._pp_plan = pp_ops.pack_grouped_plan(
                         self.plan.pairs[:, 0], self.plan.pairs[:, 1],
                         pair_y, self.plan.nnzb_x, self.lm, self.ln,
-                        want, self._pp_prec, row_of=row_of_x,
+                        want, model_prec, row_of=row_of_x,
                         col_of=self.plan.colindx, r_tile=rt,
-                        copy_g=cg_copy, force=(cg_env not in ("0", "1")))
+                        copy_g=cg_copy, force=(cg_env not in ("0", "1")),
+                        allow_resident=(precision != "z"))
                 else:
                     self._pp_plan = pp_ops.pack_pair_plan(
                         self.plan.pairs[:, 0], self.plan.pairs[:, 1],
