@@ -182,7 +182,7 @@ def main_iter():
     """TFQ_BENCH_MODE=iter: full tfQMR ITERATION throughput on a banded
     operator (1000 block rows, LM=LN=32, 8 RHS block columns) -- the
     sustained-production metric: ms/iteration and the fraction of the
-    measured-bandwidth roofline.  Iteration time is differential
+    residency-aware roofline ceiling.  Iteration time is differential
     ((t(40 iters) - t(10 iters)) / 30) with varied tolerances, so dispatch
     overhead and relay memoization cancel."""
     import jax
@@ -299,9 +299,9 @@ def main_iter():
         "n_pairs": int(solver.plan.n_pairs),
         "fraction_of_measured_roofline": round(frac, 3),
         "baseline_note": "vs_baseline = fraction of the residency-aware "
-                         "roofline (measured ~250 GB/s HBM; VMEM-resident "
-                         "solver state counts zero vector bytes, so the "
-                         "ceiling majorizes and fractions stay <= 1)",
+                         "roofline CEILING (sheet 819 GB/s HBM; "
+                         "VMEM-resident solver state counts zero vector "
+                         "bytes -- the ceiling majorizes, fractions <= 1)",
         "vectors_resident": bool(roof.vectors_resident),
     }))
     return 0

@@ -535,3 +535,95 @@ def test_pairpanel_oz_grouped(rng):
     got = pp.ungroup_blocks(gp, yre) + 1j * pp.ungroup_blocks(gp, yim)
     dev = np.max(np.abs(got - want)) / np.abs(want).max()
     assert dev < 1e-12, dev
+
+
+def test_kernels_stay_32bit_under_x64(rng):
+    """Regression: with jax_enable_x64 on (the 'z'/'m' paths), python-int
+    index math inside the Pallas kernels promotes through weak int64 and
+    Mosaic either recurses (s64 converts) or rejects the memref slice
+    (i64 indices).  Interpret mode cannot catch it, so walk the traced
+    kernel jaxprs and assert no 64-bit dtype appears anywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    def _is64(dt):
+        try:
+            return jnp.dtype(dt).itemsize == 8
+        except TypeError:
+            return False            # semaphore/opaque dtypes
+
+    def walk(jaxpr, bad):
+        for v in list(jaxpr.invars) + list(jaxpr.outvars):
+            if hasattr(v, "aval") and hasattr(v.aval, "dtype"):
+                if _is64(v.aval.dtype):
+                    bad.append((v.aval.dtype, "io"))
+        for eqn in jaxpr.eqns:
+            for v in list(eqn.invars) + list(eqn.outvars):
+                if hasattr(v, "aval") and hasattr(v.aval, "dtype"):
+                    if _is64(v.aval.dtype):
+                        bad.append((v.aval.dtype, eqn.primitive.name))
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    walk(inner if not hasattr(inner, "jaxpr") else
+                         inner.jaxpr, bad)
+
+    def kernel_jaxprs(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                out.append(eqn.params["jaxpr"])
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    kernel_jaxprs(inner if not hasattr(inner, "jaxpr")
+                                  else inner.jaxpr, out)
+
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=12, ncols=2, lm=lm, ln=ln)
+    a = rng.standard_normal((na, lm, lm)) + 1j * rng.standard_normal(
+        (na, lm, lm))
+    x = rng.standard_normal((nx, lm, ln)) + 1j * rng.standard_normal(
+        (nx, lm, ln))
+
+    builds = []
+    # resident step-pipelined, resident tile-piped, windowed, oz
+    for res, tp in ((True, False), (True, True), (False, False)):
+        plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1,
+                                 resident=res)
+        if tp:
+            import os
+            os.environ["TFQ_PAIRS_TILEPIPE"] = "1"
+        try:
+            panels = jnp.asarray(pp.build_a_panels(
+                plan, a.real.astype(np.float32),
+                a.imag.astype(np.float32)))
+            mult = pp.make_pairpanel_multiply(plan, panels,
+                                              precision="highest",
+                                              interpret=True, t_step=2)
+        finally:
+            if tp:
+                os.environ.pop("TFQ_PAIRS_TILEPIPE", None)
+        xf = jnp.asarray(pp.permute_x(plan, x.real.astype(np.float32),
+                                      x.imag.astype(np.float32)))
+        builds.append((f"res={res},tp={tp}",
+                       jax.make_jaxpr(lambda c, v: mult.apply(c, v))(
+                           mult.consts, xf)))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1,
+                             resident=False)
+    mult_oz = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                            interpret=True, t_step=2)
+    xf64 = jnp.asarray(pp.permute_x(plan, a0 := x.real, x.imag))
+    del a0
+    builds.append(("oz", jax.make_jaxpr(
+        lambda c, v: mult_oz.apply(c, v))(mult_oz.consts, xf64)))
+
+    for name, traced in builds:
+        kerns = []
+        kernel_jaxprs(traced.jaxpr, kerns)
+        assert kerns, f"{name}: no pallas_call found"
+        for kj in kerns:
+            bad = []
+            walk(kj, bad)
+            assert not bad, f"{name}: 64-bit values in kernel: {bad[:5]}"

@@ -1391,9 +1391,13 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
         # per-tile DYNAMIC trip count (program lengths average well below
         # the padded cmax; pad copies target the zero-A slot at ku); the
-        # 2-wide body amortizes the loop overhead
+        # 2-wide body amortizes the loop overhead.  Explicit int32 bounds
+        # and carry: python-int literals become weak int64 under
+        # jax_enable_x64 and drag the whole loop to i64, which Mosaic
+        # cannot lower
         if not no_gather:
-            jax.lax.fori_loop(0, trips_ref[i], body, 0)
+            jax.lax.fori_loop(jnp.int32(0), trips_ref[i], body,
+                              jnp.int32(0))
 
     def dot(a, b):
         return jax.lax.dot(
@@ -1410,6 +1414,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         oz: the raw [2M, p*2LN] per-diagonal sums are stored untouched --
         any in-kernel f32 arithmetic past the exact diagonal accumulation
         would break the f64-quality combine that happens outside."""
+        j = np.int32(j)       # python-int ref indices trace as i64
+        #                         under jax_enable_x64; Mosaic wants i32
         if is_oz:
             y_ref[j] = y2
             return
@@ -1432,6 +1438,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         # per-tile buffers where the union always sits at slot 0; the A-ref
         # index stays j)
         xo = (j if xj is None else xj) * ku * lm
+        j = np.int32(j)       # i32 ref index (see finish)
         if is_oz:
             # f64-quality (ops/ozaki.py): a_refs holds p pure bf16 slice
             # planes of A (per-row power-of-two scale factored out), xs2
@@ -1513,7 +1520,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
         @pl.when(i == 0)
         def _():
-            cp = pltpu.make_async_copy(xw_hbm.at[0], xw_v, w_sem)
+            cp = pltpu.make_async_copy(xw_hbm.at[np.int32(0)], xw_v,
+                                           w_sem)
             cp.start()
             cp.wait()
 
@@ -1572,7 +1580,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         if resident:
             @pl.when(i == 0)
             def _():
-                cp = pltpu.make_async_copy(xw_hbm.at[0], xw_v, w_sem)
+                cp = pltpu.make_async_copy(xw_hbm.at[np.int32(0)], xw_v,
+                                           w_sem)
                 cp.start()
                 cp.wait()
         # Two SEPARATE scratch refs (not halves of one): Mosaic tracks

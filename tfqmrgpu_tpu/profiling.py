@@ -184,9 +184,11 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
         peak_tflops = peaks["bf16_tflops"] / 40     # f64 emulation ballpark
     else:
         peak_tflops = peaks["bf16_tflops"] / mm_passes
-    hbm_gbps = float(os.environ.get(
-        "TFQ_HBM_GBPS",
-        peaks.get("hbm_gbps_measured", peaks["hbm_gbps"])))
+    # a CEILING takes the SHEET bandwidth (the fastest the chip could
+    # ever move the compulsory bytes), not the measured copy-loop rate:
+    # fused read-mostly streams measurably exceed the r+w copy number,
+    # which made r2's fractions land above 1.  Override: TFQ_HBM_GBPS.
+    hbm_gbps = float(os.environ.get("TFQ_HBM_GBPS", peaks["hbm_gbps"]))
     t_compute = flops / (peak_tflops * 1e12)
     t_bw = bytes_ / (hbm_gbps * 1e9)
     light = max(t_compute, t_bw)
