@@ -168,13 +168,18 @@ def autotune_solver(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "c",
                     tolerance: float = 1e-5, max_iterations: int = 200,
                     candidates: Optional[list] = None,
                     nrep: int = 16, use_cache: bool = True,
+                    search_budget: int = 8,
                     echo: int = 0):
     """Measure candidate engine configurations on the ISOLATED multiply;
     return (best_solver, table).
 
-    Results persist across processes keyed on the operator pattern (see
-    module docstring); a cache hit builds the winning configuration
-    directly without re-measuring."""
+    After the candidate race, a bounded coordinate-descent search
+    perturbs the winning pairs knobs (colgroup, t_step, VMEM cap,
+    copy_g) one at a time -- ``search_budget`` extra measurements
+    (env TFQ_AUTOTUNE_SEARCH; 0 disables), so values between the fixed
+    candidates are reachable.  Results persist across processes keyed on
+    the operator pattern (see module docstring); a cache hit builds the
+    winning configuration directly without re-measuring."""
     del tolerance, max_iterations        # timing is multiply-only now
     if candidates is None:
         candidates = default_candidates(precision)
@@ -231,6 +236,81 @@ def autotune_solver(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "c",
                     os.environ[k] = v
     if best is None:
         raise RuntimeError("no engine configuration succeeded")
+
+    # LOCAL SEARCH around the winner (r3): the candidate list alone
+    # cannot discover knob values between its fixed points (a good VMEM
+    # cap, a colgroup the model mis-prices, a t_step off the auto pick).
+    # Coordinate descent: perturb one pairs knob at a time; an accepted
+    # move re-opens its neighbors.  Bounded by ``search_budget`` extra
+    # measurements (TFQ_AUTOTUNE_SEARCH, default 8; 0 disables).
+    budget = int(os.environ.get("TFQ_AUTOTUNE_SEARCH", str(search_budget)))
+    if budget > 0 and best[2]["engine"] == "pairs":
+        from .ops import pairpanel as pp_ops
+
+        def measure(env):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                s = Solver(a, x, b, precision=precision, engine="pairs",
+                           echo=0)
+                return s, time_multiply(s, nrep=nrep)
+            except Exception:
+                return None, float("inf")
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+
+        def neighbors(env, sref):
+            out = []
+            gp = getattr(sref, "_gp", None)
+            g_cur = gp.group_size if gp is not None else 1
+            t_cur = int(env.get("TFQ_PAIRS_TSTEP", "0")) or \
+                pp_ops.auto_t_step(sref._pp_plan, sref._pp_prec)
+            for g in (g_cur // 2, g_cur * 2):
+                if 1 <= g <= 16 and g * sref.ln <= 512 and g != g_cur:
+                    out.append({**env, "TFQ_PAIRS_COLGROUP": str(g)})
+            for t in (max(t_cur // 2, 1), min(t_cur * 2, 128)):
+                if t != t_cur:
+                    out.append({**env, "TFQ_PAIRS_TSTEP": str(t)})
+            cap = int(env.get("TFQ_PAIRS_VMEM_CAP", "100"))
+            for c in (cap + 10, cap - 10):
+                if 80 <= c <= 120 and c != cap:
+                    out.append({**env, "TFQ_PAIRS_VMEM_CAP": str(c),
+                                "TFQ_PAIRS_VMEM": str(c)})
+            cg = int(env.get("TFQ_PAIRS_COPYG", "2"))
+            for c in (1, 2, 4):
+                if c != cg:
+                    out.append({**env, "TFQ_PAIRS_COPYG": str(c)})
+            return out
+
+        cur_env = dict(best[2]["env"])
+        seen = {json.dumps(cur_env, sort_keys=True)}
+        improved = True
+        while improved and budget > 0:
+            improved = False
+            for env in neighbors(cur_env, best[0]):
+                kk = json.dumps(env, sort_keys=True)
+                if kk in seen or budget <= 0:
+                    continue
+                seen.add(kk)
+                budget -= 1
+                s, dt = measure(env)
+                row = dict(engine="pairs", env=dict(env),
+                           ms_per_multiply=round(dt * 1e3, 4),
+                           search=True)
+                table.append(row)
+                if echo > 0:
+                    print(f"# autotune search: {env} -> "
+                          f"{dt*1e3:.3f} ms/multiply")
+                if s is not None and dt < best[1]:
+                    best = (s, dt, row)
+                    cur_env = dict(env)
+                    improved = True
+                    break                 # re-open the neighborhood
+
     if use_cache:
         _store_cache(key, best[2])
     return best[0], table
