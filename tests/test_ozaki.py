@@ -106,3 +106,48 @@ def test_pow2_scale_edges():
     assert np.all(sig >= np.where(vals > 0, vals, 1.0))
     # never more than one binade of over-scale inside the exact range
     assert np.all(sig <= 4.0 * np.where(vals > 0, vals, 1.0))
+
+
+def test_spmm_pairs_oz_f64_quality():
+    """The block-list engine's f64 path must route through the Ozaki
+    slice products automatically (no Pallas tiling constraints -- serves
+    LM < 16, e.g. the FD geometry's LM=8) and agree with the NumPy
+    complex128 pair walk to ~1e-13 relative (reference semantics:
+    gemmNxNf double instantiation, tfqmrgpu.cu:40-45)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import make_random_problem
+
+    from tfqmrgpu_tpu.ops.blocksparse import BlockSparseAction
+    from tfqmrgpu_tpu.plan import create_plan
+
+    rng = np.random.default_rng(11)
+    a, x, b = make_random_problem(rng, mb=14, lm=8, ln=8, ncols=2,
+                                  x_fill=0.8)
+    a.data *= 10.0 ** rng.integers(-6, 6, (a.nnzb, 1, 1))
+    plan = create_plan(a, x, b)
+    act = BlockSparseAction.from_plan(
+        plan, np.ascontiguousarray(a.data.real),
+        np.ascontiguousarray(a.data.imag), engine="xla", ln=8)
+    assert act.oz_pq is not None           # auto-enabled for f64 operands
+    xv = (rng.standard_normal((plan.nnzb_x, 8, 8))
+          + 1j * rng.standard_normal((plan.nnzb_x, 8, 8)))
+    yr, yi = act.multiply((np.ascontiguousarray(xv.real),
+                           np.ascontiguousarray(xv.imag)))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    pair_y = np.repeat(np.arange(plan.nnzb_x), np.diff(plan.starts))
+    yo = np.zeros_like(y)
+    for (ia, ix), iy in zip(plan.pairs, pair_y):
+        yo[iy] += a.data[ia] @ xv[ix]
+    rel = np.max(np.abs(y - yo)) / np.max(np.abs(yo))
+    assert rel < 1e-13, rel
+    # opt-out restores the plain emulated-f64 path
+    os.environ["TFQ_XLA_OZ"] = "0"
+    try:
+        act2 = BlockSparseAction.from_plan(
+            plan, np.ascontiguousarray(a.data.real),
+            np.ascontiguousarray(a.data.imag), engine="xla", ln=8)
+        assert act2.oz_pq is None
+    finally:
+        del os.environ["TFQ_XLA_OZ"]

@@ -404,10 +404,16 @@ def test_precision_props_vmem_model():
     props = pp.precision_props("bf16x6")
     assert props["xsplit"] == 3 and props["a_presplit"] == 0
     assert pp.precision_props("bf16x4")["a_presplit"] == 2
-    # resident window: 6*ln bf16 lanes = 1.5x the f32 bytes
-    b_hi = pp.resident_window_bytes(100, 16, 32, "highest")
-    b_x6 = pp.resident_window_bytes(100, 16, 32, "bf16x6")
+    # resident window: 6*ln bf16 lanes = 1.5x the f32 bytes (at ln=64
+    # where neither lane count pads: VMEM lanes tile at 128, so the model
+    # counts PHYSICAL padded widths -- see _lanes_pad)
+    b_hi = pp.resident_window_bytes(100, 16, 64, "highest")
+    b_x6 = pp.resident_window_bytes(100, 16, 64, "bf16x6")
     assert b_x6 == int(1.5 * b_hi)
+    # narrow lanes pad to the full 128-lane tile: ln=8 'highest' (16
+    # fused lanes) must be priced as 128
+    b_n = pp.resident_window_bytes(100, 16, 8, "highest")
+    assert b_n == (100 + 2) * 16 * 128 * 4
 
 
 @pytest.mark.parametrize("t_step,r_tile,precision",
@@ -627,3 +633,50 @@ def test_kernels_stay_32bit_under_x64(rng):
             bad = []
             walk(kj, bad)
             assert not bad, f"{name}: 64-bit values in kernel: {bad[:5]}"
+
+
+def test_pairpanel_oz_int8_bit_identical(rng, monkeypatch):
+    """int8 raw-int A planes (the default) must lose nothing vs the bf16
+    scaled-value planes.  At q <= 6 the reconstruction is bit-exact (same
+    sigma, |int| <= 64); slice-level identity is asserted directly.  At
+    the plan level (small K here forces q = 7, which re-slices with one
+    spare binade) both modes must deliver f64 quality on the same data."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    # slice-level bit identity at q = 6
+    v = rng.standard_normal((8, 96)) * 10.0 ** rng.uniform(-5, 5, (8, 96))
+    from tfqmrgpu_tpu.ops import ozaki
+    sig = ozaki.pow2_scale(jnp.max(jnp.abs(jnp.asarray(v)), axis=1,
+                                   keepdims=True))
+    pure = jnp.asarray(v) / sig
+    bf = pp._oz_slices(pure, 9, 6)
+    i8 = pp._oz_slices_int8(pure, 9, 6)
+    for s_ in range(9):
+        np.testing.assert_array_equal(
+            np.asarray(bf[s_], np.float64),
+            np.asarray(i8[s_], np.float64) * 2.0 ** (-(s_ + 1) * 6))
+
+    # plan-level: int8 engages and both modes reach f64 quality
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=16, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 3))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1)
+    sp = 10.0 ** rng.uniform(-6, 6, (na, 1, 1))
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm))) * sp
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+    scale = np.abs(want).max()
+    xf = jnp.asarray(pp.permute_x(plan, x.real, x.imag))
+    for mode, want_dt in (("1", jnp.int8), ("0", jnp.bfloat16)):
+        monkeypatch.setenv("TFQ_OZ_INT8", mode)
+        mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                             interpret=True)
+        assert mult.consts[3].dtype == want_dt
+        yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+        dev = np.max(np.abs((yre + 1j * yim) - want)) / scale
+        assert dev < 1e-12, (mode, dev)

@@ -29,7 +29,8 @@ def test_refinement_loop_converges_with_exact_corrections():
 
     def correction(r, res2, stall, inner_max):
         calls.append(inner_max)
-        return 0.9 * r, 7          # residual shrinks 10x per round
+        rr, ri = np.asarray(r[0]), np.asarray(r[1])
+        return (0.9 * rr, 0.9 * ri), 7   # residual shrinks 10x per round
 
     res = refinement_loop(
         apply64=apply64, bx64=bx, colindx=colindx, bn2=bn2,
@@ -55,7 +56,8 @@ def test_refinement_loop_breaks_on_stall():
     apply64, bx, colindx, bn2 = _identity_setup()
 
     def correction(r, res2, stall, inner_max):
-        return 0.5 * r, 5          # only halves -> ratio > 0.25 * prev
+        rr, ri = np.asarray(r[0]), np.asarray(r[1])
+        return (0.5 * rr, 0.5 * ri), 5   # only halves -> ratio > 0.25*prev
 
     res = refinement_loop(
         apply64=apply64, bx64=bx, colindx=colindx, bn2=bn2,
@@ -72,7 +74,8 @@ def test_refinement_loop_respects_global_budget():
 
     def correction(r, res2, stall, inner_max):
         assert inner_max <= 12     # capped by the remaining global budget
-        return 0.5 * r, inner_max
+        rr, ri = np.asarray(r[0]), np.asarray(r[1])
+        return (0.5 * rr, 0.5 * ri), inner_max
 
     res = refinement_loop(
         apply64=apply64, bx64=bx, colindx=colindx, bn2=bn2,

@@ -546,8 +546,12 @@ def precision_props(precision: str) -> dict:
     if precision.startswith("oz"):
         p = int(precision[2:])
         # triangular dots at ~half lanes on average; the 2*ln<=64 lane
-        # packing folds pairs of products per pass like bf16x4
-        return dict(xsplit=p, a_presplit=p, passes=p * (p + 1) / 4.0)
+        # packing folds pairs of products per pass like bf16x4.
+        # a_bytes: int8 raw-int planes (the default, TFQ_OZ_INT8) halve
+        # the A element size vs bf16 scaled values
+        a_b = 1 if _os.environ.get("TFQ_OZ_INT8", "1") != "0" else 2
+        return dict(xsplit=p, a_presplit=p, passes=p * (p + 1) / 4.0,
+                    a_bytes=a_b)
     return {
         "highest": dict(xsplit=1, a_presplit=0, passes=6.0),
         "bf16":    dict(xsplit=2, a_presplit=2, passes=1.0),
@@ -585,15 +589,27 @@ def use_tile_pipe(plan: PairPanelPlan, precision: str) -> bool:
         2 * precision_props(precision)["xsplit"] * plan.ln >= 256
 
 
+def _lanes_pad(lanes: int) -> int:
+    """Physical VMEM lane width: buffers tile at 128 lanes, so a narrow
+    last dim (e.g. the 16-lane fused panels of the FD geometry LN=8)
+    occupies ceil(lanes/128)*128 lanes on chip.  Byte models that ignore
+    this under-count narrow-lane working sets by up to 8x (observed: a
+    scoped-vmem stack OOM at rtb=12.75 'm' where the model said 10.9 MB
+    and Mosaic needed 11.1)."""
+    return -(-lanes // 128) * 128
+
+
 def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int,
                     tile_pipe=None) -> int:
     """Modeled VMEM working set of the kernel at grid-step batch ``t``:
     double-buffered A panels, union scratch, the two resident window
-    replicas, and the output buffers."""
+    replicas, and the output buffers.  All lane widths are PHYSICAL
+    (padded to the 128-lane tile)."""
     pr = precision_props(precision)
     split = pr["a_presplit"] > 0
-    a_b, n_a = (2, pr["a_presplit"]) if split else (4, 1)
-    w_lanes = 2 * pr["xsplit"] * plan.ln
+    a_b, n_a = ((pr.get("a_bytes", 2), pr["a_presplit"]) if split
+               else (4, 1))
+    w_lanes = _lanes_pad(2 * pr["xsplit"] * plan.ln)
     w_b = 2 if pr["xsplit"] > 1 else 4
     lm, ku, g, S = plan.lm, plan.ku, plan.copy_g, plan.s_window
     m2 = 2 * plan.r_tile * lm
@@ -602,16 +618,16 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int,
         tile_pipe = use_tile_pipe(plan, precision)
     # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside);
     # other modes assemble to [m, 2ln] in-kernel
-    o_rows, o_lanes = ((m2, 2 * pr["xsplit"] * plan.ln)
+    o_rows, o_lanes = ((m2, _lanes_pad(2 * pr["xsplit"] * plan.ln))
                        if precision.startswith("oz")
-                       else (m, 2 * plan.ln))
+                       else (m, _lanes_pad(2 * plan.ln)))
     # resident plans hold ONE panel-sized scratch (manual DMA from HBM);
     # windowed plans carry two pipelined replica buffers
     win_bufs = 1 if plan.resident else 2
     win = win_bufs * (S + plan.o_blocks + g) * lm * w_lanes * w_b
     # tile-level pipelining: the two union buffers hold ONE tile each
     scr_ku = (ku + g) if tile_pipe else (t * ku + g)
-    return (2 * n_a * t * m2 * ku * lm * a_b
+    return (2 * n_a * t * m2 * _lanes_pad(ku * lm) * a_b
             + 2 * scr_ku * lm * w_lanes * w_b
             + win + 2 * t * o_rows * o_lanes * 4)
 
@@ -631,7 +647,7 @@ def resident_window_bytes(n_slots: int, lm: int, ln: int, precision: str,
     (the kernel DMAs the HBM panel into it once at grid step 0; the input
     itself stays in ANY/HBM memory space)."""
     pr = precision_props(precision)
-    w_lanes = 2 * pr["xsplit"] * ln
+    w_lanes = _lanes_pad(2 * pr["xsplit"] * ln)
     w_b = 2 if pr["xsplit"] > 1 else 4
     return (n_slots + max(int(copy_g), 1)) * lm * w_lanes * w_b
 
@@ -1135,7 +1151,7 @@ def plan_time_model(plan: PairPanelPlan, precision: str,
     split = pr["a_presplit"] > 0
     lm, ku, S = plan.lm, plan.ku, plan.s_window
     a_bytes = plan.ntiles * plan.r_tile * ku * 2 * lm * lm \
-        * (2 if split else 4)
+        * (pr.get("a_bytes", 2) if split else 4)
     # X: each (2S+g)-row replica window is streamed once (pallas
     # revisiting); w_lanes/w_b as in vmem_need_bytes
     w_lanes = 2 * pr["xsplit"] * plan.ln
@@ -1325,7 +1341,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
                o_blocks: int = 0, resident: bool = False,
-               tile_pipe: bool = False):
+               tile_pipe: bool = False, oz_q: int = 0):
     import sys
 
     import jax
@@ -1452,8 +1468,17 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             xs = xs2[xo: xo + k, :]
             p_ = len(a_refs)
             two = 2 * ln
-            ds = [dot(a_refs[s][j], xs[:, : (p_ - s) * two])
-                  for s in range(p_)]
+            ds = []
+            for s in range(p_):
+                a_sj = a_refs[s][j]
+                if a_sj.dtype == jnp.int8:
+                    # int8 planes store RAW slice integers (|int| <= 64):
+                    # exact convert + exact power-of-two descale restores
+                    # the bf16 slice value at HALF the streamed A bytes
+                    a_sj = (a_sj.astype(jnp.float32)
+                            * np.float32(2.0 ** (-(s + 1) * oz_q))
+                            ).astype(jnp.bfloat16)
+                ds.append(dot(a_sj, xs[:, : (p_ - s) * two]))
             cols = []
             for d in range(p_):
                 acc = ds[0][:, d * two: (d + 1) * two]
@@ -1514,14 +1539,18 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         xw_hbm, y_ref, xs_a, xs_b, xw_v, w_sem = refs[n_a:]
 
         def win_read(rows):
-            return xw_v[rows, :]
+            return xw_v[np.int32(0), rows, :]
 
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            cp = pltpu.make_async_copy(xw_hbm.at[np.int32(0)], xw_v,
-                                           w_sem)
+            # FULL-ref copy (scratch is [1, rows, lanes] like the HBM
+            # input): slicing the HBM ref with .at[0] lowers to
+            # tpu.memref_slice, which requires the lane dim to be
+            # 128-aligned -- narrow fused panels (2*ln < 128, e.g. the
+            # FD geometry LN=8) would fail to compile
+            cp = pltpu.make_async_copy(xw_hbm, xw_v, w_sem)
             cp.start()
             cp.wait()
 
@@ -1569,7 +1598,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             xw_hbm, y_ref, xs_a, xs_b, xw_v, w_sem = refs[n_a:]
 
             def win_read(rows):
-                return xw_v[rows, :]
+                return xw_v[np.int32(0), rows, :]
         else:
             xw, y_ref, xs_a, xs_b = refs[n_a:]
 
@@ -1580,8 +1609,9 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         if resident:
             @pl.when(i == 0)
             def _():
-                cp = pltpu.make_async_copy(xw_hbm.at[np.int32(0)], xw_v,
-                                           w_sem)
+                # full-ref copy; see kernel_tile_pipe for why .at[0]
+                # (tpu.memref_slice) cannot be used on narrow lane panels
+                cp = pltpu.make_async_copy(xw_hbm, xw_v, w_sem)
                 cp.start()
                 cp.wait()
         # Two SEPARATE scratch refs (not halves of one): Mosaic tracks
@@ -1650,7 +1680,9 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     scratch = [pltpu.VMEM((scr_ku * lm, w_lanes), w_dt),
                pltpu.VMEM((scr_ku * lm, w_lanes), w_dt)]
     if resident:
-        scratch += [pltpu.VMEM((swrows + g * lm, w_lanes), w_dt),
+        # 3-D like the HBM input so the step-0 DMA copies the FULL ref
+        # (no memref_slice -> no 128-lane alignment requirement)
+        scratch += [pltpu.VMEM((1, swrows + g * lm, w_lanes), w_dt),
                     pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                    # wsel, trips, codes
@@ -1661,19 +1693,24 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         scratch_shapes=scratch,
     )
 
-    a_bytes = ntiles * T * m2 * k * (2 if a_presplit else 4) * n_a
+    a_eb0 = props.get("a_bytes", 2) if a_presplit else 4
+    a_bytes = ntiles * T * m2 * k * a_eb0 * n_a
     # VMEM working set: double-buffered A panels + window + 2 scratch
     # buffers + output; the default scoped limit is 16 MB but v5e carries
     # 128 MB -- raise the limit to what this call actually needs so large
     # t_step (the per-grid-step fixed cost amortizer) is admissible
-    a_eb = 2 if a_presplit else 4
+    a_eb = a_eb0
     w_eb = 2 if split else 4
     w_lanes_n = 2 * xsplit * ln
     win_bufs = 1 if resident else 2              # resident: single scratch
-    vmem_need = (2 * n_a * T * m2 * k * a_eb                   # A in x2
-                 + win_bufs * (swrows + orows + g * lm) * w_lanes_n * w_eb
-                 + 2 * scr_ku * lm * w_lanes_n * w_eb            # scratch x2
-                 + 2 * T * out_rows * out_lanes * 4)             # out x2
+    # PHYSICAL lane widths: VMEM tiles at 128 lanes, so narrow buffers
+    # (2*ln < 128) occupy the full tile -- the scoped limit must budget
+    # the padded footprint or Mosaic stack-OOMs at compile time
+    w_lanes_p = _lanes_pad(w_lanes_n)
+    vmem_need = (2 * n_a * T * m2 * _lanes_pad(k) * a_eb        # A in x2
+                 + win_bufs * (swrows + orows + g * lm) * w_lanes_p * w_eb
+                 + 2 * scr_ku * lm * w_lanes_p * w_eb            # scratch x2
+                 + 2 * T * out_rows * _lanes_pad(out_lanes) * 4)  # out x2
     vmem_limit = min(int(vmem_need * 1.25) + (8 << 20), 120 << 20)
     # oz runs p triangular dots of shrinking static width: sum_s (p-s)
     # lane groups = p(p+1)/2 product-equivalents
@@ -1920,6 +1957,30 @@ def _oz_slices(pure, p: int, q: int):
     return out
 
 
+def _oz_slices_int8(pure, p: int, q: int):
+    """p RAW-INTEGER int8 slices of an f64 array descaled to |.| <= 1:
+    pure == sum_s f64(slices[s]) * 2^{-(s+1)q} + O(2^{-p q}).
+
+    Identical math to ``_oz_slices`` but the stored value is the slice
+    INTEGER (|int| <= 2^q; q <= 6 keeps +-64 inside int8), not the scaled
+    bf16 value -- HALF the HBM bytes on the A-bandwidth-bound oz kernel.
+    The kernel converts int8 -> f32 -> *2^{-(s+1)q} -> bf16 per tile;
+    every step is exact (|int| <= 64 and a power-of-two scale), so the
+    MXU products and diagonal sums are bit-identical to the bf16 planes."""
+    import jax.numpy as jnp
+
+    if q > 7:
+        raise ValueError(f"q={q} overflows int8 slice range")
+    r = pure
+    out = []
+    for s in range(p):
+        step = jnp.float64(2.0 ** ((s + 1) * q))
+        sl = jnp.round(r * step)                  # ints in [-2^q, 2^q]
+        r = r - sl / step
+        out.append(sl.astype(jnp.int8))
+    return out
+
+
 def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
                                interpret: bool = False, t_step: int = 1,
                                bits: int = 53) -> OzPairPanelMultiply:
@@ -1959,13 +2020,32 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
         wsel_h = np.concatenate([plan.wsel, plan.wsel[-1:]])
         codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
                                            plan.ku)
+    # int8 raw-int A planes (default): HALF the streamed bytes of the
+    # bf16 scaled-value planes on this A-bandwidth-bound kernel; the
+    # in-kernel reconstruction is exact (see _oz_slices_int8), so results
+    # are bit-identical given the same (p, q).  Opt out: TFQ_OZ_INT8=0.
+    # Slice-int range: |int| <= 2^q; int8 holds q <= 6 directly, q == 7
+    # with ONE spare binade of scale (|r| <= 0.5 -> ints <= 64); tiny-K
+    # plans where slice_params returns q > 7 are re-sliced at q=7 with
+    # more slices (lower q only ADDS accumulation headroom, and
+    # p*q - 1 >= 53 keeps the truncation below one f64 ulp).
+    use_int8 = _os.environ.get("TFQ_OZ_INT8", "1") != "0"
+    if use_int8 and q > 7:
+        q = 7
+        p = max(p, -(-54 // 7))                  # ceil(54/7) = 8
     sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
                                      keepdims=True))
-    planes = tuple(_oz_slices(panels / sigma, p, q))
+    if use_int8:
+        if 2 ** q > 64:
+            # one spare binade: first-slice ints <= 2^{q-1} <= 64
+            sigma = sigma * 2.0
+        planes = tuple(_oz_slices_int8(panels / sigma, p, q))
+    else:
+        planes = tuple(_oz_slices(panels / sigma, p, q))
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, f"oz{p}", interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
-                      o_blocks=plan.o_blocks, resident=False)
+                      o_blocks=plan.o_blocks, resident=False, oz_q=q)
     consts = ((jnp.asarray(wsel_h), jnp.asarray(trips_h),
                jnp.asarray(codes_h)) + planes + (sigma,))
     return OzPairPanelMultiply(call, consts, plan, p, q)

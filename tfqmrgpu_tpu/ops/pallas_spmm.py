@@ -303,9 +303,13 @@ def _make_call(ntiles: int, rlm: int, kulm: int, lm: int, nr: int, c: int,
     # A panels and outputs -- well past the 16 MB scoped default for real
     # problems, but v5e carries 128 MB (see pairpanel._make_call)
     a_eb = 2 if split else 4
-    vmem_need = (2 * nr * c * 4 + 4 * kulm * c * 4
-                 + 2 * n_a * T * 2 * rlm * kulm * a_eb
-                 + 4 * T * rlm * c * 4)
+    # PHYSICAL lane widths: VMEM tiles at 128 lanes, so narrow panels
+    # (few RHS columns) occupy the full tile (see pairpanel._lanes_pad)
+    c_p = -(-c // 128) * 128
+    kulm_p = -(-kulm // 128) * 128
+    vmem_need = (2 * nr * c_p * 4 + 4 * kulm * c_p * 4
+                 + 2 * n_a * T * 2 * rlm * kulm_p * a_eb
+                 + 4 * T * rlm * c_p * 4)
     vmem_limit = min(int(vmem_need * 1.2) + (8 << 20), 120 << 20)
     return pl.pallas_call(
         kernel,

@@ -53,8 +53,9 @@ def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
                           tolerance=max(c_tolerance, tolerance),
                           max_iterations=maxit_c)
 
-    # f64 residual operator (XLA pair-list engine; software-emulated f64
-    # on TPU -- one multiply per round, off the iteration hot path)
+    # f64 residual operator (XLA pair-list engine; f64 operands route
+    # through the Ozaki bf16 slice products, ops/blocksparse.spmm_pairs_oz
+    # -- one multiply per round, off the iteration hot path)
     a_re64, a_im64 = lops.complex_to_planes(a.data, np.float64)
     act = BlockSparseAction.from_plan(plan, a_re64, a_im64, engine="xla",
                                       ln=ln)
@@ -68,11 +69,14 @@ def solve_sharded_mixed(a, x, b, plan, sp, *, tolerance: float = 1e-9,
     np.add.at(bn2, colindx, (np.abs(bx64) ** 2).sum(axis=1))
 
     def _correction(r, res2, stall, inner_max):
-        dx, info_d = sp.solve(ar, ai, r.real.astype(np.float32),
-                              r.imag.astype(np.float32),
+        rr, ri = (np.asarray(r[0], np.float32), np.asarray(r[1], np.float32))
+        dx, info_d = sp.solve(ar, ai, rr, ri,
                               tolerance=stall, max_iterations=inner_max,
                               rhs_xshaped=True)
-        return np.asarray(dx), int(info_d["iterations"])
+        dx = np.asarray(dx)
+        return ((np.ascontiguousarray(dx.real),
+                 np.ascontiguousarray(dx.imag)),
+                int(info_d["iterations"]))
 
     res = refinement_loop(
         apply64=apply64, bx64=bx64, colindx=colindx, bn2=bn2,

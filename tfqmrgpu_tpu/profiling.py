@@ -119,6 +119,10 @@ class Roofline:
     fraction_of_light: Optional[float] = None
     nnz_mac_per_s: Optional[float] = None
     vectors_resident: bool = False  # state vectors modeled as VMEM-held
+    # secondary: fraction of the DATASHEET-bandwidth light (the absolute
+    # physical ceiling; fraction_of_light uses the measured-achievable
+    # rate, which is the actionable regression metric on this relay)
+    fraction_of_sheet_light: Optional[float] = None
 
     def __str__(self):
         s = (f"roofline[{self.device_kind}]: "
@@ -167,15 +171,22 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
         a_bytes = plan.nnzb_a * 2 * lm * lm * rsize
     # Residency-aware vector traffic: the iteration runs inside one jitted
     # while_loop; when the ~10 X-shaped state vectors fit the VMEM budget,
-    # XLA keeps them on-chip and the ~13 vector passes never stream from
-    # HBM -- only the A panels are compulsory traffic.  A ceiling must
-    # majorize (r02's stream-only model produced fractions > 1 on
-    # VMEM-resident engines, hiding regressions), so resident states count
-    # zero vector bytes.  Budget override: TFQ_ROOFLINE_VMEM (MB).
+    # XLA keeps them on-chip and the vector ops never stream from HBM --
+    # only the A panels are compulsory traffic.  A ceiling must majorize
+    # (r02's stream-only model produced fractions > 1 on VMEM-resident
+    # engines, hiding regressions), so resident states count zero vector
+    # bytes, and the NON-resident pass count is a fusion LOWER BOUND, not
+    # the op-by-op count: a perfectly fused iteration reads each of the 7
+    # persistent complex vectors (v1, v4..v9, tfqmrgpu_core.hxx:49-56)
+    # once and writes it once per iteration, plus one read of the f32
+    # shadow v3 -- ~15 unidirectional traversals.  (The naive op-by-op
+    # count is ~26; XLA's fusion really does land between the two, which
+    # is what put r02's fractions at 1.2-1.4.)  Budget override:
+    # TFQ_ROOFLINE_VMEM (MB).
     vmem_budget = int(os.environ.get("TFQ_ROOFLINE_VMEM", "72")) << 20
     vectors_resident = 10 * nvec <= vmem_budget
-    vec_passes = 0 if vectors_resident else 13
-    bytes_ = 2 * a_bytes + vec_passes * 2 * nvec
+    vec_passes = 0 if vectors_resident else 15
+    bytes_ = 2 * a_bytes + vec_passes * nvec
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -188,10 +199,18 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
     # ever move the compulsory bytes), not the measured copy-loop rate:
     # fused read-mostly streams measurably exceed the r+w copy number,
     # which made r2's fractions land above 1.  Override: TFQ_HBM_GBPS.
-    hbm_gbps = float(os.environ.get("TFQ_HBM_GBPS", peaks["hbm_gbps"]))
+    # Two ceilings: the headline fraction uses the MEASURED-achievable
+    # bandwidth (XLA copy-loop rate; the actionable regression metric --
+    # the 15-pass fusion lower bound keeps it majorizing real kernels),
+    # and fraction_of_sheet_light records the datasheet-bandwidth light
+    # (the absolute physical ceiling, unreachable on this relay where
+    # even pure copies sustain ~30% of sheet).  Override: TFQ_HBM_GBPS.
+    hbm_meas = peaks.get("hbm_gbps_measured", peaks["hbm_gbps"])
+    hbm_gbps = float(os.environ.get("TFQ_HBM_GBPS", hbm_meas))
     t_compute = flops / (peak_tflops * 1e12)
     t_bw = bytes_ / (hbm_gbps * 1e9)
     light = max(t_compute, t_bw)
+    light_sheet = max(t_compute, bytes_ / (peaks["hbm_gbps"] * 1e9))
     r = Roofline(
         flops_per_iteration=flops, bytes_per_iteration=bytes_,
         device_kind=kind, peak_tflops=peak_tflops,
@@ -202,6 +221,8 @@ def solver_roofline(solver, measured_iteration_s: Optional[float] = None,
     if measured_iteration_s is not None:
         r.measured_s = measured_iteration_s
         r.fraction_of_light = light / max(measured_iteration_s, 1e-30)
+        r.fraction_of_sheet_light = (light_sheet
+                                     / max(measured_iteration_s, 1e-30))
         r.nnz_mac_per_s = (plan.n_pairs * lm * lm * ln
                            / measured_iteration_s / 2)
     return r

@@ -131,7 +131,15 @@ class Solver:
                 engine = "pairs"     # falls back to xla if the pattern has
                 # no recoverable locality (pack raises below); exact-f32
                 # compiles for all lm (bf16 modes coerce below)
+            elif self.lm >= 16:
+                # 'z' on the pair-panel Ozaki kernel (bf16 window tiling
+                # needs LM >= 16); falls back to xla below like 'c'
+                engine = "pairs"
             else:
+                # 'z' at small LM: block-list engine, whose f64 multiply
+                # routes through spmm_pairs_oz (Ozaki bf16 slice products
+                # -- no tiling constraints, ~MXU speed vs the ~40x-slower
+                # emulated-f64 batched matmul)
                 engine = "xla"
         self.engine = engine
         if engine == "pallas" and precision != "c":
@@ -457,11 +465,18 @@ class Solver:
                        max_iterations):
         """Solve A @ dX == r for an X-shaped complex RHS ``r`` (the
         correction step of iterative refinement), with the convergence
-        normalization ``inv_bn2`` [ncols, LN].  Returns the raw SolveResult
-        (x in engine layout); does NOT touch the solver's stored result."""
+        normalization ``inv_bn2`` [ncols, LN].  ``r`` may be a complex
+        ndarray or an (re, im) plane tuple (refinement passes device
+        planes: complex128 device transfers hang the TPU relay).  Returns
+        the raw SolveResult (x in engine layout); does NOT touch the
+        solver's stored result."""
         npdt = np.float64 if self.precision == "z" else np.float32
-        re = np.ascontiguousarray(r.real.astype(npdt))
-        im = np.ascontiguousarray(r.imag.astype(npdt))
+        if isinstance(r, tuple):
+            re = np.ascontiguousarray(np.asarray(r[0]).astype(npdt))
+            im = np.ascontiguousarray(np.asarray(r[1]).astype(npdt))
+        else:
+            re = np.ascontiguousarray(r.real.astype(npdt))
+            im = np.ascontiguousarray(r.imag.astype(npdt))
         if self.engine == "pairs":
             b_over = jnp.asarray(self._pairs_permute(re, im))
             return self._solve_pairs(tolerance, max_iterations, False,
@@ -849,7 +864,7 @@ def refine_mixed(sc: Solver, a_re64: np.ndarray, a_im64: np.ndarray,
         inner_iters = int(result.iterations)
         if int(result.return_status) != int(Status.SUCCESS):
             inner_iters = inner_max
-        return (dre.astype(np.float64) + 1j * dim.astype(np.float64),
+        return ((dre.astype(np.float64), dim.astype(np.float64)),
                 inner_iters)
 
     res = refinement_loop(
@@ -891,7 +906,7 @@ def solve_mixed(a: Bsr, x: Bsr, b: Bsr, *, tolerance: float = 1e-9,
                 engine: str = "auto", index_offset: int = 0,
                 echo: int = 0) -> tuple[Bsr, SolveInfo]:
     """Mixed precision ('m'): iterate in complex64 on the MXU fast path,
-    then reach f64 residuals by iterative refinement (one emulated-f64 SpMM
+    then reach f64 residuals by iterative refinement (one Ozaki f64-quality SpMM
     per round + f32 correction solves, see ``refine_mixed``).  Falls back to
     a complex128 re-solve from the refined iterate only if refinement
     stalls.  The reference DECLARES this mode but never enabled it

@@ -48,8 +48,13 @@ def main():
                       ("auto_bf16x4", "/tmp/g_auto.json"),
                       ("z_ozaki", "/tmp/g_z.json"),
                       ("z_ozaki_grouped", "/tmp/g_z_cg.json"),
+                      ("z_ozaki_int8", "/tmp/g_z_i8.json"),
+                      ("z_ozaki_grouped_int8", "/tmp/g_z_cg_i8.json"),
                       ("iter_golden_bf16x6", "/tmp/iter_golden_x6.json"),
-                      ("iter_banded_tstep", "/tmp/iter_auto_tstep.json")]:
+                      ("iter_banded_tstep", "/tmp/iter_auto_tstep.json"),
+                      ("iter_banded_auto", "/tmp/iter_auto_r03.json"),
+                      ("iter_golden_pairs", "/tmp/iter_golden_r03.json"),
+                      ("rhs_stress", "/tmp/rhs_r03.json")]:
         rec = _last_json_line(path)
         if rec is not None:
             spmm["runs"][key] = rec
