@@ -71,12 +71,12 @@ def main():
     w("")
     w("| artifact | ms/iteration | fraction of roofline | engine |")
     w("|---|---|---|---|")
-    for name, label in [("BENCH_iter_r03.json", "banded mb=1000"),
-                        ("BENCH_iter_golden_r03.json", "golden pattern"),
-                        ("BENCH_rhs_r03.json", "2048-RHS stress")]:
-        d = _load(name)
+    for key, label in [("iter_golden_pairs", "golden pattern (pairs)"),
+                       ("iter_banded_auto", "banded mb=1000 (auto)"),
+                       ("rhs_stress", "2048-RHS stress")]:
+        d = runs.get(key)
         if d:
-            w(f"| {label} | {d.get('value')} | "
+            w(f"| {label} ({key}) | {d.get('value')} | "
               f"{d.get('fraction_of_measured_roofline')} | "
               f"{d.get('engine')} |")
     w("")
@@ -92,9 +92,16 @@ def main():
           f"{r.get('maxdev', 0):.2e} | "
           f"{'pass' if r.get('gate_pass') else 'FAIL'} |")
     w("")
-    w("The z/m rtb ladder locates the mixed-mode ('m') crossover: 'm' "
-      "iterates in f32 and refines to f64 residuals (device-resident "
-      "refinement loop, one scalar host sync per round).  The 'c' row "
+    w("The z/m rtb ladder MEASURES the mixed-mode question instead of "
+      "hand-waving it: after the r3 f64 data-path overhaul (Ozaki "
+      "block-list residual SpMM) 'z' wins wall-clock at every measured "
+      "rtb (e.g. 9.8 s vs 20.6 s at rtb 12.75), because the emulated-f64 "
+      "iteration is now only ~2-4x a f32 iteration while 'm' pays ~2-5x "
+      "the ITERATION COUNT for its f32 inner solves on this "
+      "conditioning.  'auto' therefore routes FD-class problems to 'z'; "
+      "'m' remains the right call only when its inner f32 solve "
+      "converges unimpaired (well-conditioned operators), and the "
+      "artifact documents the measured routing decision.  The 'c' row "
       "honestly fails the 1e-5 gate — complex64 stagnates on this "
       "conditioning; the reference's own driver reports such runs "
       "without a performance line.")
