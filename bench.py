@@ -864,7 +864,6 @@ def main():
         # unit; the alternative below (xla engine) runs XLA's elementwise
         # f64 emulation, orders of magnitude slower.
         try:
-            from tfqmrgpu_tpu.ops import ozaki
             from tfqmrgpu_tpu.ops import pairpanel as pp
 
             interp = jax.default_backend() not in ("tpu",)
@@ -880,7 +879,8 @@ def main():
                     if want_z == 0:
                         want_z, _ = pp.auto_group_size(
                             pair_a, pair_x, pair_y, nnzb_x, lm, ln,
-                            "oz9", candidates=tuple(
+                            pp.oz_mode_params(16 * lm)[0],
+                            candidates=tuple(
                                 gg for gg in (1, 2, 4, 8)
                                 if gg * ln <= 256))
                     if want_z > 1:
@@ -893,9 +893,8 @@ def main():
                     gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
                     gp.nnzb2, lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
                     row_of=gp.row_of2, col_of=gp.col_of2, resident=False)
-                p_chk, _ = ozaki.slice_params(pplan.ku * lm,
-                                              diag_sum=True)
-                if not pp.plan_fits_vmem(pplan, f"oz{p_chk}"):
+                tag_chk, _, _ = pp.oz_mode_params(pplan.ku * lm)
+                if not pp.plan_fits_vmem(pplan, tag_chk):
                     log(f"# oz colgroup G={gp.group_size} exceeds VMEM "
                         "(xsplit=p windows); packing ungrouped")
                     gp = None
@@ -907,11 +906,11 @@ def main():
                 pplan = pp.pack_pair_plan(
                     pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
                     r_tile=r_tile, copy_g=copy_g, resident=False)
-            p_oz, _ = ozaki.slice_params(pplan.ku * lm, diag_sum=True)
+            tag_oz, _, _ = pp.oz_mode_params(pplan.ku * lm)
             if os.environ.get("TFQ_BENCH_TSTEP"):
                 t_step = int(os.environ["TFQ_BENCH_TSTEP"])
             else:
-                t_step = pp.auto_t_step(pplan, f"oz{p_oz}")
+                t_step = pp.auto_t_step(pplan, tag_oz)
             mult_oz = pp.make_pairpanel_multiply_oz(
                 pplan, a_re, a_im, interpret=interp, t_step=t_step)
             consts = mult_oz.consts
@@ -935,7 +934,9 @@ def main():
                     np.asarray(pp.grouped_blocks(gp, x_im))))
             else:
                 x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
-            eng_used = (f"pairpanel-oz{mult_oz.p}q{mult_oz.q}-"
+            eng_used = (f"pairpanel-"
+                        f"{'ozc' if mult_oz.comp else 'oz'}"
+                        f"{mult_oz.p}q{mult_oz.q}-"
                         f"r{r_tile}-g{copy_g}-t{t_step}"
                         + (f"-cg{gp.group_size}" if gp is not None
                            else ""))

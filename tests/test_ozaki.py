@@ -24,6 +24,19 @@ def test_slice_params_points():
         ozaki.slice_params(2 ** 22)          # too deep for exact f32 accum
 
 
+def test_slice_params_comp_points():
+    """Compensated-kernel sizing: dual spare binade admits the full bf16
+    significand (q=8) through k=1024 -> 7 slices / 28 products; beyond,
+    q steps down but stays ahead of the diag_sum-exact legacy point."""
+    assert ozaki.slice_params_comp(448) == (7, 8)
+    assert ozaki.slice_params_comp(1024) == (7, 8)
+    p, q = ozaki.slice_params_comp(1025)     # k * 4^{q-1} > 2^24 at q=8
+    assert (p, q) == (8, 7)
+    assert p * q >= 53
+    with pytest.raises(ValueError):
+        ozaki.slice_params_comp(2 ** 24)
+
+
 def test_slice_operand_reconstructs():
     """scale * sum(slices) must reproduce the f64 input to 2^{-p*q}
     relative-to-scale; each slice must be exactly representable in bf16."""

@@ -354,12 +354,15 @@ def test_pairpanel_bf16x6_exact_f32_quality(rng, t_step):
 
 
 @pytest.mark.parametrize("t_step", [1, 4])
-def test_pairpanel_oz_f64_quality(rng, t_step):
+@pytest.mark.parametrize("comp", ["1", "0"])
+def test_pairpanel_oz_f64_quality(rng, t_step, comp, monkeypatch):
     """The Ozaki 'oz' mode must reproduce the f64 pair walk to ~1e-13
     relative -- 7 orders beyond any f32-accumulation mode, on data with
-    a wide exponent spread."""
+    a wide exponent spread.  comp='1' runs the TwoSum-compensated 'ozc'
+    kernel (q=8 slices, one error plane), '0' the diag_sum-exact legacy."""
     import jax
 
+    monkeypatch.setenv("TFQ_OZ_COMP", comp)
     jax.config.update("jax_enable_x64", True)
     lm = ln = 16
     pa, px, py, na, nx = _bsr_pair_plan(rng, mb=20, ncols=2, lm=lm, ln=ln,
@@ -378,6 +381,10 @@ def test_pairpanel_oz_f64_quality(rng, t_step):
     mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
                                          interpret=True, t_step=t_step)
     assert mult.p * mult.q >= 53
+    assert mult.comp == (comp == "1")
+    if mult.comp:
+        # q = 8 (full bf16 significand) must be admissible at this K
+        assert mult.q == 8 and mult.p == 7
     xf = jnp.asarray(pp.permute_x(plan, a0 := x.real, x.imag))
     del a0
     yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
@@ -672,6 +679,7 @@ def test_pairpanel_oz_int8_bit_identical(rng, monkeypatch):
     want = _np_pairwalk(pa, px, py, a, x, nx)
     scale = np.abs(want).max()
     xf = jnp.asarray(pp.permute_x(plan, x.real, x.imag))
+    monkeypatch.setenv("TFQ_OZ_COMP", "0")   # int8 is a LEGACY-mode knob
     for mode, want_dt in (("1", jnp.int8), ("0", jnp.bfloat16)):
         monkeypatch.setenv("TFQ_OZ_INT8", mode)
         mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,

@@ -65,6 +65,31 @@ def slice_params(k: int, bits: int = 53,
         f"chunk the contraction and combine in f64")
 
 
+def slice_params_comp(k: int, bits: int = 53) -> tuple[int, int]:
+    """(p, q) for the COMPENSATED-accumulation kernel (the pair-panel
+    'ozc' mode): per-diagonal sums run as error-free TwoSum chains whose
+    f32 rounding errors are carried in a separate plane, so only the
+    individual k-deep slice products must be exact -- and BOTH operands
+    are pre-scaled into |.| <= 0.5 (one spare binade each), capping slice
+    integers at 2^{q-1} and the product terms at 4^{q-1}:
+
+        k * 4^{q-1} <= 2^24    (vs slice_params' p * k * 4^q)
+
+    That admits q = 8 (the full bf16 significand) up to k = 1024, giving
+    p = ceil(53/8) = 7 slices and p(p+1)/2 = 28 cross products -- 38%
+    fewer MXU passes than the diag_sum-exact (9, 6) point at k ~ 450,
+    with MORE coverage (p*q = 56 > 54 bits)."""
+    if k < 1:
+        raise ValueError(f"contraction depth must be >= 1, got {k}")
+    for q in range(8, 1, -1):
+        p = math.ceil(bits / q) + (1 if bits % q == 0 else 0)
+        if k * 4 ** (q - 1) <= 2 ** 24:
+            return p, q
+    raise ValueError(
+        f"contraction depth {k} too deep for exact f32 slice products; "
+        f"chunk the contraction and combine in f64")
+
+
 def slice_pairs(p: int) -> tuple[np.ndarray, np.ndarray]:
     """All (s, t) slice-index pairs with s + t <= p - 1, the products above
     the truncation floor, ordered by diagonal (descending magnitude)."""
@@ -109,7 +134,8 @@ def pow2_scale(amax):
     return p2(e1) * p2(e2) * p2(jnp.clip(e - e1 - e2, -126, 127))
 
 
-def slice_operand(v, axis: int, p: int, q: int):
+def slice_operand(v, axis: int, p: int, q: int,
+                  spare_binade: bool = False):
     """Exponent-blocked slicing of an f64 array along the NON-contraction
     axis: returns (slices bf16 [p, *v.shape], scale f64 with ``axis``
     reduced to 1) such that  v == scale * sum_s f64(slices[s])  up to the
@@ -118,9 +144,16 @@ def slice_operand(v, axis: int, p: int, q: int):
     ``axis`` is the axis whose entries share one output row/column (the
     per-row sigma for A, per-column tau for X): the max-abs over it sets
     the shared power-of-two scale, so slice values are exact ints times
-    2^{-(s+1)q} and every MXU cross product accumulates exactly."""
+    2^{-(s+1)q} and every MXU cross product accumulates exactly.
+
+    ``spare_binade`` doubles the scale (|v/scale| <= 0.5), halving the
+    slice-int cap to 2^{q-1}: with BOTH operands sliced this way the
+    per-product exactness condition relaxes to k * 4^{q-1} <= 2^24
+    (slice_params_comp), admitting one more significand bit per slice."""
     v = jnp.asarray(v, jnp.float64)
     scale = pow2_scale(jnp.max(jnp.abs(v), axis=axis, keepdims=True))
+    if spare_binade:
+        scale = scale * 2.0
     r = v / scale                                    # |r| <= 1, exact
     out = []
     for s in range(p):
@@ -158,9 +191,13 @@ def matmul_oz(a, x, bits: int = 53):
     k = a.shape[-1]
     if x.shape[0] != k:
         raise ValueError(f"shape mismatch {a.shape} @ {x.shape}")
-    p, q = slice_params(k, bits)
-    a_sl, sig = slice_operand(a, axis=1, p=p, q=q)   # per-row scale
-    x_sl, tau = slice_operand(x, axis=0, p=p, q=q)   # per-column scale
+    # dual-spare-binade sizing: products are f64-combined individually,
+    # so only per-product exactness binds (see slice_params_comp)
+    p, q = slice_params_comp(k, bits)
+    a_sl, sig = slice_operand(a, axis=1, p=p, q=q,   # per-row scale
+                              spare_binade=True)
+    x_sl, tau = slice_operand(x, axis=0, p=p, q=q,   # per-column scale
+                              spare_binade=True)
     s_idx, t_idx = slice_pairs(p)
     y = oz_products(a_sl, x_sl, jnp.asarray(s_idx), jnp.asarray(t_idx),
                     p, q)

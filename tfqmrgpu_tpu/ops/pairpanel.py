@@ -543,6 +543,16 @@ def precision_props(precision: str) -> dict:
     above-truncation cross products as p triangular dots with EXACT f32
     per-diagonal accumulation, and the f64 combine/descale/complex
     assembly happens outside."""
+    if precision.startswith("ozc"):
+        # compensated-accumulation oz (slice_params_comp): q = 8 slices
+        # hold the full bf16 significand (dual spare binade keeps the
+        # k-deep products exact), per-diagonal sums are TwoSum chains
+        # whose f32 errors ride ONE extra output plane.  bf16 scaled-value
+        # planes only -- q = 8 slice ints reach 2^{q-1} = 128, one past
+        # int8's range.
+        p = int(precision[3:])
+        return dict(xsplit=p, a_presplit=p, passes=p * (p + 1) / 4.0,
+                    a_bytes=2, comp=True)
     if precision.startswith("oz"):
         p = int(precision[2:])
         # triangular dots at ~half lanes on average; the 2*ln<=64 lane
@@ -616,9 +626,11 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int,
     m = plan.r_tile * lm
     if tile_pipe is None:
         tile_pipe = use_tile_pipe(plan, precision)
-    # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside);
-    # other modes assemble to [m, 2ln] in-kernel
-    o_rows, o_lanes = ((m2, _lanes_pad(2 * pr["xsplit"] * plan.ln))
+    # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside;
+    # 'ozc' appends one TwoSum error plane); other modes assemble to
+    # [m, 2ln] in-kernel
+    o_rows, o_lanes = ((m2, _lanes_pad(
+        2 * (pr["xsplit"] + int(bool(pr.get("comp")))) * plan.ln))
                        if precision.startswith("oz")
                        else (m, _lanes_pad(2 * plan.ln)))
     # resident plans hold ONE panel-sized scratch (manual DMA from HBM);
@@ -1366,6 +1378,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     no_gather = _os.environ.get("TFQ_PP_NO_GATHER") == "1"
     no_dot = _os.environ.get("TFQ_PP_NO_DOT") == "1"
     is_oz = precision.startswith("oz")    # f64-quality Ozaki slice mode
+    oz_comp = precision.startswith("ozc")  # TwoSum-compensated diagonals
     if precision not in PRECISIONS and not is_oz:
         raise ValueError(f"precision must be one of {PRECISIONS} or "
                          f"'ozN', got {precision!r}")
@@ -1479,6 +1492,31 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                             * np.float32(2.0 ** (-(s + 1) * oz_q))
                             ).astype(jnp.bfloat16)
                 ds.append(dot(a_sj, xs[:, : (p_ - s) * two]))
+            if oz_comp:
+                # 'ozc': q = 8 slices -- a diagonal's <= p_ products no
+                # longer sum exactly in f32 (only each k-deep PRODUCT is
+                # exact, via the dual spare binade), so the diagonal
+                # accumulation runs as Knuth TwoSum chains: acc stays the
+                # correctly-rounded sum, every rounding error is captured
+                # EXACTLY and accumulated into one extra output plane
+                # (error terms are ~2^-24 of their diagonal, so the plain
+                # f32 err accumulation rounds at ~2^-48 of the result --
+                # 4 orders below the truncation floor).  Do NOT let the
+                # compiler reassociate: Mosaic/XLA keep strict FP order.
+                err = jnp.zeros_like(ds[0][:, :two])
+                cols = []
+                for d in range(p_):
+                    acc = ds[0][:, d * two: (d + 1) * two]
+                    for s in range(1, d + 1):
+                        b = ds[s][:, (d - s) * two: (d - s + 1) * two]
+                        tot = acc + b
+                        a_v = tot - b
+                        b_v = tot - a_v
+                        err = err + ((acc - a_v) + (b - b_v))
+                        acc = tot
+                    cols.append(acc)
+                cols.append(err)
+                return jnp.concatenate(cols, axis=1)  # [2M, (p+1)*2ln]
             cols = []
             for d in range(p_):
                 acc = ds[0][:, d * two: (d + 1) * two]
@@ -1675,7 +1713,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     m = r_tile * lm
     # oz outputs the raw per-diagonal sums [2M, p*2ln]; others the
     # assembled fused complex result [M, 2ln]
-    out_rows, out_lanes = (m2, xsplit * 2 * ln) if is_oz else (m, 2 * ln)
+    out_rows, out_lanes = ((m2, (xsplit + int(oz_comp)) * 2 * ln)
+                           if is_oz else (m, 2 * ln))
     scr_ku = (ku + g) if tile_pipe else (T * ku + g)
     scratch = [pltpu.VMEM((scr_ku * lm, w_lanes), w_dt),
                pltpu.VMEM((scr_ku * lm, w_lanes), w_dt)]
@@ -1896,10 +1935,13 @@ class OzPairPanelMultiply:
     over (see PairPanelMultiply).
     """
 
-    def __init__(self, call, consts, plan: PairPanelPlan, p: int, q: int):
+    def __init__(self, call, consts, plan: PairPanelPlan, p: int, q: int,
+                 comp: bool = False):
         self._call = call
         self.consts = consts
         self.p, self.q = p, q
+        self.comp = comp                 # 'ozc': TwoSum err plane + dual
+        #                                  spare-binade sigma/tau
         self._m = plan.r_tile * plan.lm
         self._ln = plan.ln
         self._n_rows_out = plan.ntiles * self._m
@@ -1918,9 +1960,13 @@ class OzPairPanelMultiply:
         p, ln, m = self.p, self._ln, self._m
         x_fused = x_fused.astype(jnp.float64)
         # per-lane (per RHS column re/im plane) power-of-two scale --
-        # shared down the whole contraction so slice products stay exact
+        # shared down the whole contraction so slice products stay exact.
+        # 'ozc' doubles it (spare binade): |x/tau| <= 0.5 caps slice ints
+        # at 2^{q-1}, half of what the k-deep f32 product sums can absorb
         tau = ozaki.pow2_scale(
             jnp.max(jnp.abs(x_fused), axis=0, keepdims=True))
+        if self.comp:
+            tau = tau * 2.0
         xs = _oz_slices(x_fused / tau, p, self.q)
         xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
         xrep = _window_replicas(xw, self._n_windows, self._swrows,
@@ -1929,9 +1975,13 @@ class OzPairPanelMultiply:
         y_raw = self._call(wsel, trips, codes, *planes, xrep)
         # f64 combine: diagonal sums are exact f32 -> conversion is exact;
         # sigma/tau are powers of two -> descale is exact; the complex
-        # assembly is the first (and only) rounding after slice truncation
+        # assembly is the first (and only) rounding after slice truncation.
+        # 'ozc': diagonal sums are CORRECTLY-ROUNDED f32 and plane p holds
+        # the exact TwoSum rounding errors -- adding it in f64 restores
+        # the exact diagonal total
+        n_planes = p + (1 if self.comp else 0)
         y = sum(y_raw[:, :, 2 * ln * d: 2 * ln * (d + 1)]
-                .astype(jnp.float64) for d in range(p))
+                .astype(jnp.float64) for d in range(n_planes))
         y = y * sigma * tau[None, :, :]
         pt, qt = y[:, :m, :], y[:, m:, :]
         fused = jnp.concatenate([pt[..., :ln] - qt[..., ln:],
@@ -1981,6 +2031,25 @@ def _oz_slices_int8(pure, p: int, q: int):
     return out
 
 
+def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
+    """(precision tag, p, q) of the oz kernel make_pairpanel_multiply_oz
+    will build for contraction depth ``k`` under the current env knobs --
+    the single source of truth for VMEM-fit checks, auto_t_step and
+    engine labels.  Default is the compensated 'ozc' mode (q = 8, 38%
+    fewer MXU products than the diag_sum-exact point at k ~ 450, tighter
+    truncation floor); TFQ_OZ_COMP=0 selects the legacy 'oz' mode."""
+    from . import ozaki
+
+    if _os.environ.get("TFQ_OZ_COMP", "1") != "0":
+        p, q = ozaki.slice_params_comp(k, bits)
+        return f"ozc{p}", p, q
+    p, q = ozaki.slice_params(k, bits, diag_sum=True)
+    if _os.environ.get("TFQ_OZ_INT8", "1") != "0" and q > 7:
+        q = 7
+        p = max(p, -(-54 // 7))
+    return f"oz{p}", p, q
+
+
 def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
                                interpret: bool = False, t_step: int = 1,
                                bits: int = 53) -> OzPairPanelMultiply:
@@ -2007,7 +2076,8 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
                          "(pack with resident=False)")
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     k = plan.ku * lm
-    p, q = ozaki.slice_params(k, bits, diag_sum=True)
+    tag, p, q = oz_mode_params(k, bits)
+    comp = tag.startswith("ozc")
     panels = build_a_panels_device(
         plan, jnp.asarray(a_re, jnp.float64), jnp.asarray(a_im, jnp.float64))
     T = max(int(t_step), 1)
@@ -2029,13 +2099,17 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     # plans where slice_params returns q > 7 are re-sliced at q=7 with
     # more slices (lower q only ADDS accumulation headroom, and
     # p*q - 1 >= 53 keeps the truncation below one f64 ulp).
-    use_int8 = _os.environ.get("TFQ_OZ_INT8", "1") != "0"
-    if use_int8 and q > 7:
-        q = 7
-        p = max(p, -(-54 // 7))                  # ceil(54/7) = 8
+    use_int8 = (not comp
+                and _os.environ.get("TFQ_OZ_INT8", "1") != "0")
     sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
                                      keepdims=True))
-    if use_int8:
+    if comp:
+        # dual spare binade (the X side mirrors this in apply): ints cap
+        # at 2^{q-1} = 128 so every k-deep slice product sums exactly in
+        # f32 at q = 8 -- one past int8's range, so planes stay bf16
+        sigma = sigma * 2.0
+        planes = tuple(_oz_slices(panels / sigma, p, q))
+    elif use_int8:
         if 2 ** q > 64:
             # one spare binade: first-slice ints <= 2^{q-1} <= 64
             sigma = sigma * 2.0
@@ -2043,12 +2117,12 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     else:
         planes = tuple(_oz_slices(panels / sigma, p, q))
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
-                      plan.x_rows_padded, f"oz{p}", interpret,
+                      plan.x_rows_padded, tag, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
                       o_blocks=plan.o_blocks, resident=False, oz_q=q)
     consts = ((jnp.asarray(wsel_h), jnp.asarray(trips_h),
                jnp.asarray(codes_h)) + planes + (sigma,))
-    return OzPairPanelMultiply(call, consts, plan, p, q)
+    return OzPairPanelMultiply(call, consts, plan, p, q, comp=comp)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:

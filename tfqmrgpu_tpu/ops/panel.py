@@ -211,16 +211,24 @@ def _dense_multiply_oz(a_re, a_im, mask4, mb, lm, ncc, ln, bits=53):
     from . import ozaki
 
     nr, cc = mb * lm, ncc * ln
-    p, q = ozaki.slice_params(nr, bits)      # raises when nr is too deep
-    ar_sl, sig_r = ozaki.slice_operand(a_re, axis=1, p=p, q=q)
-    ai_sl, sig_i = ozaki.slice_operand(a_im, axis=1, p=p, q=q)
+    # dual-spare-binade sizing (slice_params_comp): every product is
+    # f64-converted individually here (no in-f32 diagonal sums), so only
+    # per-product exactness binds -- q rises one bit over slice_params
+    # and the kept-product count p(p+1)/2 drops 20-38%
+    p, q = ozaki.slice_params_comp(nr, bits)  # raises when nr is too deep
+    ar_sl, sig_r = ozaki.slice_operand(a_re, axis=1, p=p, q=q,
+                                       spare_binade=True)
+    ai_sl, sig_i = ozaki.slice_operand(a_im, axis=1, p=p, q=q,
+                                       spare_binade=True)
     s_idx, t_idx = (jnp.asarray(v) for v in ozaki.slice_pairs(p))
 
     def multiply(x: Pair) -> Pair:
         xr = x[0].reshape(nr, cc).astype(jnp.float64)
         xi = x[1].reshape(nr, cc).astype(jnp.float64)
-        xr_sl, tau_r = ozaki.slice_operand(xr, axis=0, p=p, q=q)
-        xi_sl, tau_i = ozaki.slice_operand(xi, axis=0, p=p, q=q)
+        xr_sl, tau_r = ozaki.slice_operand(xr, axis=0, p=p, q=q,
+                                           spare_binade=True)
+        xi_sl, tau_i = ozaki.slice_operand(xi, axis=0, p=p, q=q,
+                                           spare_binade=True)
 
         def prod(a_sl, x_sl):
             return ozaki.oz_products(a_sl, x_sl, s_idx, t_idx, p, q)

@@ -218,7 +218,8 @@ class Solver:
                 # through the A-bytes-bound p~9 slice stream), resident
                 # stays off (an xsplit=p window cannot fit VMEM); model
                 # the candidates at the oz pass rate
-                model_prec = self._pp_prec if precision == "c" else "oz9"
+                model_prec = (self._pp_prec if precision == "c"
+                              else pp_ops.oz_mode_params(16 * self.lm)[0])
                 if (cg_env != "1" and not col_pad
                         and self.plan.ncols >= 2):
                     want = int(cg_env)
@@ -341,13 +342,10 @@ class Solver:
                 if self.precision == "z":
                     # f64-quality multiply on the bf16 MXU (Ozaki slice
                     # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz)
-                    from .ops import ozaki
-
-                    p_oz, _ = ozaki.slice_params(
-                        self._pp_plan.ku * self.lm, diag_sum=True)
+                    oz_tag, _, _ = pp_ops.oz_mode_params(
+                        self._pp_plan.ku * self.lm)
                     t_step = (int(t_env) if t_env else
-                              pp_ops.auto_t_step(self._pp_plan,
-                                                 f"oz{p_oz}"))
+                              pp_ops.auto_t_step(self._pp_plan, oz_tag))
                     self._pp = pp_ops.make_pairpanel_multiply_oz(
                         self._pp_plan, re, im, interpret=interp,
                         t_step=t_step)
