@@ -161,21 +161,31 @@ def main_fd():
     gate = 1e-5 if prec in ("z", "m") else 1e-4
     log(f"# maxdev vs dense reference: {maxdev:.3e} (gate {gate})")
     gate_pass = maxdev < gate
+    # honesty at the iteration cap (reference spirit: the driver only
+    # reports a performance line for a CONVERGED solve whose maxdev
+    # passes, bench_tfqmrgpu.cu:178-206).  return_status 9 means the
+    # solver hit max_iterations ABOVE the requested tolerance: such a
+    # row is labeled ms_at_iteration_cap (not ms_to_residual), carries
+    # converged=false, and the run exits nonzero even if the partial
+    # solution happens to sit inside the maxdev gate.
+    converged = info.return_status == 0
 
     print(json.dumps({
         "metric": f"fd_solve_rtb{rtb:g}_{prec}",
         "value": round(best * 1e3, 2),
-        "unit": "ms_to_residual",
+        "unit": "ms_to_residual" if converged else "ms_at_iteration_cap",
         "vs_baseline": round((roof.fraction_of_light or 0.0)
                              if roof else 0.0, 3),
         "iterations": info.iterations_needed,
         "residuum": info.residuum_reached,
+        "tolerance": tol,
+        "converged": bool(converged),
         "maxdev": maxdev,
-        "gate_pass": bool(gate_pass),
+        "gate_pass": bool(gate_pass and converged),
         "engine": eng,
         "tflops": round(info.flops_performed / best / 1e12, 3),
     }))
-    return 0 if (info.return_status in (0, 9) and gate_pass) else 1
+    return 0 if (converged and gate_pass) else 1
 
 
 def main_iter():
@@ -424,10 +434,11 @@ def main():
     # 'bf16x4' (4 bf16 passes over round-to-nearest hi/lo operand splits)
     # passes the reference's 1e-4 gate at ~8e-5 on the golden workload;
     # 'highest' (exact fp32, 6 passes) gives ~3e-6 at ~20% less throughput.
-    # 'auto' (default) measures bf16x4 against the gate and FALLS BACK to
-    # 'highest' whenever the measured maxdev crosses 0.5x the gate -- the
-    # fast mode's margin is workload-dependent, so it is verified per run,
-    # never assumed.
+    # 'auto' (default) measures bf16x4 against the gate and FALLS BACK
+    # through bf16x6 to 'highest' whenever the measured maxdev crosses
+    # 0.9x the gate (the single threshold, implemented below) -- the fast
+    # mode's margin is workload-dependent, so it is verified per run,
+    # never assumed; only the thinnest margins (>90% of gate) are refused.
     mm_prec = os.environ.get("TFQ_BENCH_MM_PREC", "auto")
     mm_auto = mm_prec == "auto"
     if mm_auto:

@@ -29,8 +29,10 @@ def test_slice_params_comp_points():
     significand (q=8) through k=1024 -> 7 slices / 28 products; beyond,
     q steps down but stays ahead of the diag_sum-exact legacy point."""
     assert ozaki.slice_params_comp(448) == (7, 8)
-    assert ozaki.slice_params_comp(1024) == (7, 8)
-    p, q = ozaki.slice_params_comp(1025)     # k * 4^{q-1} > 2^24 at q=8
+    # the +1 int headroom (stored-value residuals, pairpanel._oz_slices)
+    # tightens the q=8 cutoff from 1024 to 2^24 // 129^2 = 1008
+    assert ozaki.slice_params_comp(1008) == (7, 8)
+    p, q = ozaki.slice_params_comp(1009)     # k * 129^2 > 2^24 at q=8
     assert (p, q) == (8, 7)
     assert p * q >= 53
     with pytest.raises(ValueError):

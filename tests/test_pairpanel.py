@@ -383,8 +383,14 @@ def test_pairpanel_oz_f64_quality(rng, t_step, comp, monkeypatch):
     assert mult.p * mult.q >= 53
     assert mult.comp == (comp == "1")
     if mult.comp:
-        # q = 8 (full bf16 significand) must be admissible at this K
-        assert mult.q == 8 and mult.p == 7
+        import os as _os_
+
+        if _os_.environ.get("TFQ_OZC_INT8", "0") != "0":
+            # int8 planes: q = 7 (every slice int <= 64), p = 8
+            assert mult.q == 7 and mult.p == 8
+        else:
+            # bf16 planes (default): q = 8 (full significand) at this K
+            assert mult.q == 8 and mult.p == 7
     xf = jnp.asarray(pp.permute_x(plan, a0 := x.real, x.imag))
     del a0
     yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
@@ -688,3 +694,18 @@ def test_pairpanel_oz_int8_bit_identical(rng, monkeypatch):
         yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
         dev = np.max(np.abs((yre + 1j * yim) - want)) / scale
         assert dev < 1e-12, (mode, dev)
+
+    # compensated mode's int8 point (TFQ_OZC_INT8=1): q = 7 / p = 8,
+    # carry-renormalized ints (every |int| <= 66), f64 quality
+    monkeypatch.setenv("TFQ_OZ_COMP", "1")
+    monkeypatch.setenv("TFQ_OZC_INT8", "1")
+    mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                         interpret=True)
+    assert mult.comp and mult.q == 7 and mult.p == 8
+    assert mult.consts[3].dtype == jnp.int8
+    for s_ in range(mult.p):
+        assert np.max(np.abs(np.asarray(
+            mult.consts[3 + s_], np.int32))) <= 66
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    dev = np.max(np.abs((yre + 1j * yim) - want)) / scale
+    assert dev < 1e-12, dev

@@ -75,15 +75,20 @@ def slice_params_comp(k: int, bits: int = 53) -> tuple[int, int]:
 
         k * 4^{q-1} <= 2^24    (vs slice_params' p * k * 4^q)
 
-    That admits q = 8 (the full bf16 significand) up to k = 1024, giving
+    That admits q = 8 (the full bf16 significand) up to k ~ 1000, giving
     p = ceil(53/8) = 7 slices and p(p+1)/2 = 28 cross products -- 38%
     fewer MXU passes than the diag_sum-exact (9, 6) point at k ~ 450,
-    with MORE coverage (p*q = 56 > 54 bits)."""
+    with MORE coverage (p*q = 56 > 54 bits).
+
+    The int bound carries a +1: the slicer subtracts the STORED
+    (narrowing-converted) slice so TPU-relay f64-emulation conversion
+    quirks are absorbed by the next slice (pairpanel._oz_slices), which
+    can push one slice int one past 2^{q-1}."""
     if k < 1:
         raise ValueError(f"contraction depth must be >= 1, got {k}")
     for q in range(8, 1, -1):
         p = math.ceil(bits / q) + (1 if bits % q == 0 else 0)
-        if k * 4 ** (q - 1) <= 2 ** 24:
+        if k * (2 ** (q - 1) + 1) ** 2 <= 2 ** 24:
             return p, q
     raise ValueError(
         f"contraction depth {k} too deep for exact f32 slice products; "

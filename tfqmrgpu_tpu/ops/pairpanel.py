@@ -546,13 +546,18 @@ def precision_props(precision: str) -> dict:
     if precision.startswith("ozc"):
         # compensated-accumulation oz (slice_params_comp): q = 8 slices
         # hold the full bf16 significand (dual spare binade keeps the
-        # k-deep products exact), per-diagonal sums are TwoSum chains
-        # whose f32 errors ride ONE extra output plane.  bf16 scaled-value
-        # planes only -- q = 8 slice ints reach 2^{q-1} = 128, one past
-        # int8's range.
+        # k-deep products exact).  The kernel folds ALL p(p+1)/2 products
+        # into ONE correctly-rounded f32 plane via a hybrid TwoSum chain
+        # (error terms exact in a second plane), assembles the complex
+        # result in-kernel (r4), and outputs [M, 4*ln] -- 8x fewer output
+        # bytes than the r3 per-diagonal layout.  TFQ_OZC_INT8=1 swaps to
+        # int8 RAW-int A planes at q = 7 / p = 8 (half the A bytes, 36 vs
+        # 28 MXU passes -- measured SLOWER on the golden plan, the MXU
+        # passes dominate the A saving, so bf16 q = 8 is the default).
         p = int(precision[3:])
+        a_b = 1 if _os.environ.get("TFQ_OZC_INT8", "0") != "0" else 2
         return dict(xsplit=p, a_presplit=p, passes=p * (p + 1) / 4.0,
-                    a_bytes=2, comp=True)
+                    a_bytes=a_b, comp=True)
     if precision.startswith("oz"):
         p = int(precision[2:])
         # triangular dots at ~half lanes on average; the 2*ln<=64 lane
@@ -626,13 +631,15 @@ def vmem_need_bytes(plan: PairPanelPlan, precision: str, t: int,
     m = plan.r_tile * lm
     if tile_pipe is None:
         tile_pipe = use_tile_pipe(plan, precision)
-    # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside;
-    # 'ozc' appends one TwoSum error plane); other modes assemble to
-    # [m, 2ln] in-kernel
-    o_rows, o_lanes = ((m2, _lanes_pad(
-        2 * (pr["xsplit"] + int(bool(pr.get("comp")))) * plan.ln))
-                       if precision.startswith("oz")
-                       else (m, _lanes_pad(2 * plan.ln)))
+    # oz: raw [m2, p*2ln] diagonal outputs (combined in f64 outside);
+    # 'ozc' folds + complex-assembles in-kernel to [m, 4ln] (acc | err);
+    # other modes assemble to [m, 2ln] in-kernel
+    if pr.get("comp"):
+        o_rows, o_lanes = m, _lanes_pad(4 * plan.ln)
+    elif precision.startswith("oz"):
+        o_rows, o_lanes = m2, _lanes_pad(2 * pr["xsplit"] * plan.ln)
+    else:
+        o_rows, o_lanes = m, _lanes_pad(2 * plan.ln)
     # resident plans hold ONE panel-sized scratch (manual DMA from HBM);
     # windowed plans carry two pipelined replica buffers
     win_bufs = 1 if plan.resident else 2
@@ -1442,9 +1449,34 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
 
         oz: the raw [2M, p*2LN] per-diagonal sums are stored untouched --
         any in-kernel f32 arithmetic past the exact diagonal accumulation
-        would break the f64-quality combine that happens outside."""
+        would break the f64-quality combine that happens outside.
+
+        ozc (r4): y2 is [2M, 2*2ln] = TwoSum-folded (acc | err) for the
+        P (a_re @ x) and Q (a_im @ x) halves.  The complex assembly
+        re = P1 - Q2, im = P2 + Q1 runs HERE as two more TwoSum steps
+        (valid: sigma is shared across the re/im panel halves and tau
+        across the re/im lanes -- every operand is on the same
+        power-of-two scale), and the output shrinks to [M, 4ln] =
+        [re_acc | im_acc | re_err | im_err]."""
         j = np.int32(j)       # python-int ref indices trace as i64
         #                         under jax_enable_x64; Mosaic wants i32
+        if oz_comp:
+            m = r_tile * lm
+            two = 2 * ln
+            pa_, qa_ = y2[:m, :two], y2[m:, :two]
+            pe_, qe_ = y2[:m, two:], y2[m:, two:]
+            a1, b1 = pa_[:, :ln], -qa_[:, ln:]
+            t1 = a1 + b1
+            av = t1 - b1
+            bv = t1 - av
+            e1 = ((a1 - av) + (b1 - bv)) + (pe_[:, :ln] - qe_[:, ln:])
+            a2, b2 = pa_[:, ln:], qa_[:, :ln]
+            t2 = a2 + b2
+            av2 = t2 - b2
+            bv2 = t2 - av2
+            e2 = ((a2 - av2) + (b2 - bv2)) + (pe_[:, ln:] + qe_[:, :ln])
+            y_ref[j] = jnp.concatenate([t1, t2, e1, e2], axis=1)
+            return
         if is_oz:
             y_ref[j] = y2
             return
@@ -1493,30 +1525,45 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                             ).astype(jnp.bfloat16)
                 ds.append(dot(a_sj, xs[:, : (p_ - s) * two]))
             if oz_comp:
-                # 'ozc': q = 8 slices -- a diagonal's <= p_ products no
-                # longer sum exactly in f32 (only each k-deep PRODUCT is
-                # exact, via the dual spare binade), so the diagonal
-                # accumulation runs as Knuth TwoSum chains: acc stays the
-                # correctly-rounded sum, every rounding error is captured
-                # EXACTLY and accumulated into one extra output plane
-                # (error terms are ~2^-24 of their diagonal, so the plain
-                # f32 err accumulation rounds at ~2^-48 of the result --
-                # 4 orders below the truncation floor).  Do NOT let the
-                # compiler reassociate: Mosaic/XLA keep strict FP order.
-                err = jnp.zeros_like(ds[0][:, :two])
-                cols = []
-                for d in range(p_):
-                    acc = ds[0][:, d * two: (d + 1) * two]
-                    for s in range(1, d + 1):
+                # 'ozc': q = 8 slices -- products no longer sum exactly
+                # in f32 (only each k-deep PRODUCT is exact, via the dual
+                # spare binade), so the accumulation runs as ONE global
+                # Knuth TwoSum chain over all p(p+1)/2 products in
+                # diagonal (descending-magnitude) order: acc stays the
+                # correctly-rounded f32 sum, every rounding error is
+                # captured EXACTLY and accumulated into one error plane
+                # (error terms are ~2^-24 of the result, so the plain f32
+                # err accumulation rounds at ~2^-48 of the result -- well
+                # below the 2^{-pq} truncation floor).  Folding ALL
+                # diagonals in-kernel (r4) cuts the output from (p+1) to
+                # 2 planes; validity needs the row-shared sigma and
+                # lane-shared tau the builder provides (power-of-two
+                # scales identical across everything summed here).  Do
+                # NOT let the compiler reassociate: Mosaic/XLA keep
+                # strict FP order.
+                # Hybrid fold: TwoSum only while a product can still move
+                # acc's rounding (diagonals d <= 4; |term| >= ~2^{-5q} of
+                # the scale); deeper diagonals accumulate PLAINLY into a
+                # tail register whose own rounding (<= #adds * 2^-24 of
+                # |tail| <= 2^{-5q}) sits below the err-plane noise.
+                # finish() folds tail into err.  Halves the VPU work of
+                # the all-TwoSum chain and carries ~2.4x fewer err terms.
+                ts_d = 4
+                acc = ds[0][:, 0:two]
+                err = jnp.zeros_like(acc)
+                tail = jnp.zeros_like(acc)
+                for d in range(1, p_):
+                    for s in range(d + 1):
                         b = ds[s][:, (d - s) * two: (d - s + 1) * two]
-                        tot = acc + b
-                        a_v = tot - b
-                        b_v = tot - a_v
-                        err = err + ((acc - a_v) + (b - b_v))
-                        acc = tot
-                    cols.append(acc)
-                cols.append(err)
-                return jnp.concatenate(cols, axis=1)  # [2M, (p+1)*2ln]
+                        if d <= ts_d:
+                            tot = acc + b
+                            a_v = tot - b
+                            b_v = tot - a_v
+                            err = err + ((acc - a_v) + (b - b_v))
+                            acc = tot
+                        else:
+                            tail = tail + b
+                return jnp.concatenate([acc, err + tail], axis=1)
             cols = []
             for d in range(p_):
                 acc = ds[0][:, d * two: (d + 1) * two]
@@ -1711,10 +1758,12 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                          memory_space=pltpu.VMEM),
         ]
     m = r_tile * lm
-    # oz outputs the raw per-diagonal sums [2M, p*2ln]; others the
-    # assembled fused complex result [M, 2ln]
-    out_rows, out_lanes = ((m2, (xsplit + int(oz_comp)) * 2 * ln)
-                           if is_oz else (m, 2 * ln))
+    # oz outputs the raw per-diagonal sums [2M, p*2ln]; ozc the folded,
+    # complex-assembled [M, 4ln] (acc | err); others the assembled fused
+    # complex result [M, 2ln]
+    out_rows, out_lanes = ((m, 4 * ln) if oz_comp
+                           else (m2, xsplit * 2 * ln) if is_oz
+                           else (m, 2 * ln))
     scr_ku = (ku + g) if tile_pipe else (T * ku + g)
     scratch = [pltpu.VMEM((scr_ku * lm, w_lanes), w_dt),
                pltpu.VMEM((scr_ku * lm, w_lanes), w_dt)]
@@ -1962,26 +2011,37 @@ class OzPairPanelMultiply:
         # per-lane (per RHS column re/im plane) power-of-two scale --
         # shared down the whole contraction so slice products stay exact.
         # 'ozc' doubles it (spare binade): |x/tau| <= 0.5 caps slice ints
-        # at 2^{q-1}, half of what the k-deep f32 product sums can absorb
-        tau = ozaki.pow2_scale(
-            jnp.max(jnp.abs(x_fused), axis=0, keepdims=True))
+        # at 2^{q-1}, half of what the k-deep f32 product sums can absorb;
+        # and SHARES the scale across the re/im lane pair so the kernel's
+        # in-kernel complex assembly subtracts same-scale quantities.
+        amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
         if self.comp:
-            tau = tau * 2.0
+            half = jnp.maximum(amax[:, :ln], amax[:, ln:])
+            tau = ozaki.pow2_scale(
+                jnp.concatenate([half, half], axis=1)) * 2.0
+        else:
+            tau = ozaki.pow2_scale(amax)
         xs = _oz_slices(x_fused / tau, p, self.q)
         xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
         xrep = _window_replicas(xw, self._n_windows, self._swrows,
                                 p * 2 * ln, 1, self._g_rows,
                                 orows=self._orows)
         y_raw = self._call(wsel, trips, codes, *planes, xrep)
+        if self.comp:
+            # folded output [nt, M, 4ln] = [re_acc | im_acc | re_err |
+            # im_err]: acc is the correctly-rounded f32 total, err its
+            # exact TwoSum rounding errors -- f64(acc) + f64(err)
+            # restores the total to ~2^-48 relative; sigma/tau are
+            # powers of two so the descale is exact
+            acc = y_raw[:, :, : 2 * ln].astype(jnp.float64)
+            err = y_raw[:, :, 2 * ln:].astype(jnp.float64)
+            fused = (acc + err) * sigma * tau[None, :, :]
+            return fused.reshape(-1, 2 * ln)[: self._n_rows_out]
         # f64 combine: diagonal sums are exact f32 -> conversion is exact;
         # sigma/tau are powers of two -> descale is exact; the complex
         # assembly is the first (and only) rounding after slice truncation.
-        # 'ozc': diagonal sums are CORRECTLY-ROUNDED f32 and plane p holds
-        # the exact TwoSum rounding errors -- adding it in f64 restores
-        # the exact diagonal total
-        n_planes = p + (1 if self.comp else 0)
         y = sum(y_raw[:, :, 2 * ln * d: 2 * ln * (d + 1)]
-                .astype(jnp.float64) for d in range(n_planes))
+                .astype(jnp.float64) for d in range(p))
         y = y * sigma * tau[None, :, :]
         pt, qt = y[:, :m, :], y[:, m:, :]
         fused = jnp.concatenate([pt[..., :ln] - qt[..., ln:],
@@ -1994,54 +2054,101 @@ class OzPairPanelMultiply:
 
 def _oz_slices(pure, p: int, q: int):
     """p pure bf16 slices of an f64 array already descaled to |.| <= 1:
-    pure == sum_s f64(slices[s]) + O(2^{-p q})."""
+    pure == sum_s f64(slices[s]) + O(2^{-p q}).
+
+    The residual subtracts the STORED (bf16-round-tripped) slice, not the
+    f64 round result: on TPU relays f64 is an f32-pair emulation whose
+    narrowing conversions may disagree with the emulated round by one ulp
+    of the slice grid (hi = n+1, lo = -1 converts to n+1, value is n) --
+    subtracting the stored value makes the next slice absorb any such
+    off-by-one exactly (slice-int bounds grow to 2^{q-1} + 1, still exact
+    everywhere).  Measured: without this, a full-slice-step error
+    (~2^{-q}) appears on device but not in interpret mode."""
     import jax.numpy as jnp
 
     r = pure
     out = []
     for s in range(p):
         step = jnp.float64(2.0 ** ((s + 1) * q))
-        sl = jnp.round(r * step) / step
-        r = r - sl
-        out.append(sl.astype(jnp.bfloat16))
+        sl = (jnp.round(r * step) / step).astype(jnp.bfloat16)
+        r = r - sl.astype(jnp.float64)
+        out.append(sl)
     return out
 
 
-def _oz_slices_int8(pure, p: int, q: int):
-    """p RAW-INTEGER int8 slices of an f64 array descaled to |.| <= 1:
-    pure == sum_s f64(slices[s]) * 2^{-(s+1)q} + O(2^{-p q}).
+def _oz_slices_int8(pure, p: int, q: int, r_cap_log2: int = 0):
+    """p RAW-INTEGER int8 slices of an f64 array descaled to
+    |.| <= 2^{r_cap_log2}: pure == sum_s f64(slices[s]) * 2^{-(s+1)q}
+    + O(2^{-p q}).
 
     Identical math to ``_oz_slices`` but the stored value is the slice
-    INTEGER (|int| <= 2^q; q <= 6 keeps +-64 inside int8), not the scaled
-    bf16 value -- HALF the HBM bytes on the A-bandwidth-bound oz kernel.
-    The kernel converts int8 -> f32 -> *2^{-(s+1)q} -> bf16 per tile;
-    every step is exact (|int| <= 64 and a power-of-two scale), so the
-    MXU products and diagonal sums are bit-identical to the bf16 planes."""
+    INTEGER, not the scaled bf16 value -- HALF the HBM bytes on the
+    A-bandwidth-bound oz kernel.  Int bounds: the FIRST slice is
+    <= 2^{q + r_cap_log2} (set by the descale), but every RESIDUAL slice
+    is <= 2^{q-1} (half an ulp of the previous slice grid --
+    scale-INDEPENDENT, so extra spare binades cannot shrink it).  int8
+    therefore requires q <= 7 (residuals <= 64) and q + r_cap_log2 <= 7
+    (first slice); q = 8 overflows at +128 no matter the scale.  The
+    kernel converts int8 -> f32 -> *2^{-(s+1)q} -> bf16 per tile; every
+    step is exact (small ints times a power-of-two scale), so the MXU
+    products are bit-identical to the bf16 planes."""
     import jax.numpy as jnp
 
-    if q > 7:
-        raise ValueError(f"q={q} overflows int8 slice range")
+    if q - 1 > 7 or q + r_cap_log2 > 7:
+        raise ValueError(f"q={q} (first-slice cap 2^{q + r_cap_log2}, "
+                         f"residual cap 2^{q - 1}) overflows int8")
     r = pure
-    out = []
+    ints = []
     for s in range(p):
         step = jnp.float64(2.0 ** ((s + 1) * q))
-        sl = jnp.round(r * step)                  # ints in [-2^q, 2^q]
-        r = r - sl / step
-        out.append(sl.astype(jnp.int8))
-    return out
+        # the int is kept in f32 (exact to 2^24) and the residual
+        # subtracts the STORED value: the TPU relay's f32-pair f64
+        # emulation can round/convert one ulp off the true nearest
+        # (measured on the golden plan), and using the stored value makes
+        # the next slice absorb the error exactly -- at the price of the
+        # absorbed slice's int reaching up to 1.5 * 2^q
+        sl = jnp.round(r * step).astype(jnp.float32)
+        r = r - sl.astype(jnp.float64) / step
+        ints.append(sl)
+    # carry renormalization: an absorbed off-by-one can push a slice int
+    # to ~1.5 * 2^q, past int8.  Move whole 2^q multiples into the
+    # previous slice (c * 2^q on grid s == c on grid s-1, so the
+    # decomposition sum is EXACTLY preserved); after the sweep every int
+    # is <= 2^{q-1} + 2 -- int8-safe at q <= 7 and inside the tightened
+    # product-exactness bound.  All f32 integer arithmetic: exact.
+    for s in range(p - 1, 0, -1):
+        c = jnp.round(ints[s] * np.float32(2.0 ** -q))
+        ints[s - 1] = ints[s - 1] + c
+        ints[s] = ints[s] - c * np.float32(2.0 ** q)
+    return [i.astype(jnp.int8) for i in ints]
 
 
 def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
     """(precision tag, p, q) of the oz kernel make_pairpanel_multiply_oz
     will build for contraction depth ``k`` under the current env knobs --
     the single source of truth for VMEM-fit checks, auto_t_step and
-    engine labels.  Default is the compensated 'ozc' mode (q = 8, 38%
-    fewer MXU products than the diag_sum-exact point at k ~ 450, tighter
-    truncation floor); TFQ_OZ_COMP=0 selects the legacy 'oz' mode."""
+    engine labels.  Default is the compensated 'ozc' mode with bf16 A
+    planes at q = 8, p = 7 (28 MXU passes -- measured faster than the
+    int8 point on the golden plan); TFQ_OZC_INT8=1 selects int8 raw-int
+    planes at q = 7, p = 8 (half the A bytes, 36 passes -- residual
+    slice ints are bounded by 2^{q-1} independent of scale, so q = 8
+    cannot ship as int8); TFQ_OZ_COMP=0 the legacy 'oz' mode."""
+    import math
+
     from . import ozaki
 
     if _os.environ.get("TFQ_OZ_COMP", "1") != "0":
         p, q = ozaki.slice_params_comp(k, bits)
+        if _os.environ.get("TFQ_OZC_INT8", "0") != "0" and q > 7:
+            # int8 point: slice ints <= 2^{q-1} + 2 <= 66 at q = 7 (the
+            # +2 covers emulated-f64 absorbs after carry renormalization,
+            # see _oz_slices_int8).  Exactness: k * 66^2 <= 2^24 ->
+            # k <= 3851 -- looser than q = 8's bound.
+            q = 7
+            p = math.ceil(bits / q) + (1 if bits % q == 0 else 0)
+        if k * (2 ** (q - 1) + 2) ** 2 > 2 ** 24:
+            raise ValueError(f"contraction depth {k} too deep for exact "
+                             f"f32 slice products at q={q}")
         return f"ozc{p}", p, q
     p, q = ozaki.slice_params(k, bits, diag_sum=True)
     if _os.environ.get("TFQ_OZ_INT8", "1") != "0" and q > 7:
@@ -2099,16 +2206,35 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     # plans where slice_params returns q > 7 are re-sliced at q=7 with
     # more slices (lower q only ADDS accumulation headroom, and
     # p*q - 1 >= 53 keeps the truncation below one f64 ulp).
-    use_int8 = (not comp
-                and _os.environ.get("TFQ_OZ_INT8", "1") != "0")
+    use_int8 = _os.environ.get(
+        "TFQ_OZC_INT8" if comp else "TFQ_OZ_INT8",
+        "0" if comp else "1") != "0"
     sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
                                      keepdims=True))
     if comp:
+        # r4: sigma is SHARED across the re/im panel halves (max of the
+        # pair) so the kernel's in-kernel complex assembly operates on
+        # one power-of-two scale; the X side mirrors this with a
+        # lane-shared tau in apply().  Sharing only shrinks the smaller
+        # half's slice ints -- the truncation floor stays 2^{-pq} of the
+        # (shared) scale.
+        mr = r * lm
+        sig_sh = jnp.maximum(sigma[:, :mr], sigma[:, mr:])
+        sigma = jnp.concatenate([sig_sh, sig_sh], axis=1)
         # dual spare binade (the X side mirrors this in apply): ints cap
-        # at 2^{q-1} = 128 so every k-deep slice product sums exactly in
-        # f32 at q = 8 -- one past int8's range, so planes stay bf16
+        # at 2^{q-1} so every k-deep slice product sums exactly in f32.
+        # The default int8 planes require q <= 7 (oz_mode_params picks
+        # q = 7, p = 8 then: every int <= 64); q = 8 residual ints reach
+        # +128 and cannot ship as int8 (see _oz_slices_int8).
         sigma = sigma * 2.0
-        planes = tuple(_oz_slices(panels / sigma, p, q))
+        if use_int8 and q <= 7:
+            planes = tuple(_oz_slices_int8(panels / sigma, p, q,
+                                           r_cap_log2=-1))
+        else:
+            planes = tuple(_oz_slices(panels / sigma, p, q))
+        # apply() descales the folded [M, 4ln] output with the half-panel
+        # sigma (both halves carry the identical shared scale)
+        sigma = sigma[:, :mr]
     elif use_int8:
         if 2 ** q > 64:
             # one spare binade: first-slice ints <= 2^{q-1} <= 64

@@ -34,6 +34,9 @@ class ScalePoint:
     status: int
     wall_s: float
     nnz_mac_per_s: float
+    wall_lo: float = 0.0     # fastest warm repeat
+    wall_hi: float = 0.0     # slowest warm repeat
+    repeats: int = 0
 
 
 def _banded_problem(mb: int, lm: int, ln: int, ncols: int, halfband: int,
@@ -111,7 +114,10 @@ def run_point(pr: int, pc: int, mb_per_shard: int = 16, lm: int = 8,
     return ScalePoint(pr=pr, pc=pc, mb=mb, nnzb_a=a.nnzb,
                       n_pairs=plan.n_pairs, iterations=iters,
                       status=int(info["return_status"]), wall_s=best,
-                      nnz_mac_per_s=macs / best)
+                      nnz_mac_per_s=macs / best,
+                      wall_lo=float(np.min(times)),
+                      wall_hi=float(np.max(times)),
+                      repeats=len(times))
 
 
 def weak_scaling_report(max_devices: Optional[int] = None,
@@ -149,7 +155,8 @@ def weak_scaling_report(max_devices: Optional[int] = None,
 
 
 def host_overhead_report(mb_total: int = 128, fixed_iterations: int = 25,
-                         max_devices: Optional[int] = None, **kw):
+                         max_devices: Optional[int] = None,
+                         repeats: int = 9, **kw):
     """Fixed GLOBAL problem across mesh shapes (strong comparison).
 
     On a simulated mesh every "device" shares one host, so the total work
@@ -158,24 +165,40 @@ def host_overhead_report(mb_total: int = 128, fixed_iterations: int = 25,
     ops, halo padding, per-shard dispatch) without the 1/pr host ceiling
     that makes weak-scaling numbers on a shared host hard to read.  On
     real hardware the same report gives strong-scaling speedup instead
-    (read 1/relative_wall)."""
+    (read 1/relative_wall).
+
+    Noise discipline (VERDICT r3 item 6): ``repeats`` warm solves per
+    point (default 9), wall_s is the median, spread_pct the min..max
+    range relative to it; a row whose |overhead| is below the larger of
+    the two points' spreads carries resolved=False -- same-host
+    simulation cannot separate signal from run-to-run variance there."""
     import jax
 
     n = max_devices or len(jax.devices())
     rows = []
     base = None
+    base_spread = 0.0
     for pr in (1, 2, 4, 8):
         if pr > n or mb_total % pr:
             continue
         p = run_point(pr, 1, mb_per_shard=mb_total // pr,
-                      fixed_iterations=fixed_iterations, **kw)
+                      fixed_iterations=fixed_iterations,
+                      repeats=repeats, **kw)
+        spread = 100.0 * (p.wall_hi - p.wall_lo) / max(p.wall_s, 1e-30)
         if base is None:
             base = p.wall_s
+            base_spread = spread
+        over = 100.0 * (p.wall_s / base - 1.0)
         rows.append(dict(pr=pr, mb=p.mb, iterations=p.iterations,
+                         repeats=p.repeats,
                          wall_s=round(p.wall_s, 4),
+                         wall_min_s=round(p.wall_lo, 4),
+                         wall_max_s=round(p.wall_hi, 4),
+                         spread_pct=round(spread, 1),
                          relative_wall=round(p.wall_s / base, 3),
-                         sharding_overhead_pct=round(
-                             100.0 * (p.wall_s / base - 1.0), 1)))
+                         sharding_overhead_pct=round(over, 1),
+                         resolved=bool(abs(over) > max(spread,
+                                                       base_spread) / 2)))
     return rows
 
 
