@@ -1360,7 +1360,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
                o_blocks: int = 0, resident: bool = False,
-               tile_pipe: bool = False, oz_q: int = 0):
+               tile_pipe: bool = False, oz_q: int = 0, oz_stack: int = 2):
     import sys
 
     import jax
@@ -1501,9 +1501,14 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         xo = (j if xj is None else xj) * ku * lm
         j = np.int32(j)       # i32 ref index (see finish)
         if is_oz:
-            # f64-quality (ops/ozaki.py): a_refs holds p pure bf16 slice
-            # planes of A (per-row power-of-two scale factored out), xs2
-            # lanes pack the p X slice planes [x0 | x1 | ... | x_{p-1}].
+            # f64-quality (ops/ozaki.py): a_refs[0] holds the p pure bf16
+            # slice planes of A CONCATENATED along rows ([p*m2, k] per
+            # tile; per-row power-of-two scale factored out), xs2 lanes
+            # pack the p X slice planes [x0 | x1 | ... | x_{p-1}].  One
+            # input ref instead of p: each grid step issues ONE large
+            # A-panel DMA -- p separate refs measured ~106 GB/s on the
+            # A-bytes-bound golden 'z' run (7 small DMAs/step), the
+            # concatenated layout restores the streaming rate (r4).
             # Triangular dots: slice s only meets X slices t <= p-1-s
             # (products below the 2^{-p q} truncation are skipped), so
             # dot s runs at (p-s)*2ln static lane width.  Each diagonal
@@ -1511,19 +1516,38 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             # (slice_params(diag_sum=True) sized q for it); diagonals are
             # emitted side by side and combined in f64 outside.
             xs = xs2[xo: xo + k, :]
-            p_ = len(a_refs)
+            p_ = xsplit
             two = 2 * ln
+            a_cat = a_refs[0][j]                      # [p*m2, k]
+            # STACKED dots (ablation knob TFQ_OZ_STACK): run ``oz_stack``
+            # consecutive slice planes as ONE taller MXU pass
+            # ([stack*m2, k] @ [k, (p-s)*two]; slice s+1's last lane block
+            # is computed and ignored -- finite garbage, never read by the
+            # fold).  MEASURED on the golden plan (r4): stack 1/2/4/7 =
+            # 0.96/0.94/0.89/0.81 TFlop/s -- the narrow m2-row triangular
+            # dots do NOT underutilize the MXU, so extra MACs are pure
+            # cost and the default stays 1.
             ds = []
-            for s in range(p_):
-                a_sj = a_refs[s][j]
-                if a_sj.dtype == jnp.int8:
+            s = 0
+            while s < p_:
+                hi = min(s + oz_stack, p_)
+                blk = a_cat[s * m2: hi * m2, :]
+                if blk.dtype == jnp.int8:
                     # int8 planes store RAW slice integers (|int| <= 64):
                     # exact convert + exact power-of-two descale restores
                     # the bf16 slice value at HALF the streamed A bytes
-                    a_sj = (a_sj.astype(jnp.float32)
-                            * np.float32(2.0 ** (-(s + 1) * oz_q))
-                            ).astype(jnp.bfloat16)
-                ds.append(dot(a_sj, xs[:, : (p_ - s) * two]))
+                    parts = [
+                        (blk[(t - s) * m2: (t - s + 1) * m2]
+                         .astype(jnp.float32)
+                         * np.float32(2.0 ** (-(t + 1) * oz_q))
+                         ).astype(jnp.bfloat16)
+                        for t in range(s, hi)]
+                    blk = (jnp.concatenate(parts, axis=0)
+                           if len(parts) > 1 else parts[0])
+                d = dot(blk, xs[:, : (p_ - s) * two])
+                for t in range(s, hi):
+                    ds.append(d[(t - s) * m2: (t - s + 1) * m2])
+                s = hi
             if oz_comp:
                 # 'ozc': q = 8 slices -- products no longer sum exactly
                 # in f32 (only each k-deep PRODUCT is exact, via the dual
@@ -1605,6 +1629,12 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         return dot(a_refs[0][j], xs2[xo: xo + k, :])
 
     n_a = props["a_presplit"] or 1
+    # oz/ozc: the p slice planes ship CONCATENATED along rows as ONE input
+    # (one big DMA per grid step; see the comment in dots) -- the kernel
+    # row-slices them back out for free in VMEM
+    a_rows = xsplit * m2 if is_oz else m2
+    if is_oz:
+        n_a = 1
     if tile_pipe and not resident:
         raise ValueError("tile_pipe requires a resident-window plan")
 
@@ -1741,7 +1771,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
         def a_map(i, ws, tr, xl):
             return (jnp.maximum(i - np.int32(1), z32), z32, z32)
 
-    a_specs = [pl.BlockSpec((T, m2, k), a_map,
+    a_specs = [pl.BlockSpec((T, a_rows, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
     w_lanes = 2 * xsplit * ln
     w_dt = jnp.bfloat16 if split else jnp.float32
@@ -1782,7 +1812,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     )
 
     a_eb0 = props.get("a_bytes", 2) if a_presplit else 4
-    a_bytes = ntiles * T * m2 * k * a_eb0 * n_a
+    a_bytes = ntiles * T * a_rows * k * a_eb0 * n_a
     # VMEM working set: double-buffered A panels + window + 2 scratch
     # buffers + output; the default scoped limit is 16 MB but v5e carries
     # 128 MB -- raise the limit to what this call actually needs so large
@@ -1795,7 +1825,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # (2*ln < 128) occupy the full tile -- the scoped limit must budget
     # the padded footprint or Mosaic stack-OOMs at compile time
     w_lanes_p = _lanes_pad(w_lanes_n)
-    vmem_need = (2 * n_a * T * m2 * _lanes_pad(k) * a_eb        # A in x2
+    vmem_need = (2 * n_a * T * a_rows * _lanes_pad(k) * a_eb    # A in x2
                  + win_bufs * (swrows + orows + g * lm) * w_lanes_p * w_eb
                  + 2 * scr_ku * lm * w_lanes_p * w_eb            # scratch x2
                  + 2 * T * out_rows * _lanes_pad(out_lanes) * 4)  # out x2
@@ -2245,9 +2275,15 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, tag, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
-                      o_blocks=plan.o_blocks, resident=False, oz_q=q)
+                      o_blocks=plan.o_blocks, resident=False, oz_q=q,
+                      oz_stack=max(1, int(_os.environ.get("TFQ_OZ_STACK",
+                                                          "1"))))
+    # one concatenated [ntiles_padded, p*2M, K] input: each grid step
+    # issues ONE large A DMA (p separate plane refs measured ~106 GB/s
+    # on the A-bytes-bound golden 'z' run; see the kernel comment)
+    planes_cat = jnp.concatenate(planes, axis=1)
     consts = ((jnp.asarray(wsel_h), jnp.asarray(trips_h),
-               jnp.asarray(codes_h)) + planes + (sigma,))
+               jnp.asarray(codes_h)) + (planes_cat,) + (sigma,))
     return OzPairPanelMultiply(call, consts, plan, p, q, comp=comp)
 
 
