@@ -2030,6 +2030,8 @@ class OzPairPanelMultiply:
         self._orows = plan.o_blocks * plan.lm or self._swrows
 
     def apply(self, consts, x_fused):
+        import jax
+
         import jax.numpy as jnp
 
         from . import ozaki
@@ -2051,7 +2053,25 @@ class OzPairPanelMultiply:
                 jnp.concatenate([half, half], axis=1)) * 2.0
         else:
             tau = ozaki.pow2_scale(amax)
-        xs = _oz_slices(x_fused / tau, p, self.q)
+        if self.comp:
+            # r4: the X slicing runs on an exact f32 (hi, lo) PAIR of the
+            # descaled values instead of in emulated f64 -- measured on
+            # the golden 'z' run, the f64 prologue (p rounds of
+            # round/mul/sub in XLA's f64 emulation) cost more than the
+            # Pallas kernel itself.  Only two f64 elementwise passes
+            # remain (the exact power-of-two descale and the split
+            # subtraction); everything after is native f32.  hi + lo
+            # reproduces r to ~2^-49 PER ELEMENT (hi = f32(r) exact,
+            # r - hi exact by Sterbenz, lo its f32 rounding), so the
+            # element-relative floor is 2^-49 -- inside the 1e-12 'z'
+            # gate with k-fold growth, and the lane-relative 2^{-pq}
+            # truncation floor is unchanged.
+            r = x_fused / tau                    # exact p2, |r| <= 0.5
+            hi = r.astype(jnp.float32)
+            lo = (r - hi.astype(jnp.float64)).astype(jnp.float32)
+            xs = _oz_slices_f32pair(hi, lo, p, self.q)
+        else:
+            xs = _oz_slices(x_fused / tau, p, self.q)
         xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
         xrep = _window_replicas(xw, self._n_windows, self._swrows,
                                 p * 2 * ln, 1, self._g_rows,
@@ -2061,11 +2081,31 @@ class OzPairPanelMultiply:
             # folded output [nt, M, 4ln] = [re_acc | im_acc | re_err |
             # im_err]: acc is the correctly-rounded f32 total, err its
             # exact TwoSum rounding errors -- f64(acc) + f64(err)
-            # restores the total to ~2^-48 relative; sigma/tau are
-            # powers of two so the descale is exact
-            acc = y_raw[:, :, : 2 * ln].astype(jnp.float64)
-            err = y_raw[:, :, 2 * ln:].astype(jnp.float64)
-            fused = (acc + err) * sigma * tau[None, :, :]
+            # restores the total to ~2^-48 relative.  sigma/tau are
+            # powers of two, so the descale multiplies are EXACT in f32
+            # whenever the combined scale stays inside the f32 exponent
+            # range -- the common case, checked at runtime; the f64
+            # multiply (XLA-emulated, measured ~4 ms/multiply on the
+            # golden run) only runs on extreme-scale data (lax.cond).
+            acc = y_raw[:, :, : 2 * ln]
+            err = y_raw[:, :, 2 * ln:]
+            st32 = sigma.astype(jnp.float32) * tau.astype(
+                jnp.float32)[None, :, :]
+            ok = jnp.all(jnp.isfinite(st32)
+                         & (st32 >= np.float32(2.0 ** -90))
+                         & (st32 <= np.float32(2.0 ** 90)))
+
+            def _fast(ops):
+                a_, e_ = ops
+                return ((a_ * st32).astype(jnp.float64)
+                        + (e_ * st32).astype(jnp.float64))
+
+            def _slow(ops):
+                a_, e_ = ops
+                return ((a_.astype(jnp.float64) + e_.astype(jnp.float64))
+                        * sigma * tau[None, :, :])
+
+            fused = jax.lax.cond(ok, _fast, _slow, (acc, err))
             return fused.reshape(-1, 2 * ln)[: self._n_rows_out]
         # f64 combine: diagonal sums are exact f32 -> conversion is exact;
         # sigma/tau are powers of two -> descale is exact; the complex
@@ -2104,6 +2144,47 @@ def _oz_slices(pure, p: int, q: int):
         r = r - sl.astype(jnp.float64)
         out.append(sl)
     return out
+
+
+def _oz_slices_f32pair(hi, lo, p: int, q: int):
+    """p merged bf16 slices of the exact f32 pair (hi, lo), |hi+lo| <= 0.5,
+    on the shared exponent grid: hi + lo == sum_s f64(slices[s]) +
+    O(2^{-p q}).  All arithmetic is NATIVE f32 -- this replaces the
+    emulated-f64 slicing of ``_oz_slices`` on the hot X path ('ozc').
+
+    Exactness: each stream is sliced separately (round/mul/sub by powers
+    of two on grid-aligned residuals -- every step exact in f32, same
+    argument as _oz_slices); the per-grid MERGE sh + sl is an exact f32
+    integer add (ints <= 2^q + 2); the downward CARRY sweep moves whole
+    grid-(s-1) multiples up (sum-preserving, exactly as
+    _oz_slices_int8), after which every slice int is <= 2^{q-1} + 2 --
+    inside the k * (2^{q-1} + 2)^2 <= 2^24 product-exactness bound
+    oz_mode_params enforces, and exactly representable in bf16's 8
+    significand bits.
+
+    lo's early slices are zero (|lo| <= 2^-25): its first nonzero slice
+    int is <= 2^{sq - 25} <= 2^{q-1} for the first grid reaching lo's
+    magnitude, and <= 2^{q-1} after (residual bound) -- no extra margin
+    needed."""
+    import jax.numpy as jnp
+
+    rh, rl = hi, lo
+    ms = []
+    for s in range(p):
+        step = np.float32(2.0 ** ((s + 1) * q))
+        istep = np.float32(2.0 ** (-(s + 1) * q))
+        sh = jnp.round(rh * step) * istep
+        rh = rh - sh
+        sl = jnp.round(rl * step) * istep
+        rl = rl - sl
+        ms.append(sh + sl)
+    for s in range(p - 1, 0, -1):
+        stepm = np.float32(2.0 ** (s * q))
+        istepm = np.float32(2.0 ** (-s * q))
+        c = jnp.round(ms[s] * stepm) * istepm
+        ms[s - 1] = ms[s - 1] + c
+        ms[s] = ms[s] - c
+    return [m.astype(jnp.bfloat16) for m in ms]
 
 
 def _oz_slices_int8(pure, p: int, q: int, r_cap_log2: int = 0):
