@@ -107,6 +107,9 @@ def main_fd():
     rtb = float(os.environ.get("TFQ_FD_RTB", "6.75"))
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
     repeats = int(os.environ.get("TFQ_BENCH_NREP", "4"))
+    # iteration cap: the reference driver's default is 2000
+    # (bench_tfqmrgpu.cu:575); r3 ran 500 and mislabeled capped rows
+    maxit = int(os.environ.get("TFQ_FD_MAXITER", "2000"))
 
     from tfqmrgpu_tpu import Solver, enable_x64, profiling
     from tfqmrgpu_tpu.generator import generate_fd_problem
@@ -126,11 +129,11 @@ def main_fd():
 
     if prec == "m":
         # first call pays the (remote) compiles; time the warm second call
-        solve_mixed(a, prob.x, b, tolerance=tol, max_iterations=500,
+        solve_mixed(a, prob.x, b, tolerance=tol, max_iterations=maxit,
                     engine=engine)
         t0 = time.time()
         xsol, info = solve_mixed(a, prob.x, b, tolerance=tol * (1 - 1e-9),
-                                 max_iterations=500, engine=engine)
+                                 max_iterations=maxit, engine=engine)
         best = time.time() - t0
         xc = xsol.data
         solver = None
@@ -139,14 +142,14 @@ def main_fd():
     else:
         solver = Solver(a, prob.x, b, precision=prec, engine=engine)
         # warm-up (compile)
-        info = solver.solve(tolerance=tol, max_iterations=500)
+        info = solver.solve(tolerance=tol, max_iterations=maxit)
         # the TPU relay memoizes identical dispatches: vary the tolerance by
         # a negligible relative amount so every timed solve really executes
         best = 1e30
         for i in range(max(1, repeats - 1)):
             t0 = time.perf_counter()
             info = solver.solve(tolerance=tol * (1.0 - 1e-9 * (i + 1)),
-                                max_iterations=500)
+                                max_iterations=maxit)
             best = min(best, time.perf_counter() - t0)
         iters = max(info.iterations_needed, 1)
         roof = profiling.solver_roofline(solver, best / iters)
@@ -884,13 +887,22 @@ def main():
             # (2-3x on the golden plan) carries straight through.  The
             # resident layout stays off (an xsplit=9 resident window
             # cannot fit VMEM); plain windowed grouped packs only.
+            # TFQ_OZ_BITS: requested significand coverage (default 53 =
+            # full f64 parity).  The bench's own gate is 1e-12; 47-bit
+            # slices (p=6 at q=8) pass it with a measured ~25x margin at
+            # 21 instead of 28 MXU passes and 6/7 of the A/X slice bytes.
+            # TFQ_OZ_STRIDE: window stride factor k -- replica traffic
+            # drops from 2x to (k+1)/k of the X panel (the replica build
+            # measured 3.1 ms of the 11.9 ms multiply).
+            oz_bits = int(os.environ.get("TFQ_OZ_BITS", "53"))
+            oz_stride = int(os.environ.get("TFQ_OZ_STRIDE", "1"))
             want_z = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
             if want_z != 1:
                 try:
                     if want_z == 0:
                         want_z, _ = pp.auto_group_size(
                             pair_a, pair_x, pair_y, nnzb_x, lm, ln,
-                            pp.oz_mode_params(16 * lm)[0],
+                            pp.oz_mode_params(16 * lm, oz_bits)[0],
                             candidates=tuple(
                                 gg for gg in (1, 2, 4, 8)
                                 if gg * ln <= 256))
@@ -903,8 +915,9 @@ def main():
                 pplan = pp.pack_pair_plan(
                     gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
                     gp.nnzb2, lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
-                    row_of=gp.row_of2, col_of=gp.col_of2, resident=False)
-                tag_chk, _, _ = pp.oz_mode_params(pplan.ku * lm)
+                    row_of=gp.row_of2, col_of=gp.col_of2, resident=False,
+                    stride_factor=oz_stride)
+                tag_chk, _, _ = pp.oz_mode_params(pplan.ku * lm, oz_bits)
                 if not pp.plan_fits_vmem(pplan, tag_chk):
                     log(f"# oz colgroup G={gp.group_size} exceeds VMEM "
                         "(xsplit=p windows); packing ungrouped")
@@ -916,14 +929,16 @@ def main():
             else:
                 pplan = pp.pack_pair_plan(
                     pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
-                    r_tile=r_tile, copy_g=copy_g, resident=False)
-            tag_oz, _, _ = pp.oz_mode_params(pplan.ku * lm)
+                    r_tile=r_tile, copy_g=copy_g, resident=False,
+                    stride_factor=oz_stride)
+            tag_oz, _, _ = pp.oz_mode_params(pplan.ku * lm, oz_bits)
             if os.environ.get("TFQ_BENCH_TSTEP"):
                 t_step = int(os.environ["TFQ_BENCH_TSTEP"])
             else:
                 t_step = pp.auto_t_step(pplan, tag_oz)
             mult_oz = pp.make_pairpanel_multiply_oz(
-                pplan, a_re, a_im, interpret=interp, t_step=t_step)
+                pplan, a_re, a_im, interpret=interp, t_step=t_step,
+                bits=oz_bits)
             consts = mult_oz.consts
             log(f"# pairpanel-oz pack: {time.time()-t0:.1f}s, "
                 f"ntiles={pplan.ntiles} ku={pplan.ku} p={mult_oz.p} "
