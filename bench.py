@@ -494,6 +494,105 @@ def main():
         log(f"# reference Y computed in {time.time()-t0:.1f}s")
         np.save(cache, y_ref)
 
+    # ---- superblock pre-pass for small blocks (LM <= 8): merge f_row
+    # block-rows (ops/superblock.py) -- and, when LN is narrow, f_col
+    # columns via the existing pack_grouped lane transform -- so the 9
+    # small reference sizes (allowed_block_sizes.h:4-18) run on the
+    # measured-fast LM'=32-class engines instead of drowning an 8x128 MXU
+    # tile (r02: 0.004-0.44 TFlop/s).  The reported TFlop/s stays the
+    # FINE nominal flops (the merge's padded MACs are overhead, not
+    # credit).  TFQ_BENCH_SUPER: auto (default, model-picked f_row),
+    # 0 = off, N = force f_row N.
+    super_tag = ""
+    sup_rm = None
+    sup_gp = None
+    lm_fine, ln_fine = lm, ln
+    sup_env = os.environ.get("TFQ_BENCH_SUPER", "auto")
+    if sup_env != "0" and lm <= 8 and engine in ("auto", "super"):
+        from tfqmrgpu_tpu.ops import pairpanel as ppx
+        from tfqmrgpu_tpu.ops import superblock as sbx
+
+        try:
+            row_g, col_g = ppx.recover_geometry(pair_a, pair_x, pair_y,
+                                                nnzb_y)
+            cands = sorted({f for f in (16 // lm, 32 // lm) if f >= 2})
+            if sup_env not in ("auto", ""):
+                cands = [int(sup_env)]
+            best = None
+            for f in cands:
+                lm2 = f * lm
+                # lane widening to ln2 >= max(lm2, 32) first (grouping
+                # verifies the full-intersection invariant on the fine
+                # lists; the row merge then composes without re-check)
+                fc = max(-(-lm2 // ln), -(-32 // ln))
+                ncol_g = int(col_g.max()) + 1
+                fc = min(fc, ncol_g)
+                if ln * fc < lm2:
+                    continue         # cannot reach LN' >= LM'
+                gp_f = None
+                if fc > 1:
+                    gp_f = ppx.pack_grouped(pair_a, pair_x, pair_y,
+                                            nnzb_y, ln, fc,
+                                            row_of=row_g, col_of=col_g)
+                if gp_f is not None:
+                    rm_f = sbx.pack_rowmerge(
+                        gp_f.pair_a2, gp_f.pair_x2, gp_f.pair_y2,
+                        gp_f.nnzb2, lm, gp_f.ln2, f,
+                        row_of=gp_f.row_of2, col_of=gp_f.col_of2,
+                        verify=False)
+                else:
+                    if ln < lm2:
+                        continue     # cannot reach LN' >= LM'
+                    rm_f = sbx.pack_rowmerge(pair_a, pair_x, pair_y,
+                                             nnzb_y, lm, ln, f,
+                                             row_of=row_g, col_of=col_g)
+                # cost model: merged MACs / measured engine rate at lm2
+                rate = {16: 2.0, 32: 8.1, 64: 7.0}.get(lm2, 1.0)
+                if prec == "z":
+                    rate = {32: 1.26, 64: 1.0}.get(lm2, 0.1)
+                cost = rm_f.mac_inflation / rate
+                if best is None or cost < best[0]:
+                    best = (cost, f, gp_f, rm_f)
+            if best is None:
+                raise ValueError("no feasible superblock factor")
+            _, sup_f, sup_gp, sup_rm = best
+            # remap the WHOLE problem into merged space; the gate unmaps
+            a_re = np.asarray(sbx.merge_a_blocks(sup_rm, a_re))
+            a_im = np.asarray(sbx.merge_a_blocks(sup_rm, a_im))
+            if sup_gp is not None:
+                x_re = np.asarray(ppx.grouped_blocks(sup_gp, x_re))
+                x_im = np.asarray(ppx.grouped_blocks(sup_gp, x_im))
+            x_re = np.asarray(sbx.merge_xy_blocks(sup_rm, x_re))
+            x_im = np.asarray(sbx.merge_xy_blocks(sup_rm, x_im))
+            pair_a = sup_rm.pair_a2.astype(pair_a.dtype)
+            pair_x = sup_rm.pair_x2.astype(pair_x.dtype)
+            pair_y = sup_rm.pair_y2.astype(pair_y.dtype)
+            nnzb_y = nnzb_x = sup_rm.n_cells
+            nnzb_a = sup_rm.n_acells
+            lm, ln = sup_rm.lm2, sup_rm.ln
+            super_tag = (f"super{sup_f}x"
+                         f"{sup_gp.group_size if sup_gp else 1}+")
+            log(f"# superblock: ({lm_fine},{ln_fine}) -> ({lm},{ln}), "
+                f"{sup_rm.n_in} blocks -> {sup_rm.n_cells} cells, "
+                f"{len(pair_a)} pairs, MAC inflation "
+                f"{sup_rm.mac_inflation:.2f}x")
+        except ValueError as e:
+            log(f"# superblock unavailable ({e}); running fine-grained")
+            sup_rm = None
+            sup_gp = None
+
+    def unmap_super_y(y_blocks):
+        """Merged-space Y blocks -> fine blocks (gate comparison)."""
+        if sup_rm is None:
+            return y_blocks
+        from tfqmrgpu_tpu.ops import pairpanel as ppx
+        from tfqmrgpu_tpu.ops import superblock as sbx
+
+        y = sbx.unmerge_xy_blocks(sup_rm, y_blocks)
+        if sup_gp is not None:
+            y = ppx.ungroup_blocks(sup_gp, y)
+        return y
+
     # ---- pick the multiply implementation
     eng_used = engine
     pplan = None
@@ -537,17 +636,23 @@ def main():
             rt_rows = int(os.environ.get("TFQ_BENCH_ROWTILE",
                                          str(max(1, 128 // lm))))
             pack = rt.pack_row_tiles(g.rowptr, g.colind, mbg, lm, rt_rows)
-            # device data (host link too slow for panel-scale arrays)
-            phase = jnp.asarray(np.remainder(
-                np.arange(nnzb_a * lm * lm, dtype=np.float64),
-                2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
+            # device data: cos/sin regenerated on device from host
+            # range-reduced phases (the host link is too slow for the
+            # inflated PANELS; the blocks themselves are cheap) -- except
+            # under the superblock remap, whose merged blocks carry
+            # structural zeros the regeneration would destroy
             ord_j = jnp.asarray(order.astype(np.int32))
-            pan_re = rt.build_a_panels_device(pack, jnp.cos(phase)[ord_j])
-            pan_im = rt.build_a_panels_device(pack, jnp.sin(phase)[ord_j])
+            if sup_rm is not None:
+                ab_re = jnp.asarray(a_re.astype(np.float32))
+                ab_im = jnp.asarray(a_im.astype(np.float32))
+            else:
+                phase = jnp.asarray(np.remainder(
+                    np.arange(nnzb_a * lm * lm, dtype=np.float64),
+                    2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
+                ab_re, ab_im = jnp.cos(phase), jnp.sin(phase)
+            pan_re = rt.build_a_panels_device(pack, ab_re[ord_j])
+            pan_im = rt.build_a_panels_device(pack, ab_im[ord_j])
             a_fused = jnp.concatenate([pan_re, pan_im], axis=1)
-            phx = jnp.asarray(np.remainder(
-                np.arange(nnzb_x * lm * ln, dtype=np.float64),
-                2 * np.pi).astype(np.float32).reshape(nnzb_x, lm, ln))
             fr_j = jnp.asarray(frag.astype(np.int32))
             cx_j = jnp.asarray(colx.astype(np.int32))
 
@@ -556,7 +661,15 @@ def main():
                 g = g.at[fr_j, cx_j].set(blocks)
                 return g.transpose(0, 2, 1, 3).reshape(nrg, cg)
 
-            x0 = jnp.stack([to_panel(jnp.cos(phx)), to_panel(jnp.sin(phx))])
+            if sup_rm is not None:
+                xb_re = jnp.asarray(x_re.astype(np.float32))
+                xb_im = jnp.asarray(x_im.astype(np.float32))
+            else:
+                phx = jnp.asarray(np.remainder(
+                    np.arange(nnzb_x * lm * ln, dtype=np.float64),
+                    2 * np.pi).astype(np.float32).reshape(nnzb_x, lm, ln))
+                xb_re, xb_im = jnp.cos(phx), jnp.sin(phx)
+            x0 = jnp.stack([to_panel(xb_re), to_panel(xb_im)])
             maskpan = np.zeros((mbg, ncg), np.float32)
             maskpan[frag, colx] = 1.0
             maskpan = jnp.asarray(np.repeat(np.repeat(
@@ -658,10 +771,16 @@ def main():
             # for the ~1 GB inflated panels); the cos/sin arguments must be
             # range-reduced on the HOST in float64 -- float32 argument
             # reduction at idx ~ 1e7 is meaningless
-            phase = jnp.asarray(np.remainder(
-                np.arange(nnzb_a * lm * lm, dtype=np.float64),
-                2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
-            a_dev = (jnp.cos(phase), jnp.sin(phase))
+            if sup_rm is not None:
+                # superblock remap: the merged blocks carry structural
+                # zeros -- ship them as-is (30 MB-scale, fine)
+                a_dev = (jnp.asarray(a_re.astype(np.float32)),
+                         jnp.asarray(a_im.astype(np.float32)))
+            else:
+                phase = jnp.asarray(np.remainder(
+                    np.arange(nnzb_a * lm * lm, dtype=np.float64),
+                    2 * np.pi).astype(np.float32).reshape(nnzb_a, lm, lm))
+                a_dev = (jnp.cos(phase), jnp.sin(phase))
 
             def build_candidate(spec):
                 """spec: 'auto' (grouped, model-picked G), 1 (ungrouped),
@@ -1012,6 +1131,7 @@ def main():
             y_got = ybr + 1j * ybi
         else:
             y_got = yh[..., 0] + 1j * yh[..., 1]
+        y_got = unmap_super_y(y_got)
         scale = max(np.max(np.abs(y_ref)), 1e-300)
         return float(np.max(np.abs(y_got - y_ref)) / scale)
 
@@ -1093,17 +1213,17 @@ def main():
         f"{t_half*1e3:.1f} ms -> dispatch overhead "
         f"{(t_half - best * half / max(n_eff, 1))*1e3:.1f} ms cancelled")
     tflops = flops_per_call * n_eff / best / 1e12
-    nnz_per_s = n_pairs * lm * lm * ln * n_eff / best
+    nnz_per_s = n_pairs * lm_fine * lm_fine * ln_fine * n_eff / best
     nrep = n_eff                                  # for the reports below
 
     log(f"# {nrep} multiplies in {best*1e3:.1f} ms -> {tflops:.2f} TFlop/s "
         f"({eng_used}, {prec}, LM={lm}, LN={ln})")
     print(json.dumps({
-        "metric": f"spmm_plan_unordered_lm{lm}_ln{ln}_{prec}",
+        "metric": f"spmm_plan_unordered_lm{lm_fine}_ln{ln_fine}_{prec}",
         "value": round(tflops, 3),
         "unit": "TFlop/s",
         "vs_baseline": round(tflops / BASELINE_TFLOPS, 3),
-        "engine": eng_used,
+        "engine": super_tag + eng_used,
         "maxdev": maxdev,
         "nnz_mac_per_s": nnz_per_s,
         "n_pairs": int(n_pairs),

@@ -2040,37 +2040,54 @@ class OzPairPanelMultiply:
         planes, sigma = rest[:-1], rest[-1]
         p, ln, m = self.p, self._ln, self._m
         x_fused = x_fused.astype(jnp.float64)
-        # per-lane (per RHS column re/im plane) power-of-two scale --
-        # shared down the whole contraction so slice products stay exact.
-        # 'ozc' doubles it (spare binade): |x/tau| <= 0.5 caps slice ints
-        # at 2^{q-1}, half of what the k-deep f32 product sums can absorb;
-        # and SHARES the scale across the re/im lane pair so the kernel's
-        # in-kernel complex assembly subtracts same-scale quantities.
-        amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
         if self.comp:
-            half = jnp.maximum(amax[:, :ln], amax[:, ln:])
-            tau = ozaki.pow2_scale(
-                jnp.concatenate([half, half], axis=1)) * 2.0
-        else:
-            tau = ozaki.pow2_scale(amax)
-        if self.comp:
-            # r4: the X slicing runs on an exact f32 (hi, lo) PAIR of the
-            # descaled values instead of in emulated f64 -- measured on
-            # the golden 'z' run, the f64 prologue (p rounds of
-            # round/mul/sub in XLA's f64 emulation) cost more than the
-            # Pallas kernel itself.  Only two f64 elementwise passes
-            # remain (the exact power-of-two descale and the split
-            # subtraction); everything after is native f32.  hi + lo
-            # reproduces r to ~2^-49 PER ELEMENT (hi = f32(r) exact,
-            # r - hi exact by Sterbenz, lo its f32 rounding), so the
-            # element-relative floor is 2^-49 -- inside the 1e-12 'z'
-            # gate with k-fold growth, and the lane-relative 2^{-pq}
-            # truncation floor is unchanged.
-            r = x_fused / tau                    # exact p2, |r| <= 0.5
-            hi = r.astype(jnp.float32)
-            lo = (r - hi.astype(jnp.float64)).astype(jnp.float32)
+            # r4b: the whole descale runs on the f32 side.  Split FIRST
+            # (hi0 = f32(x) -- exact conversion; lo0 = f32(x - hi0) --
+            # the ONE remaining emulated-f64 elementwise pass), then take
+            # amax from |hi0| and scale by the exact f32 power of two.
+            # pow2_scale's envelope already covers an f32-derived amax
+            # (it f32-casts internally and proves sigma >= amax for every
+            # f32 rounding case, ozaki.py:106-118); power-of-two f32
+            # multiplies are exact, so rh/rl is the same exact pair the
+            # old f64 divide produced -- element floor 2^-49, lane floor
+            # 2^{-pq}, slice ints <= 2^{q-1}(1 + 2^-24) + 2, inside the
+            # +2 slack of the product-exactness bound.  Measured r4: the
+            # f64 amax + divide cost ~1.2 ms/multiply of the 1.5 ms
+            # descale stage.  Extreme scales (|tau| outside 2^+-100, or
+            # 1/tau not an f32 normal) take the legacy f64 path via
+            # lax.cond, like the epilogue.
+            hi0 = x_fused.astype(jnp.float32)
+            lo0 = (x_fused - hi0.astype(jnp.float64)).astype(jnp.float32)
+            amax32 = jnp.max(jnp.abs(hi0), axis=0, keepdims=True)
+            # per-lane power-of-two scale, shared across the re/im lane
+            # pair (the kernel's complex assembly subtracts same-scale
+            # quantities) and doubled (spare binade caps slice ints at
+            # 2^{q-1})
+            half = jnp.maximum(amax32[:, :ln], amax32[:, ln:])
+            tau = ozaki.pow2_scale(jnp.concatenate(
+                [half, half], axis=1).astype(jnp.float64)) * 2.0
+            itau32 = (1.0 / tau).astype(jnp.float32)
+            ok = jnp.all(jnp.isfinite(itau32)
+                         & (itau32 >= np.float32(2.0 ** -100))
+                         & (itau32 <= np.float32(2.0 ** 100)))
+
+            def _fast_pro(ops):
+                x_, h_, l_ = ops
+                return h_ * itau32, l_ * itau32
+
+            def _slow_pro(ops):
+                x_, h_, l_ = ops
+                r_ = x_ / tau                  # exact p2 descale (f64)
+                h2 = r_.astype(jnp.float32)
+                l2 = (r_ - h2.astype(jnp.float64)).astype(jnp.float32)
+                return h2, l2
+
+            hi, lo = jax.lax.cond(ok, _fast_pro, _slow_pro,
+                                  (x_fused, hi0, lo0))
             xs = _oz_slices_f32pair(hi, lo, p, self.q)
         else:
+            amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
+            tau = ozaki.pow2_scale(amax)
             xs = _oz_slices(x_fused / tau, p, self.q)
         xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
         xrep = _window_replicas(xw, self._n_windows, self._swrows,
