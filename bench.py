@@ -141,15 +141,32 @@ def main_fd():
         eng = f"mixed({engine})"
     else:
         solver = Solver(a, prob.x, b, precision=prec, engine=engine)
+        # restart-chunked solve (solve_checkpointed without a state
+        # file): tfQMR's recurrence drifts from the true residual on
+        # long solves and plateaus ~1e-8 on the rtb=12.75 operator
+        # (r3's capped rows); restarting from the current iterate
+        # re-anchors B - A*X0 exactly and converges in a few more
+        # iterations (measured: 2000-cap stall at 1.4e-8 -> 427 total
+        # iterations to 2.5e-11).  The reference leaves X0 re-upload as
+        # a ToDo (bench_tfqmrgpu.cu:159 step 8x); here it is a solver
+        # capability.  TFQ_FD_CHUNK=0 disables (single-shot parity).
+        chunk = int(os.environ.get("TFQ_FD_CHUNK", "400"))
+
+        def run_solve(tol_):
+            if chunk > 0:
+                solver.clear_initial_guess()
+                return solver.solve_checkpointed(
+                    tolerance=tol_, max_iterations=maxit, chunk=chunk)
+            return solver.solve(tolerance=tol_, max_iterations=maxit)
+
         # warm-up (compile)
-        info = solver.solve(tolerance=tol, max_iterations=maxit)
+        info = run_solve(tol)
         # the TPU relay memoizes identical dispatches: vary the tolerance by
         # a negligible relative amount so every timed solve really executes
         best = 1e30
         for i in range(max(1, repeats - 1)):
             t0 = time.perf_counter()
-            info = solver.solve(tolerance=tol * (1.0 - 1e-9 * (i + 1)),
-                                max_iterations=maxit)
+            info = run_solve(tol * (1.0 - 1e-9 * (i + 1)))
             best = min(best, time.perf_counter() - t0)
         iters = max(info.iterations_needed, 1)
         roof = profiling.solver_roofline(solver, best / iters)
@@ -547,9 +564,9 @@ def main():
                                              nnzb_y, lm, ln, f,
                                              row_of=row_g, col_of=col_g)
                 # cost model: merged MACs / measured engine rate at lm2
-                rate = {16: 2.0, 32: 8.1, 64: 7.0}.get(lm2, 1.0)
-                if prec == "z":
-                    rate = {32: 1.26, 64: 1.0}.get(lm2, 0.1)
+                # (ops/rates.py -- the shared measured table)
+                from tfqmrgpu_tpu.ops import rates as _rates
+                rate = _rates.engine_rate(prec, lm2) or 1.0
                 cost = rm_f.mac_inflation / rate
                 if best is None or cost < best[0]:
                     best = (cost, f, gp_f, rm_f)
@@ -581,6 +598,16 @@ def main():
             sup_rm = None
             sup_gp = None
 
+    # solver-representative masking: a real solver integration must zero
+    # the dead merged slots after EVERY multiply (junk products land
+    # there); the timed chain does the same so the measured rate carries
+    # that per-iteration elementwise cost (advisor r4)
+    sup_mask_blocks = None
+    if sup_rm is not None:
+        from tfqmrgpu_tpu.ops import superblock as sbx
+
+        sup_mask_blocks = sbx.merged_mask_full(sup_rm, sup_gp)
+
     def unmap_super_y(y_blocks):
         """Merged-space Y blocks -> fine blocks (gate comparison)."""
         if sup_rm is None:
@@ -599,6 +626,7 @@ def main():
     rowtile = None
     rt_cand = None
     gp = None
+    oz_refine = None
     if engine in ("rowtile", "auto") and prec == "c":
         # ROW-TILE engine: recover the BSR geometry hidden in the pair list;
         # when X is (row x col)-grid-dense (FD patterns are: the golden plan
@@ -670,10 +698,18 @@ def main():
                     2 * np.pi).astype(np.float32).reshape(nnzb_x, lm, ln))
                 xb_re, xb_im = jnp.cos(phx), jnp.sin(phx)
             x0 = jnp.stack([to_panel(xb_re), to_panel(xb_im)])
-            maskpan = np.zeros((mbg, ncg), np.float32)
-            maskpan[frag, colx] = 1.0
-            maskpan = jnp.asarray(np.repeat(np.repeat(
-                maskpan, lm, 0), ln, 1)[None])
+            if sup_mask_blocks is not None:
+                # fine-slot-resolution mask: dead merged row slots / group
+                # lanes zero out, not just absent grid cells
+                mk = np.zeros((mbg, ncg, lm, ln), np.float32)
+                mk[frag, colx] = sup_mask_blocks
+                maskpan = jnp.asarray(
+                    mk.transpose(0, 2, 1, 3).reshape(nrg, cg)[None])
+            else:
+                maskpan = np.zeros((mbg, ncg), np.float32)
+                maskpan[frag, colx] = 1.0
+                maskpan = jnp.asarray(np.repeat(np.repeat(
+                    maskpan, lm, 0), ln, 1)[None])
             interp = jax.default_backend() not in ("tpu",)
             # T tiles per grid step amortize the per-step fixed cost;
             # pad panels/xcols to whole steps (zero A panels -> 0)
@@ -873,9 +909,21 @@ def main():
                 def multiply_c(c, x, mult2=mult2):
                     return mult2.apply(c, x)
 
-                def y_to_x(y, pad=nxrows - nyrows):
-                    """Feed Y (new-order fused rows) back as the next X."""
-                    return jnp.pad(y, ((0, pad), (0, 0)))
+                msk_j = None
+                if sup_mask_blocks is not None:
+                    if gp is not None:
+                        mg = np.asarray(pp.grouped_blocks(
+                            gp, sup_mask_blocks))
+                        msk_j = jnp.asarray(pp.permute_x(pplan, mg, mg))
+                    else:
+                        msk_j = jnp.asarray(pp.permute_x(
+                            pplan, sup_mask_blocks, sup_mask_blocks))
+
+                def y_to_x(y, pad=nxrows - nyrows, m=msk_j):
+                    """Feed Y (new-order fused rows) back as the next X
+                    (dead merged slots re-zeroed under the superblock)."""
+                    y = jnp.pad(y, ((0, pad), (0, 0)))
+                    return y if m is None else y * m
 
                 if gp is not None:
                     x0 = jnp.asarray(pp.permute_x(
@@ -1000,91 +1048,222 @@ def main():
             from tfqmrgpu_tpu.ops import pairpanel as pp
 
             interp = jax.default_backend() not in ("tpu",)
-            t0 = time.time()
-            # COLUMN GROUPING for the oz kernel (r3): at p~9 slice planes
+            # COLUMN GROUPING for the oz kernel (r3): at p~7 slice planes
             # the multiply is A-bytes-bound, so the grouped A dedup
             # (2-3x on the golden plan) carries straight through.  The
-            # resident layout stays off (an xsplit=9 resident window
+            # resident layout stays off (an xsplit=p resident window
             # cannot fit VMEM); plain windowed grouped packs only.
-            # TFQ_OZ_BITS: requested significand coverage (default 53 =
-            # full f64 parity).  The bench's own gate is 1e-12; 47-bit
-            # slices (p=6 at q=8) pass it with a measured ~25x margin at
-            # 21 instead of 28 MXU passes and 6/7 of the A/X slice bytes.
-            # TFQ_OZ_STRIDE: window stride factor k -- replica traffic
-            # drops from 2x to (k+1)/k of the X panel (the replica build
-            # measured 3.1 ms of the 11.9 ms multiply).
-            oz_bits = int(os.environ.get("TFQ_OZ_BITS", "53"))
-            oz_stride = int(os.environ.get("TFQ_OZ_STRIDE", "1"))
-            want_z = int(os.environ.get("TFQ_BENCH_COLGROUP", "0"))
-            if want_z != 1:
+            # The oz AXES (r5: raced on device, not env-only levers):
+            #   bits   -- significand coverage.  The bench's gate is
+            #             1e-12; 47-bit slices pass it with a measured
+            #             ~25x margin at fewer MXU passes and slice
+            #             bytes; 53 is the strict-f64-parity switch.
+            #   stride -- window stride factor k: replica traffic drops
+            #             from 2x to (k+1)/k of the X panel.
+            #   t_step -- tiles per grid step (fixed-cost amortization).
+            #   cg     -- column grouping (0 = model-picked G, 1 = off).
+            #   int8   -- raw-int A slice planes: at 47 bits the q=7
+            #             point keeps p=7 (28 passes, same as q=8) with
+            #             HALF the A bytes -- the A-bound kernel's
+            #             biggest lever.
+            # Each env knob (TFQ_OZ_BITS / TFQ_OZ_STRIDE / TFQ_BENCH_TSTEP
+            # / TFQ_BENCH_COLGROUP / TFQ_OZC_INT8), when set, PINS that
+            # axis for every candidate; unset axes race.
+            env_bits = os.environ.get("TFQ_OZ_BITS")
+            env_stride = os.environ.get("TFQ_OZ_STRIDE")
+            env_tstep = os.environ.get("TFQ_BENCH_TSTEP")
+            env_cg = os.environ.get("TFQ_BENCH_COLGROUP")
+            env_int8 = os.environ.get("TFQ_OZC_INT8")
+
+            def build_oz(bits, stride, tstep, cg, int8):
+                """One oz engine bundle (env pins override the spec)."""
+                bits = int(env_bits) if env_bits else bits
+                stride = int(env_stride) if env_stride else stride
+                tstep = int(env_tstep) if env_tstep else tstep
+                cg = int(env_cg) if env_cg is not None else cg
+                int8 = env_int8 if env_int8 is not None else int8
+                t0 = time.time()
+                os.environ["TFQ_OZC_INT8"] = int8
                 try:
-                    if want_z == 0:
-                        want_z, _ = pp.auto_group_size(
-                            pair_a, pair_x, pair_y, nnzb_x, lm, ln,
-                            pp.oz_mode_params(16 * lm, oz_bits)[0],
-                            candidates=tuple(
-                                gg for gg in (1, 2, 4, 8)
-                                if gg * ln <= 256))
-                    if want_z > 1:
-                        gp = pp.pack_grouped(pair_a, pair_x, pair_y,
-                                             nnzb_x, ln, want_z)
-                except ValueError:
-                    gp = None
-            if gp is not None:
-                pplan = pp.pack_pair_plan(
-                    gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
-                    gp.nnzb2, lm, gp.ln2, r_tile=r_tile, copy_g=copy_g,
-                    row_of=gp.row_of2, col_of=gp.col_of2, resident=False,
-                    stride_factor=oz_stride)
-                tag_chk, _, _ = pp.oz_mode_params(pplan.ku * lm, oz_bits)
-                if not pp.plan_fits_vmem(pplan, tag_chk):
-                    log(f"# oz colgroup G={gp.group_size} exceeds VMEM "
-                        "(xsplit=p windows); packing ungrouped")
-                    gp = None
-            if gp is not None:
-                log(f"# oz colgroup G={gp.group_size}: {nnzb_x} blocks "
-                    f"-> {gp.nnzb2} cells, {pair_a.shape[0]} pairs -> "
-                    f"{gp.pair_a2.shape[0]}")
-            else:
-                pplan = pp.pack_pair_plan(
-                    pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm, ln,
-                    r_tile=r_tile, copy_g=copy_g, resident=False,
-                    stride_factor=oz_stride)
-            tag_oz, _, _ = pp.oz_mode_params(pplan.ku * lm, oz_bits)
-            if os.environ.get("TFQ_BENCH_TSTEP"):
-                t_step = int(os.environ["TFQ_BENCH_TSTEP"])
-            else:
-                t_step = pp.auto_t_step(pplan, tag_oz)
-            mult_oz = pp.make_pairpanel_multiply_oz(
-                pplan, a_re, a_im, interpret=interp, t_step=t_step,
-                bits=oz_bits)
-            consts = mult_oz.consts
-            log(f"# pairpanel-oz pack: {time.time()-t0:.1f}s, "
-                f"ntiles={pplan.ntiles} ku={pplan.ku} p={mult_oz.p} "
-                f"q={mult_oz.q} t_step={t_step}"
-                + (f" G={gp.group_size}" if gp is not None else ""))
+                    gp_ = None
+                    want = cg
+                    if want != 1:
+                        try:
+                            if want == 0:
+                                want, _ = pp.auto_group_size(
+                                    pair_a, pair_x, pair_y, nnzb_x, lm,
+                                    ln, pp.oz_mode_params(16 * lm,
+                                                          bits)[0],
+                                    candidates=tuple(
+                                        gg for gg in (1, 2, 4, 8)
+                                        if gg * ln <= 256))
+                            if want > 1:
+                                gp_ = pp.pack_grouped(pair_a, pair_x,
+                                                      pair_y, nnzb_x,
+                                                      ln, want)
+                        except ValueError:
+                            gp_ = None
+                    while gp_ is not None:
+                        pplan_ = pp.pack_pair_plan(
+                            gp_.pair_a2, gp_.pair_x2, gp_.pair_y2,
+                            gp_.nnzb2, gp_.nnzb2, lm, gp_.ln2,
+                            r_tile=r_tile, copy_g=copy_g,
+                            row_of=gp_.row_of2, col_of=gp_.col_of2,
+                            resident=False, stride_factor=stride)
+                        tag_chk, _, _ = pp.oz_mode_params(
+                            pplan_.ku * lm, bits)
+                        cap_mb = int(os.environ.get("TFQ_PAIRS_VMEM_CAP",
+                                                    "100"))
+                        if pp.plan_fits_vmem(pplan_, tag_chk,
+                                             cap=cap_mb << 20):
+                            break
+                        # walk the group size down before giving up: a
+                        # VMEM-rejected G=4 often fits (and still wins
+                        # the A dedup) at G=2
+                        nxt = gp_.group_size // 2
+                        log(f"# oz colgroup G={gp_.group_size} exceeds "
+                            f"VMEM; trying G={nxt if nxt > 1 else 0}")
+                        gp_ = None
+                        if nxt > 1:
+                            try:
+                                gp_ = pp.pack_grouped(pair_a, pair_x,
+                                                      pair_y, nnzb_x,
+                                                      ln, nxt)
+                            except ValueError:
+                                gp_ = None
+                    if gp_ is None:
+                        pplan_ = pp.pack_pair_plan(
+                            pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm,
+                            ln, r_tile=r_tile, copy_g=copy_g,
+                            resident=False, stride_factor=stride)
+                    tag_oz, _, _ = pp.oz_mode_params(pplan_.ku * lm, bits)
+                    ts = tstep or pp.auto_t_step(pplan_, tag_oz)
+                    mult_ = pp.make_pairpanel_multiply_oz(
+                        pplan_, a_re, a_im, interpret=interp, t_step=ts,
+                        bits=bits)
+                finally:
+                    if env_int8 is None:
+                        os.environ.pop("TFQ_OZC_INT8", None)
+                    else:
+                        os.environ["TFQ_OZC_INT8"] = env_int8
+                i8 = any(getattr(c, "dtype", None) == jnp.int8
+                         for c in mult_.consts)
+                log(f"# oz pack b{bits}s{stride}t{ts}"
+                    f"cg{gp_.group_size if gp_ else 1}"
+                    f"{'i8' if i8 else ''}: {time.time()-t0:.1f}s, "
+                    f"ntiles={pplan_.ntiles} ku={pplan_.ku} "
+                    f"p={mult_.p} q={mult_.q}")
 
-            def multiply_c(c, x, m=mult_oz):
-                return m.apply(c, x)
+                def mult_c(c, x, m=mult_):
+                    return m.apply(c, x)
 
-            nxrows = pplan.x_rows_padded
-            nyrows = pplan.ntiles * r_tile * lm
+                nxr = pplan_.x_rows_padded
+                nyr = pplan_.ntiles * r_tile * lm
+                msk = None
+                if sup_mask_blocks is not None:
+                    if gp_ is not None:
+                        mg = np.asarray(pp.grouped_blocks(
+                            gp_, sup_mask_blocks))
+                        msk = jnp.asarray(pp.permute_x(pplan_, mg, mg))
+                    else:
+                        msk = jnp.asarray(pp.permute_x(
+                            pplan_, sup_mask_blocks, sup_mask_blocks))
 
-            def y_to_x(y, pad=nxrows - nyrows):
-                return jnp.pad(y, ((0, pad), (0, 0)))
+                def ytx(y, pad=nxr - nyr, m=msk):
+                    y = jnp.pad(y, ((0, pad), (0, 0)))
+                    return y if m is None else y * m
 
-            if gp is not None:
-                x0 = jnp.asarray(pp.permute_x(
-                    pplan, np.asarray(pp.grouped_blocks(gp, x_re)),
-                    np.asarray(pp.grouped_blocks(gp, x_im))))
-            else:
-                x0 = jnp.asarray(pp.permute_x(pplan, x_re, x_im))
-            eng_used = (f"pairpanel-"
-                        f"{'ozc' if mult_oz.comp else 'oz'}"
-                        f"{mult_oz.p}q{mult_oz.q}-"
-                        f"r{r_tile}-g{copy_g}-t{t_step}"
-                        + (f"-cg{gp.group_size}" if gp is not None
+                if gp_ is not None:
+                    x0_ = jnp.asarray(pp.permute_x(
+                        pplan_, np.asarray(pp.grouped_blocks(gp_, x_re)),
+                        np.asarray(pp.grouped_blocks(gp_, x_im))))
+                else:
+                    x0_ = jnp.asarray(pp.permute_x(pplan_, x_re, x_im))
+                name = (f"pairpanel-{'ozc' if mult_.comp else 'oz'}"
+                        f"{mult_.p}q{mult_.q}{'i8' if i8 else ''}-"
+                        f"b{bits}-r{r_tile}-g{copy_g}-t{ts}-s{stride}"
+                        + (f"-cg{gp_.group_size}" if gp_ is not None
                            else ""))
+                return dict(gp=gp_, pplan=pplan_, t_step=ts,
+                            multiply=mult_c, y_to_x=ytx, x0=x0_,
+                            consts=mult_.consts,
+                            eng_name=lambda prec_=None, n=name: n,
+                            spec=(bits, stride, tstep, cg, int8))
+
+            # default race set: the shipped default must match the best
+            # committed lever row without env knobs (VERDICT r4 #6) --
+            # 47-bit/stride-3/t8 with AND without grouping (the r4 lever
+            # run never tried the cg combination), the strict 53-bit
+            # parity point, and the int8-plane layout candidate
+            specs = [(47, 3, 8, 0, "0"), (47, 3, 8, 1, "0"),
+                     (53, 1, 0, 0, "0"), (47, 3, 8, 0, "1")]
+            race_ok = (not interp
+                       or os.environ.get("TFQ_BENCH_RACE") == "1")
+            if not race_ok:
+                specs = specs[:1]
+            oz_cands = []
+            seen_oz = set()
+            for spec in specs:
+                try:
+                    c = build_oz(*spec)
+                except ValueError as e:
+                    log(f"# oz candidate {spec} unavailable ({e})")
+                    continue
+                if c["spec"] in seen_oz:    # env pins collapsed the axes
+                    continue
+                seen_oz.add(c["spec"])
+                oz_cands.append(c)
+            if not oz_cands:
+                raise ValueError("no oz candidate packs")
+
+            def race_time_oz(c):
+                @jax.jit
+                def chain8(cc, x):
+                    def body(_, x):
+                        y = c["multiply"](cc, x)
+                        s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+                        return c["y_to_x"](y * s)
+
+                    x = jax.lax.fori_loop(0, 8, body, x)
+                    return x.reshape(-1)[0]
+
+                _ = float(np.asarray(chain8(c["consts"], c["x0"] * 1.003)))
+                best = 1e30
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(
+                        chain8(c["consts"], c["x0"] * (1.0 + 0.01 * i))))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            if len(oz_cands) > 1:
+                times = []
+                for c in oz_cands:
+                    try:
+                        tt = race_time_oz(c)
+                    except Exception as e:
+                        log(f"# oz race {c['eng_name']()} failed "
+                            f"({type(e).__name__}); dropped")
+                        tt = float("inf")
+                    times.append(tt)
+                    if np.isfinite(tt):
+                        log(f"# oz race {c['eng_name']()}: "
+                            f"{tt*1e3:.1f} ms / 8 multiplies")
+                if not any(np.isfinite(t) for t in times):
+                    raise ValueError("every oz candidate failed")
+                chosen = oz_cands[int(np.argmin(times))]
+            else:
+                chosen = oz_cands[0]
+            gp, pplan, t_step = (chosen["gp"], chosen["pplan"],
+                                 chosen["t_step"])
+            multiply_c, y_to_x, x0 = (chosen["multiply"],
+                                      chosen["y_to_x"], chosen["x0"])
+            consts = chosen["consts"]
+            eng_used = chosen["eng_name"]()
+
+            def oz_refine(_unused, spec=chosen["spec"]):
+                # gate-fallback hook: same schedule at strict 53 bits
+                return build_oz(53, spec[1], spec[2], spec[3], spec[4])
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -1106,8 +1285,14 @@ def main():
                                 pa_, px_, py_, nnzb_y)
             return jnp.stack([yr, yi], axis=-1)
 
-        def y_to_x(y):
-            return y
+        if sup_mask_blocks is not None:
+            msk_xla = jnp.asarray(sup_mask_blocks)[..., None]
+
+            def y_to_x(y):
+                return y * msk_xla
+        else:
+            def y_to_x(y):
+                return y
 
         x0 = jnp.stack([jnp.asarray(x_re), jnp.asarray(x_im)], axis=-1)
         eng_used = "xla"
@@ -1169,6 +1354,23 @@ def main():
                 eng_used = chosen["eng_name"](nxt)
             maxdev = run_gate()
             log(f"# correctness ({nxt}): maxdev={maxdev:.3e}")
+    # z margin fallback: the race's 47-bit winner must still PASS the
+    # 1e-12 gate on this workload; if its measured deviation crosses 90%
+    # of the gate, rebuild the same schedule at the strict 53-bit parity
+    # point and re-gate (mirrors the 'c' mm_auto chain above)
+    if (prec == "z" and oz_refine is not None and maxdev > 0.9 * gate
+            and "-b53-" not in eng_used):
+        log(f"# oz margin too thin (maxdev {maxdev:.3e} > "
+            f"{0.9*gate:.1e}); rebuilding at 53 bits")
+        fell_back_from = maxdev
+        c53 = oz_refine(None)
+        gp, pplan, t_step = c53["gp"], c53["pplan"], c53["t_step"]
+        multiply_c, y_to_x, x0 = (c53["multiply"], c53["y_to_x"],
+                                  c53["x0"])
+        consts = c53["consts"]
+        eng_used = c53["eng_name"]()
+        maxdev = run_gate()
+        log(f"# correctness (53-bit): maxdev={maxdev:.3e}")
     # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)
     if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
         maxdev, gate = 0.0, 1.0

@@ -22,6 +22,8 @@ def _needs_reexec() -> bool:
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end bench/driver tests")
     if not _needs_reexec():
         return
     capman = config.pluginmanager.get_plugin("capturemanager")

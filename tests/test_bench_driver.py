@@ -120,7 +120,11 @@ def test_bench_dense_grid_rowtile_outright(tmp_path):
         "TFQ_BENCH_LM": "8", "TFQ_BENCH_LN": "8",
     })
     assert rec["maxdev"] <= 1e-4
-    assert rec["engine"].startswith("rowtile")
+    # LM=8 runs under the superblock pre-pass (merged rows feed the
+    # rowtile engine); the dense grid must still pick rowtile outright
+    import re
+
+    assert re.match(r"^(super\d+x\d+\+)?rowtile", rec["engine"]), rec
 
 
 @pytest.mark.slow

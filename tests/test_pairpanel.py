@@ -411,6 +411,44 @@ def test_pairpanel_oz_f64_quality(rng, t_step, comp, monkeypatch):
     assert dev < 1e-5 * dev32, (dev, dev32)
 
 
+def test_pairpanel_ozc_extreme_scale_lanes(rng, monkeypatch):
+    """Lanes whose |x| max sits below the f32 subnormal range (or above
+    f32 max) must take the f64 legacy descale: the f32-side amax is
+    blind (flushes to 0) or garbage (inf) there, so the fast-path tau is
+    wrong while the guard used to pass (advisor r4: tiny lanes sliced to
+    all-zero SILENTLY).  Per-lane relative accuracy must hold for both
+    extremes simultaneously."""
+    import jax
+
+    monkeypatch.setenv("TFQ_OZ_COMP", "1")
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 16
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=12, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1)
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm)))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln)))
+    # alternate lanes: far below f32 subnormals / far above f32 max
+    # (still inside pow2_scale's documented |log2| <= ~326 exact range)
+    x[:, :, 0::2] *= 1e-60
+    x[:, :, 1::2] *= 1e60
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                         interpret=True, t_step=1)
+    xf = jnp.asarray(pp.permute_x(plan, x.real, x.imag))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    got = yre + 1j * yim
+    scale_lane = np.abs(want).max(axis=(0, 1))
+    assert np.all(scale_lane > 0)
+    dev_lane = np.abs(got - want).max(axis=(0, 1)) / scale_lane
+    assert dev_lane.max() < 1e-12, dev_lane
+
+
 def test_precision_props_vmem_model():
     """bf16x6 ships A raw f32 (no presplit planes) and 3-way split X
     windows; the VMEM/time models must price it that way."""

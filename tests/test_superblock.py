@@ -166,3 +166,18 @@ def test_auto_f_row_picks_and_degrades():
     f, packs = sb.auto_f_row(pa, px, py, nnzb, 8, 32)
     assert f in (1, 2, 4)
     assert all(rm.f_row == k for k, rm in packs.items())
+
+
+def test_rowmerge_rejects_duplicate_a_endpoints():
+    """Two distinct A ids sharing one (target row, operand row) endpoint
+    pair map to the SAME merged slot: merge_a_blocks would overwrite one
+    while the fine multiply sums both -- pack_rowmerge must refuse
+    (advisor r4)."""
+    pa = np.array([0, 1, 3, 2])          # a1 and a3 both span (row0, row1)
+    py = np.array([0, 0, 0, 1])
+    px = np.array([0, 1, 1, 1])
+    row_of = np.array([0, 1])
+    col_of = np.array([0, 0])
+    with pytest.raises(ValueError, match="duplicate A blocks"):
+        sb.pack_rowmerge(pa, px, py, 2, 4, 8, 2,
+                         row_of=row_of, col_of=col_of)

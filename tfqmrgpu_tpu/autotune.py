@@ -91,15 +91,19 @@ def time_multiply(solver: Solver, nrep: int = 16, repeats: int = 2) -> float:
         if mult is None:
             raise RuntimeError("matrix 'A' has not been set")
         pplan = solver._pp_plan
-        nyrows = pplan.ntiles * pplan.r_tile * solver.lm
+        nyrows = pplan.ntiles * pplan.r_tile * pplan.lm
         pad = pplan.x_rows_padded - nyrows
+        sup_mask = solver._sup_mask_fused   # superblock: keep dead merged
+        #                                     slots zero in the chain, as
+        #                                     the solve itself does
 
         @jax.jit
         def chain(c, x):
             def body(_, x):
                 y = mult.apply(c, x)
                 s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
-                return jnp.pad(y, ((0, pad), (0, 0))) * s
+                y = jnp.pad(y, ((0, pad), (0, 0))) * s
+                return y if sup_mask is None else y * sup_mask
 
             return jax.lax.fori_loop(0, nrep, body, x).reshape(-1)[0]
 
@@ -134,16 +138,24 @@ def time_multiply(solver: Solver, nrep: int = 16, repeats: int = 2) -> float:
     return best / nrep
 
 
-def default_candidates(precision: str) -> list:
+def default_candidates(precision: str, lm: int = 0) -> list:
     """(engine, env) candidates.  The pairs knobs measured to matter on
     v5e: r_tile (panel inflation vs tile count), t_step (per-grid-step
     fixed cost amortization; 0 = auto VMEM model), copy_g (scalar-copy
-    granularity)."""
+    granularity).  At LM <= 8 the pairs engine composes the superblock
+    row merge by default; the race also tries it OFF and at the forced
+    factors (the routing cost model can misjudge uncommon patterns)."""
+    sup: list = []
+    if 0 < lm <= 8:
+        sup = [("pairs", {"TFQ_SOLVER_SUPER": "0"})] + [
+            ("pairs", {"TFQ_SOLVER_SUPER": str(f)})
+            for f in sorted({16 // lm, 32 // lm}) if f >= 2]
     if precision == "z":
-        # pairs-z = the Ozaki slice kernel (needs LM >= 16; the harness
-        # drops candidates that raise)
-        return [("dense", {}), ("pairs", {}), ("xla", {})]
-    return [
+        # pairs-z = the Ozaki slice kernel (needs LM >= 16 -- at small LM
+        # the superblock merge provides it; the harness drops candidates
+        # that raise)
+        return [("dense", {}), ("pairs", {}), ("xla", {})] + sup
+    return sup + [
         ("dense", {}),
         ("pallas", {}),                 # row-tile, model-picked r_tile
         ("pallas", {"TFQ_PALLAS_RTILE": "1"}),
@@ -181,10 +193,9 @@ def autotune_solver(a: Bsr, x: Bsr, b: Bsr, *, precision: str = "c",
     the operator pattern (see module docstring); a cache hit builds the
     winning configuration directly without re-measuring."""
     del tolerance, max_iterations        # timing is multiply-only now
-    if candidates is None:
-        candidates = default_candidates(precision)
-
     probe = Solver(a, x, b, precision=precision, engine="xla", echo=0)
+    if candidates is None:
+        candidates = default_candidates(precision, lm=probe.lm)
     key = _pattern_key(probe.plan, probe.lm, probe.ln, precision)
     if use_cache:
         hit = _load_cache().get(key)

@@ -1288,10 +1288,20 @@ def pack_grouped_plan(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
 
 def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                     mm_prec: str = "highest", row_of=None, col_of=None,
-                    hbm_gbps: float = 140.0, candidates=(1, 2, 4, 8, 16)):
+                    hbm_gbps: float = 140.0, candidates=(1, 2, 4, 8, 16),
+                    vec_passes: float = 0.0, vec_bytes_per_val: int = 4):
     """Pick the column group size minimizing the modeled multiply time
     (max of A-panel streaming and MXU time; r_tile=1 tiles).  Returns
-    (best_G, estimates dict).  1 means 'do not group'."""
+    (best_G, estimates dict).  1 means 'do not group'.
+
+    vec_passes > 0 switches the objective to FULL-ITERATION cost:
+    2 multiplies + ``vec_passes`` HBM traversals of the G-inflated
+    X-shaped state vectors (grouped cells zero-fill absent lanes, so
+    wide groups that win the multiply can LOSE the iteration -- measured
+    r3: the golden pattern's multiply-optimal G=8 inflates vector bytes
+    2.6x and sinks the iteration to 0.666 of roofline).  The solver
+    passes the residency model's 15-pass fusion lower bound
+    (profiling.solver_roofline); SpMM-only callers keep 0."""
     pa = np.asarray(pair_a, dtype=np.int64)
     px = np.asarray(pair_x, dtype=np.int64)
     py = np.asarray(pair_y, dtype=np.int64)
@@ -1323,6 +1333,7 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
             kcnt = np.bincount(py)          # pairs per Y block
             padded = int(np.count_nonzero(kcnt) * kcnt.max())
             lanes = ln
+            cells = nnzb
         else:
             try:
                 # the same partition chooser the pack uses, so the model
@@ -1343,11 +1354,19 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
             kcnt = np.bincount(np.unique(tgt, return_inverse=True)[1])
             padded = int(kcnt.shape[0] * kcnt.max())
             lanes = g * ln
+            # occupied (row, group) cells: the grouped state-vector size
+            occ = np.zeros((rbool.shape[0], len(groups)), bool)
+            occ[row, g_of_col[col]] = True
+            cells = int(occ.sum())
         a_ms = padded * lm * lm * 8 / (hbm_gbps * 1e6)
         mxu_ms = padded * lanes * lm * lm * 8 / (mxu_tflops * 1e9)
         fixed_ms = kcnt.shape[0] * 0.7e-3      # per-tile scalar bookkeeping
+        mult_ms = max(a_ms, mxu_ms, fixed_ms)
+        vec_ms = (vec_passes * cells * 2 * lm * lanes * vec_bytes_per_val
+                  / (hbm_gbps * 1e6))
+        est_ms = 2 * mult_ms + vec_ms if vec_passes else mult_ms
         ests[g] = dict(a_ms=a_ms, mxu_ms=mxu_ms, fixed_ms=fixed_ms,
-                       est_ms=max(a_ms, mxu_ms, fixed_ms),
+                       vec_ms=vec_ms, est_ms=est_ms, cells=cells,
                        tiles=int(kcnt.shape[0]), ku_max=int(kcnt.max()))
     best = min(ests, key=lambda k: ests[k]["est_ms"]) if ests else 1
     return best, ests
@@ -1360,7 +1379,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
                o_blocks: int = 0, resident: bool = False,
-               tile_pipe: bool = False, oz_q: int = 0, oz_stack: int = 2):
+               tile_pipe: bool = False, oz_q: int = 0, oz_stack: int = 1):
     import sys
 
     import jax
@@ -2064,26 +2083,41 @@ class OzPairPanelMultiply:
             # quantities) and doubled (spare binade caps slice ints at
             # 2^{q-1})
             half = jnp.maximum(amax32[:, :ln], amax32[:, ln:])
-            tau = ozaki.pow2_scale(jnp.concatenate(
+            tau32 = ozaki.pow2_scale(jnp.concatenate(
                 [half, half], axis=1).astype(jnp.float64)) * 2.0
-            itau32 = (1.0 / tau).astype(jnp.float32)
-            ok = jnp.all(jnp.isfinite(itau32)
-                         & (itau32 >= np.float32(2.0 ** -100))
-                         & (itau32 <= np.float32(2.0 ** 100)))
+            itau32 = (1.0 / tau32).astype(jnp.float32)
+            # the f32-side amax is BLIND to lanes the f32 cast flushed
+            # (|x| < ~2^-150: half == 0 but the lane is NOT zero -- its
+            # slices would silently vanish) and garbage for lanes above
+            # f32 max (half == inf poisons pow2_scale).  Both route to
+            # the legacy branch, which derives tau from the exact f64
+            # amax; genuinely all-zero lanes (grouped/superblock dead
+            # lanes) keep the fast path (pow2_scale maps 0 -> 1).  The
+            # != 0 probe is a comparison pass, not f64 arithmetic.
+            lane_nz = jnp.any(x_fused != 0.0, axis=0, keepdims=True)
+            nzh = lane_nz[:, :ln] | lane_nz[:, ln:]
+            ok = jnp.all(jnp.isfinite(half) & ((half > 0) | ~nzh)) \
+                & jnp.all(jnp.isfinite(itau32)
+                          & (itau32 >= np.float32(2.0 ** -100))
+                          & (itau32 <= np.float32(2.0 ** 100)))
 
             def _fast_pro(ops):
                 x_, h_, l_ = ops
-                return h_ * itau32, l_ * itau32
+                return h_ * itau32, l_ * itau32, tau32
 
             def _slow_pro(ops):
                 x_, h_, l_ = ops
-                r_ = x_ / tau                  # exact p2 descale (f64)
+                amax64 = jnp.max(jnp.abs(x_), axis=0, keepdims=True)
+                h64 = jnp.maximum(amax64[:, :ln], amax64[:, ln:])
+                tau64 = ozaki.pow2_scale(jnp.concatenate(
+                    [h64, h64], axis=1)) * 2.0
+                r_ = x_ / tau64                # exact p2 descale (f64)
                 h2 = r_.astype(jnp.float32)
                 l2 = (r_ - h2.astype(jnp.float64)).astype(jnp.float32)
-                return h2, l2
+                return h2, l2, tau64
 
-            hi, lo = jax.lax.cond(ok, _fast_pro, _slow_pro,
-                                  (x_fused, hi0, lo0))
+            hi, lo, tau = jax.lax.cond(ok, _fast_pro, _slow_pro,
+                                       (x_fused, hi0, lo0))
             xs = _oz_slices_f32pair(hi, lo, p, self.q)
         else:
             amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
@@ -2394,7 +2428,8 @@ def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:
 # ----------------------------------------------------- solver integration
 
 def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
-                     ncc: int, b_fused, gp: "GroupedPairs" = None):
+                     ncc: int, b_fused, gp: "GroupedPairs" = None,
+                     sup_mask=None):
     """TfqmrPrimitives over FUSED permuted panels (single f32 arrays
     [x_rows_padded, 2*LN], re in lanes [:ln], im in [ln:]) -- the vector
     layout of the ``pairs`` solver engine.
@@ -2410,7 +2445,14 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
     one-hot and then un-interleave the lane blocks, and per-column scalars
     scatter into the [ngroups, G*ln] lane layout before the one-hot
     row expansion.
-    """
+
+    With ``sup_mask`` (a [x_rows_padded, 2*ln] fused live-slot mask, see
+    superblock.merged_mask_full + permute_x) the plan runs in SUPERBLOCK
+    merged space: every multiply output is masked so junk products on
+    dead merged slots never re-enter the recurrence, and the per-column
+    reductions stay exact because dead slots contribute zero.  When both
+    ``gp`` and ``sup_mask`` are given the mask already composes the
+    grouped lane mask (grouped_lane_mask cannot index merged cells)."""
     import jax
     import jax.numpy as jnp
 
@@ -2424,11 +2466,12 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
 
     if gp is not None:
         return _fused_primitives_grouped(mult, consts, plan, ncc, b_fused,
-                                         gp)
+                                         gp, sup_mask=sup_mask)
 
     def multiply(x):
         y = mult.apply(consts, x)
-        return jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+        y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+        return y if sup_mask is None else y * sup_mask
 
     # permuted block -> compressed column of X; pad blocks -> dump segment
     colx = plan.col_of_new                       # int32[n_blocks_padded]
@@ -2611,7 +2654,7 @@ def grouped_lane_mask(plan: PairPanelPlan, gp: "GroupedPairs") -> np.ndarray:
 
 
 def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
-                              b_fused, gp: "GroupedPairs"):
+                              b_fused, gp: "GroupedPairs", sup_mask=None):
     import jax
     import jax.numpy as jnp
 
@@ -2646,13 +2689,22 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
     # reductions and scalar expansions then stay in f64, same policy as
     # the ungrouped primitives
     vdt = jnp.result_type(b_fused)
-    mask = jnp.asarray(grouped_lane_mask(plan, gp))     # [nslots, 2*ln2]
+    if sup_mask is not None:
+        # superblock merged space: the composed full-resolution mask
+        # (grouped_lane_mask indexes GROUPED cells and cannot be used --
+        # plan.perm holds MERGED cell ids here)
+        def multiply(x):
+            y = mult.apply(consts, x)
+            y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+            return (y * sup_mask).astype(vdt)
+    else:
+        mask = jnp.asarray(grouped_lane_mask(plan, gp))  # [nslots, 2*ln2]
 
-    def multiply(x):
-        y = mult.apply(consts, x)
-        y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
-        y3 = y.reshape(nslots, lm, 2 * ln2) * mask[:, None, :]
-        return y3.reshape(nxrows, 2 * ln2).astype(vdt)
+        def multiply(x):
+            y = mult.apply(consts, x)
+            y = jnp.pad(y, ((0, nxrows - nyrows), (0, 0)))
+            y3 = y.reshape(nslots, lm, 2 * ln2) * mask[:, None, :]
+            return y3.reshape(nxrows, 2 * ln2).astype(vdt)
 
     def _exact_onehot_dot(a, p):
         hi, lo = split_bf16x2(p)

@@ -91,6 +91,13 @@ def _a_adjacency(pair_a, pair_x, pair_y, row):
     if (np.unique(inv * np.int64(nrow) + row[pair_y]).shape[0] != nau
             or np.unique(inv * np.int64(nrow) + row[pair_x]).shape[0] != nau):
         raise ValueError("an A block spans multiple recovered rows")
+    # distinct A ids sharing one (target row, operand row) endpoint pair
+    # would scatter into the SAME merged slot (merge_a_blocks overwrites,
+    # the fine multiply sums) -- a duplicate BSR entry, degenerate but
+    # representable in bare plan files; refuse rather than merge wrong
+    if np.unique(ai * np.int64(nrow) + aj).shape[0] != nau:
+        raise ValueError("duplicate A blocks on one (row, col) endpoint "
+                         "pair cannot be merged")
     return au, ai, aj
 
 
@@ -305,20 +312,41 @@ def merged_x_mask(rm: RowMerge) -> np.ndarray:
     return np.repeat(m, rm.lm, axis=1)[:, :, None]
 
 
+def merged_mask_full(rm: RowMerge, gp=None) -> np.ndarray:
+    """float32[n_cells, lm2, ln] live-slot mask of the merged problem:
+    1 only on (fine row slot, lane) positions carrying live fine data.
+    With ``gp`` (the pack_grouped lane widening composed BEFORE the row
+    merge) absent group lanes inside live row slots are masked too --
+    the full mask a solver integration multiplies into every multiply
+    output so junk products on dead slots never re-enter the Krylov
+    recurrence (see module docstring: dead X slots must be zero)."""
+    rows = (rm.src_of >= 0)                                # [n_cells, f_row]
+    if gp is None:
+        m = np.repeat(rows.astype(np.float32), rm.lm, axis=1)[:, :, None]
+        return np.ascontiguousarray(
+            np.broadcast_to(m, (rm.n_cells, rm.lm2, rm.ln)))
+    ln0 = rm.ln // gp.group_size
+    lane = np.repeat((gp.src_of >= 0).astype(np.float32), ln0, axis=1)
+    src = np.maximum(rm.src_of, 0)                         # [n_cells, f_row]
+    full = lane[src] * rows[:, :, None]                    # [n_cells, f, ln]
+    return np.ascontiguousarray(np.repeat(full, rm.lm, axis=1))
+
+
 def auto_f_row(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
                candidates=(2, 4), row_of=None, col_of=None,
-               speed_tf=None, window: int = 64):
+               speed_tf=None, window: int = 64, precision: str = "c"):
     """Pick f_row by a simple cost model: merged MACs / (measured engine
     rate at the merged LM).  speed_tf maps lm2 -> TFlop/s; defaults to the
-    r03-measured golden-plan rates (BLOCKSIZES_r03.json / PERF.md).
+    measured golden-plan rates (ops/rates.py -- the shared table).
     Returns (f_row or 1, {f: RowMerge}) -- 1 means merging does not pay."""
+    from . import rates
+
     if speed_tf is None:
-        # measured golden-plan engine rates (exact-f32-quality modes)
-        speed_tf = {16: 2.0, 32: 8.1, 64: 7.0}
+        speed_tf = dict(rates.ENGINE_TFLOPS.get(precision,
+                                                rates.ENGINE_TFLOPS["c"]))
     packs = {}
     best_f, best_cost = 1, None
-    base_rate = 0.05 if lm <= 4 else 0.3   # measured small-lm rates (r02)
-    base_cost = 1.0 / base_rate
+    base_cost = 1.0 / rates.base_rate(precision, lm)
     for f in candidates:
         lm2 = f * lm
         if lm2 not in speed_tf or f < 2:

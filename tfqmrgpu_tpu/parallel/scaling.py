@@ -150,6 +150,12 @@ def weak_scaling_report(max_devices: Optional[int] = None,
             # scaling is ceiling-limited at 1/pr; normalize by that ceiling
             # to expose the sharded data path's own overhead
             row["host_normalized_efficiency"] = round(eff * p.pr, 3)
+            # same-host simulation CANNOT resolve weak-scaling efficiency
+            # (cache and XLA-CPU threading effects dwarf the signal; the
+            # r4 rows swung 0.58..1.18 host-normalized).  Every pr>1 row
+            # is flagged unresolved; the comm_model table carries the
+            # transferable ICI-efficiency signal.
+            row["resolved"] = p.pr == 1
         report.append(row)
     return report
 

@@ -136,11 +136,14 @@ class Solver:
                 # needs LM >= 16); falls back to xla below like 'c'
                 engine = "pairs"
             else:
-                # 'z' at small LM: block-list engine, whose f64 multiply
-                # routes through spmm_pairs_oz (Ozaki bf16 slice products
-                # -- no tiling constraints, ~MXU speed vs the ~40x-slower
-                # emulated-f64 batched matmul)
-                engine = "xla"
+                # 'z' at small LM: the pairs engine composes the
+                # SUPERBLOCK row merge (ops/superblock.py) so the Ozaki
+                # kernel runs at merged LM' in {16, 32} -- the measured
+                # fast path for the reference's own FD geometry (LM=8,
+                # tfqmrgpu_generate_FD_example.cxx:916-923).  Patterns
+                # that cannot merge fall back to the block-list engine
+                # (spmm_pairs_oz) via the ValueError path below.
+                engine = "pairs"
         self.engine = engine
         if engine == "pallas" and precision != "c":
             raise TfqmrgpuError(
@@ -180,7 +183,11 @@ class Solver:
                           f"inflation {pack.inflation:.2f}x")
         self.engine = engine
         self._pp = None               # pairs engine state
+        self._pp_plan = None          # pairs pack (fine or merged space)
         self._gp = None               # column-grouped transform (pairs)
+        self._sup = None              # superblock row merge (pairs)
+        self._sup_gp = None           # lane widening composed before it
+        self._sup_mask_fused = None   # fused live-slot mask (merged space)
         if engine == "pairs":
             from .ops import pairpanel as pp_ops
 
@@ -190,87 +197,56 @@ class Solver:
             pair_y = np.repeat(np.arange(self.plan.nnzb_x, dtype=np.int64),
                                counts)
             try:
+                # SUPERBLOCK composition for small blocks (LM <= 8, 9 of
+                # the reference's 15 sizes): merge f_row block rows (after
+                # an optional lane widening) so the measured-fast LM'=
+                # 16/32 kernels run instead of drowning the 128x128 MXU
+                # (see ops/superblock.py).  On success the merged plan
+                # replaces the fine pack below; junk products on dead
+                # merged slots are masked out of every multiply
+                # (fused_primitives sup_mask).
+                sup_env = _os.environ.get("TFQ_SOLVER_SUPER", "auto")
+                if sup_env != "0" and self.lm <= 8:
+                    try:
+                        self._build_superblock(row_of_x, pair_y, sup_env)
+                    except ValueError as sup_err:
+                        if echo > 2:
+                            print(f"# superblock unavailable ({sup_err}); "
+                                  "fine-grained pairs")
+                        if precision == "z" and self.lm < 16:
+                            # fine pairs cannot run 'z' below LM=16 (bf16
+                            # window tiling); surface as a pack failure so
+                            # 'auto' falls to the block-list engine
+                            raise ValueError(
+                                "the pairs engine's 'z' kernel needs "
+                                "LM >= 16 and the superblock merge did "
+                                f"not pack ({sup_err})") from sup_err
                 # column-padded layout keeps the per-column vector ops
                 # index-free; fall back to the compact layout when column
                 # fills are too uneven (padded slots > 2x the real blocks)
-                counts = np.bincount(self.plan.colindx.astype(np.int64),
-                                     minlength=self.plan.ncols)
-                # measured on v5e: the one-hot-matmul primitives edge out
-                # the column-padded 3-D layout (lane width + pad copies),
-                # so col_pad is opt-in for now
-                col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
-                           and precision == "c"
-                           and counts.max() * self.plan.ncols
-                           <= 2 * self.plan.nnzb_x)
-                # column grouping: when the X grid is column-sparse each
-                # A block is streamed once per column it serves; grouping
-                # G compressed columns onto the lane axis dedups that
-                # traffic (see pairpanel.pack_grouped).  TFQ_PAIRS_COLGROUP:
-                # 0 = model auto-pick (default), 1 = off, N = force N.
-                self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC",
-                                                "highest")
-                cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
-                rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
-                cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
-                want = 0
-                # z routes through the Ozaki kernel: grouped windowed
-                # packs work (r3 -- the grouped A dedup carries straight
-                # through the A-bytes-bound p~9 slice stream), resident
-                # stays off (an xsplit=p window cannot fit VMEM); model
-                # the candidates at the oz pass rate
-                model_prec = (self._pp_prec if precision == "c"
-                              else pp_ops.oz_mode_params(16 * self.lm)[0])
-                if (cg_env != "1" and not col_pad
-                        and self.plan.ncols >= 2):
-                    want = int(cg_env)
-                    if want == 0:
-                        cap = 512 if precision == "c" else 256
-                        cands = tuple(g for g in (1, 2, 4, 8)
-                                      if g * self.ln <= cap)
-                        try:
-                            want, _ests = pp_ops.auto_group_size(
-                                self.plan.pairs[:, 0],
-                                self.plan.pairs[:, 1], pair_y,
-                                self.plan.nnzb_x, self.lm, self.ln,
-                                model_prec, row_of=row_of_x,
-                                col_of=self.plan.colindx,
-                                candidates=cands)
-                        except ValueError:
-                            want = 0
-                # r_tile=1 measured best on v5e (1.09x vs 2.0x panel
-                # inflation at r_tile=2; t_step batching already amortizes
-                # the per-step fixed cost that r_tile=2 targeted)
-                if want > 1:
-                    # walks the group size down until the grouped plan
-                    # both packs and fits VMEM; None = ungrouped
-                    self._gp, self._pp_plan = pp_ops.pack_grouped_plan(
-                        self.plan.pairs[:, 0], self.plan.pairs[:, 1],
-                        pair_y, self.plan.nnzb_x, self.lm, self.ln,
-                        want, model_prec, row_of=row_of_x,
-                        col_of=self.plan.colindx, r_tile=rt,
-                        copy_g=cg_copy, force=(cg_env not in ("0", "1")),
-                        allow_resident=(precision != "z"))
-                else:
-                    self._pp_plan = pp_ops.pack_pair_plan(
-                        self.plan.pairs[:, 0], self.plan.pairs[:, 1],
-                        pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
-                        self.lm, self.ln, r_tile=rt,
-                        row_of=row_of_x, col_of=self.plan.colindx,
-                        col_pad=bool(col_pad), copy_g=cg_copy,
-                        resident=("0" if precision == "z" else
-                                  _os.environ.get("TFQ_PAIRS_RESIDENT",
-                                                  "auto")))
-            except ValueError:
+                if self._sup is None:
+                    self._build_fine_pairs(pp_ops, row_of_x, pair_y)
+            except ValueError as e:
                 if not auto:
+                    if precision == "z" and self.lm < 16:
+                        raise TfqmrgpuError(
+                            encode_status(Status.PRECISION_MISSMATCH),
+                            "the pairs engine's 'z' (Ozaki) kernel needs "
+                            "LM >= 16 (bf16 window tiling) and the "
+                            f"superblock merge did not pack ({e}); use "
+                            "engine='dense' or 'xla'") from e
                     raise
                 engine = "xla"        # no recoverable locality
             self.engine = engine
             self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC", "highest")
-            if self._pp_prec != "highest" and self.lm < 16:
-                # bf16 windows tile at 16 sublanes; lm in [8,16) can
-                # only run the exact-f32 kernel
+            kern_lm = self._pp_plan.lm if self._pp_plan is not None \
+                else self.lm
+            if self._pp_prec != "highest" and kern_lm < 16:
+                # bf16 windows tile at 16 sublanes; kernel lm in [8,16)
+                # can only run the exact-f32 kernel (the superblock merge
+                # raises the KERNEL lm to 16/32, lifting this)
                 self._pp_prec = "highest"
-            if precision == "z" and engine == "pairs" and self.lm < 16:
+            if precision == "z" and engine == "pairs" and kern_lm < 16:
                 raise TfqmrgpuError(
                     encode_status(Status.PRECISION_MISSMATCH),
                     "the pairs engine's 'z' (Ozaki) kernel needs LM >= 16 "
@@ -280,7 +256,12 @@ class Solver:
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
                       f"inflation={self._pp_plan.inflation:.2f}x"
                       + (f" colgroup={self._gp.group_size}"
-                         if self._gp is not None else ""))
+                         if self._gp is not None else "")
+                      + (f" super={self._sup.f_row}x"
+                         f"{self._sup_gp.group_size if self._sup_gp else 1}"
+                         f" lm'={self._sup.lm2}"
+                         f" inflMAC={self._sup.mac_inflation:.2f}x"
+                         if self._sup is not None else ""))
         self._panel = engine in ("dense", "pallas")
         self._layout: Optional[panel_ops.PanelLayout] = None
         if self._panel:
@@ -316,6 +297,181 @@ class Solver:
         if b.data is not None:
             self.set_matrix("B", b.data)
 
+    # ------------------------------------------------------- pairs packing
+
+    def _build_fine_pairs(self, pp_ops, row_of_x, pair_y):
+        """Pack the FINE pair plan (optionally column-grouped) -- the
+        pairs engine's default space.  Raises ValueError when the pattern
+        has no recoverable locality."""
+        precision = self.precision
+        counts = np.bincount(self.plan.colindx.astype(np.int64),
+                             minlength=self.plan.ncols)
+        # measured on v5e: the one-hot-matmul primitives edge out
+        # the column-padded 3-D layout (lane width + pad copies),
+        # so col_pad is opt-in for now
+        col_pad = (_os.environ.get("TFQ_PAIRS_COLPAD", "0") == "1"
+                   and precision == "c"
+                   and counts.max() * self.plan.ncols
+                   <= 2 * self.plan.nnzb_x)
+        # column grouping: when the X grid is column-sparse each
+        # A block is streamed once per column it serves; grouping
+        # G compressed columns onto the lane axis dedups that
+        # traffic (see pairpanel.pack_grouped).  TFQ_PAIRS_COLGROUP:
+        # 0 = model auto-pick (default), 1 = off, N = force N.
+        self._pp_prec = _os.environ.get("TFQ_PAIRS_MM_PREC", "highest")
+        cg_env = _os.environ.get("TFQ_PAIRS_COLGROUP", "0")
+        rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
+        cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
+        want = 0
+        # z routes through the Ozaki kernel: grouped windowed
+        # packs work (r3 -- the grouped A dedup carries straight
+        # through the A-bytes-bound p~9 slice stream), resident
+        # stays off (an xsplit=p window cannot fit VMEM); model
+        # the candidates at the oz pass rate
+        model_prec = (self._pp_prec if precision == "c"
+                      else pp_ops.oz_mode_params(16 * self.lm)[0])
+        if (cg_env != "1" and not col_pad
+                and self.plan.ncols >= 2):
+            want = int(cg_env)
+            if want == 0:
+                cap = 512 if precision == "c" else 256
+                cands = tuple(g for g in (1, 2, 4, 8)
+                              if g * self.ln <= cap)
+                try:
+                    # FULL-ITERATION objective (vec_passes=15, the
+                    # residency model's fusion lower bound): the solver
+                    # pays the G-inflated vector traffic 15x per
+                    # iteration, so the multiply-optimal G is usually
+                    # NOT the iteration-optimal one (r3: golden at G=8
+                    # sat at 0.666 of roofline; the iteration model
+                    # picks G<=2 there)
+                    want, _ests = pp_ops.auto_group_size(
+                        self.plan.pairs[:, 0],
+                        self.plan.pairs[:, 1], pair_y,
+                        self.plan.nnzb_x, self.lm, self.ln,
+                        model_prec, row_of=row_of_x,
+                        col_of=self.plan.colindx,
+                        candidates=cands, vec_passes=15.0,
+                        vec_bytes_per_val=(8 if precision == "z" else 4))
+                except ValueError:
+                    want = 0
+        # r_tile=1 measured best on v5e (1.09x vs 2.0x panel
+        # inflation at r_tile=2; t_step batching already amortizes
+        # the per-step fixed cost that r_tile=2 targeted)
+        if want > 1:
+            # walks the group size down until the grouped plan
+            # both packs and fits VMEM; None = ungrouped
+            self._gp, self._pp_plan = pp_ops.pack_grouped_plan(
+                self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                pair_y, self.plan.nnzb_x, self.lm, self.ln,
+                want, model_prec, row_of=row_of_x,
+                col_of=self.plan.colindx, r_tile=rt,
+                copy_g=cg_copy, force=(cg_env not in ("0", "1")),
+                allow_resident=(precision != "z"))
+        else:
+            self._pp_plan = pp_ops.pack_pair_plan(
+                self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
+                self.lm, self.ln, r_tile=rt,
+                row_of=row_of_x, col_of=self.plan.colindx,
+                col_pad=bool(col_pad), copy_g=cg_copy,
+                resident=("0" if precision == "z" else
+                          _os.environ.get("TFQ_PAIRS_RESIDENT",
+                                          "auto")))
+
+    def _build_superblock(self, row_of_x, pair_y, sup_env):
+        """Compose lane widening (pack_grouped) + row merging
+        (superblock.pack_rowmerge) and pack the MERGED pair plan, so
+        small-block problems (LM <= 8) run the measured-fast LM'=16/32
+        kernels end-to-end inside the solver (VERDICT r4 ask #3; the
+        bench driver's pre-pass is the same transform).  The routing cost
+        model uses the shared measured-rate table (ops/rates.py).
+
+        Raises ValueError when no factor packs or merging does not pay.
+        On success sets _sup / _sup_gp / _pp_plan / _sup_mask_fused."""
+        from .ops import pairpanel as pp_ops
+        from .ops import rates
+        from .ops import superblock as sb_ops
+
+        pa = self.plan.pairs[:, 0].astype(np.int64)
+        px = self.plan.pairs[:, 1].astype(np.int64)
+        lm, ln = self.lm, self.ln
+        # size floor: on problems too small to feed the MXU the transform
+        # overhead (masking, permutes, MAC inflation) swamps the engine
+        # rates the cost model is built on; a forced TFQ_SOLVER_SUPER=N
+        # bypasses
+        mac_fine = float(pa.shape[0]) * lm * lm * ln
+        min_macs = float(_os.environ.get("TFQ_SUPER_MIN_MACS", "1e6"))
+        if sup_env in ("auto", "") and mac_fine < min_macs:
+            raise ValueError("problem too small for the superblock "
+                             f"transform ({mac_fine:.0f} fine MACs < "
+                             f"{min_macs:.0f})")
+        col_of = self.plan.colindx.astype(np.int64)
+        rt = int(_os.environ.get("TFQ_PAIRS_RTILE", "1"))
+        cg_copy = int(_os.environ.get("TFQ_PAIRS_COPYG", "2"))
+        cands = sorted({f for f in (16 // lm, 32 // lm) if f >= 2})
+        if sup_env not in ("auto", ""):
+            cands = [int(sup_env)]
+        best = None
+        for f in cands:
+            lm2 = f * lm
+            # lane widening toward ln2 >= max(lm2, 32) first (grouping
+            # verifies the full-intersection invariant on the fine
+            # lists; the row merge then composes without re-check).
+            # LN' >= LM' is NOT required in the merged internal space --
+            # the reference's LN >= LM rule (tfqmrgpu_core.hxx:34) is an
+            # API constraint on the USER's problem (checked in __init__);
+            # a narrow-lane merged kernel merely under-fills the MXU lane
+            # axis, which still beats the fine-grained engines by far on
+            # single-column FD patterns (ncols=1 cannot widen at all)
+            fc = max(-(-lm2 // ln), -(-32 // ln))
+            fc = min(fc, self.plan.ncols)
+            gp_f = None
+            if fc > 1:
+                try:
+                    gp_f = pp_ops.pack_grouped(pa, px, pair_y,
+                                               self.plan.nnzb_x, ln, fc,
+                                               row_of=row_of_x,
+                                               col_of=col_of)
+                except ValueError:
+                    gp_f = None
+            if gp_f is not None:
+                rm_f = sb_ops.pack_rowmerge(
+                    gp_f.pair_a2, gp_f.pair_x2, gp_f.pair_y2,
+                    gp_f.nnzb2, lm, gp_f.ln2, f,
+                    row_of=gp_f.row_of2, col_of=gp_f.col_of2,
+                    verify=False)
+            else:
+                rm_f = sb_ops.pack_rowmerge(pa, px, pair_y,
+                                            self.plan.nnzb_x, lm, ln, f,
+                                            row_of=row_of_x, col_of=col_of)
+            rate = rates.engine_rate(self.precision, lm2) or 1.0
+            cost = rm_f.mac_inflation / rate
+            if best is None or cost < best[0]:
+                best = (cost, f, gp_f, rm_f)
+        if best is None:
+            raise ValueError("no feasible superblock factor")
+        if (sup_env in ("auto", "")
+                and best[0] >= 1.0 / rates.base_rate(self.precision, lm)):
+            raise ValueError("superblock does not pay on this pattern "
+                             f"(cost {best[0]:.2f} vs fine-grained "
+                             f"{1.0 / rates.base_rate(self.precision, lm):.2f})")
+        _, sup_f, gp_f, rm = best
+        self._pp_plan = pp_ops.pack_pair_plan(
+            rm.pair_a2, rm.pair_x2, rm.pair_y2, rm.n_cells, rm.n_cells,
+            rm.lm2, rm.ln, r_tile=rt, copy_g=cg_copy,
+            row_of=rm.row_of2, col_of=rm.col_of2,
+            resident=("0" if self.precision == "z" else
+                      _os.environ.get("TFQ_PAIRS_RESIDENT", "auto")))
+        self._sup = rm
+        self._sup_gp = gp_f
+        self._gp = gp_f               # grouped primitives run in merged
+        #                               space with the composed mask
+        npdt = np.float64 if self.precision == "z" else np.float32
+        m = sb_ops.merged_mask_full(rm, gp_f).astype(npdt)
+        self._sup_mask_fused = jnp.asarray(
+            pp_ops.permute_x(self._pp_plan, m, m))
+
     # ------------------------------------------------------------- matrices
 
     def set_matrix(self, var: str, val, *, trans: str = "n",
@@ -337,13 +493,21 @@ class Solver:
             if self.engine == "pairs":
                 from .ops import pairpanel as pp_ops
 
+                if self._sup is not None:
+                    # superblock: scatter fine A blocks into the merged
+                    # cells (zero fill-in); the kernels below then see
+                    # the merged [n_acells, LM', LM'] planes
+                    from .ops import superblock as sb_ops
+
+                    re = np.asarray(sb_ops.merge_a_blocks(self._sup, re))
+                    im = np.asarray(sb_ops.merge_a_blocks(self._sup, im))
                 t_env = _os.environ.get("TFQ_PAIRS_TSTEP")
                 interp = jax.default_backend() not in ("tpu",)
                 if self.precision == "z":
                     # f64-quality multiply on the bf16 MXU (Ozaki slice
                     # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz)
                     oz_tag, _, _ = pp_ops.oz_mode_params(
-                        self._pp_plan.ku * self.lm)
+                        self._pp_plan.ku * self._pp_plan.lm)
                     t_step = (int(t_env) if t_env else
                               pp_ops.auto_t_step(self._pp_plan, oz_tag))
                     self._pp = pp_ops.make_pairpanel_multiply_oz(
@@ -502,12 +666,17 @@ class Solver:
 
     def _pairs_permute(self, re: np.ndarray, im: np.ndarray) -> np.ndarray:
         """X-shaped block planes -> the pairs engine's fused panel
-        (column-grouping applied first when active)."""
+        (column-grouping, then the superblock row merge, when active)."""
         from .ops import pairpanel as pp_ops
 
         if self._gp is not None:
             re = np.asarray(pp_ops.grouped_blocks(self._gp, re))
             im = np.asarray(pp_ops.grouped_blocks(self._gp, im))
+        if self._sup is not None:
+            from .ops import superblock as sb_ops
+
+            re = np.asarray(sb_ops.merge_xy_blocks(self._sup, re))
+            im = np.asarray(sb_ops.merge_xy_blocks(self._sup, im))
         return pp_ops.permute_x(self._pp_plan, re, im)
 
     def _pairs_unpermute(self, y_fused) -> tuple:
@@ -515,6 +684,11 @@ class Solver:
         from .ops import pairpanel as pp_ops
 
         re, im = pp_ops.unpermute_y(self._pp_plan, np.asarray(y_fused))
+        if self._sup is not None:
+            from .ops import superblock as sb_ops
+
+            re = sb_ops.unmerge_xy_blocks(self._sup, re)
+            im = sb_ops.unmerge_xy_blocks(self._sup, im)
         if self._gp is not None:
             re = pp_ops.ungroup_blocks(self._gp, re)
             im = pp_ops.ungroup_blocks(self._gp, im)
@@ -551,10 +725,12 @@ class Solver:
         mult = self._pp
 
         gp = self._gp
+        sup_mask = self._sup_mask_fused
 
         def step(consts, b_fused, v3_fused, tol, maxit, inv_override):
             prim = pp_ops.fused_primitives(mult, consts, pplan, ncc,
-                                           b_fused, gp=gp)
+                                           b_fused, gp=gp,
+                                           sup_mask=sup_mask)
             v5 = prim.add_rhs(jnp.zeros_like(b_fused), b_fused, 1.0)
             sdt = decisions_scalar_dtype()
             if rhs_trivial:
@@ -630,14 +806,16 @@ class Solver:
             return mult(x_vec)
         if self.engine == "pairs":
             pp = self._pp_plan
-            nyrows = pp.ntiles * pp.r_tile * self.lm
+            nyrows = pp.ntiles * pp.r_tile * pp.lm
             y = self._pp.apply(self._pp.consts, x_vec)
             y = jnp.pad(y, ((0, pp.x_rows_padded - nyrows), (0, 0)))
-            if self._gp is not None:
+            if self._sup_mask_fused is not None:
+                y = y * self._sup_mask_fused
+            elif self._gp is not None:
                 from .ops import pairpanel as pp_ops
 
                 m = jnp.asarray(pp_ops.grouped_lane_mask(pp, self._gp))
-                y = (y.reshape(-1, self.lm, y.shape[1])
+                y = (y.reshape(-1, pp.lm, y.shape[1])
                      * m[:, None, :]).reshape(y.shape)
             return y
         return self.action.multiply(x_vec)
@@ -796,10 +974,12 @@ class Solver:
             return info
         total = done
         info = None
+        flops_total = 0.0
         while total < max_iterations:
             it = min(chunk, max_iterations - total)
             info = self.solve(tolerance=tolerance, max_iterations=it)
             total += info.iterations_needed if info.return_status == 0                 else it
+            flops_total += info.flops_performed
             x = self.get_matrix("X")
             if state_path:
                 np.savez(state_path, x_re=x.real, x_im=x.imag,
@@ -809,9 +989,17 @@ class Solver:
             self.set_matrix("X", x)
         if info is not None:
             info.iterations_needed = total
+            info.flops_performed = flops_total
         if state_path and info is not None and                 info.return_status == int(Status.SUCCESS) and                 os.path.exists(state_path):
             os.remove(state_path)
         return info
+
+    def clear_initial_guess(self):
+        """Drop the stored X0 initial guess: the next solve() starts from
+        zero again (the reference's behavior -- it always clears v1,
+        tfqmrgpu_core.hxx:125).  Needed after solve_checkpointed, which
+        leaves the final iterate installed as X0 for resumability."""
+        self._x0 = None
 
     def get_info(self) -> SolveInfo:
         if self._info is None:

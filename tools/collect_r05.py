@@ -1,0 +1,120 @@
+"""Collate the r05 TPU batch outputs (/tmp/r05_*.json) into committed
+artifacts (VERDICT r4 ask #1: every headline number must trace to a
+committed *_r05.json):
+
+* BENCH_spmm_r05.json  -- golden-plan rows: the shipped 'z' DEFAULT
+  (on-device oz-axis race, no env knobs), the pinned lever rows (53-bit
+  parity / 47-bit bf16 / 47-bit int8), the 'c' auto row, and the
+  full-iteration + rhs rows (iteration-objective column grouping)
+* BLOCKSIZES_r05.json  -- superblock rows for ALL 9 small reference
+  sizes (allowed_block_sizes.h:4-18) plus the (8,8) 'z' point
+* BENCH_fd_r05.json    -- FD solves at the reference's 2000-iteration
+  cap (bench_tfqmrgpu.cu:575) through the superblock solver path
+
+Usage: python tools/collect_r05.py   (idempotent; skips absent files)
+"""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_json_line(path):
+    try:
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.startswith("{")]
+        return rows[-1] if rows else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def main():
+    spmm_path = os.path.join(REPO, "BENCH_spmm_r05.json")
+    spmm = json.load(open(spmm_path)) if os.path.exists(spmm_path) else {
+        "description": (
+            "Golden-plan SpMM artifacts on TPU v5e (plan_unordered"
+            ".14-287-16, LM=LN=32 unless labeled; 'c' gate maxdev<=1e-4, "
+            "'z' gate 1e-12 vs the NumPy pair walk, bench_tfqmrgpu.cu:414)."
+            "  z_default is the DRIVER'S OWN row: plain "
+            "TFQ_BENCH_PREC=z python bench.py with no env knobs -- the "
+            "on-device oz-axis race (bits x stride x t_step x colgroup x "
+            "int8) picks the winner (VERDICT r4 ask #6).  The pinned rows "
+            "attribute the levers.  vs_baseline = fraction of the 4.3 "
+            "TFlop/s f64-V100 anchor (bench_tfqmrgpu.cu:319)."),
+        "runs": {}}
+    for key, path in [("z_default", "/tmp/r05_z_default.json"),
+                      ("z_53bit_parity", "/tmp/r05_z_b53.json"),
+                      ("z_47bit_int8", "/tmp/r05_z_b47i8.json"),
+                      ("z_47bit_bf16", "/tmp/r05_z_b47bf.json"),
+                      ("c_auto", "/tmp/r05_c_auto.json"),
+                      ("iter_golden", "/tmp/r05_iter_golden.json"),
+                      ("iter_banded", "/tmp/r05_iter_banded.json"),
+                      ("rhs_stress", "/tmp/r05_rhs.json")]:
+        rec = _last_json_line(path)
+        if rec is not None:
+            spmm["runs"][key] = rec
+            print(f"spmm[{key}]: {rec.get('value')} {rec.get('unit')} "
+                  f"engine={rec.get('engine')}")
+    if spmm["runs"]:
+        json.dump(spmm, open(spmm_path, "w"), indent=1)
+        print(f"wrote {spmm_path} ({len(spmm['runs'])} runs)")
+
+    bs_path = os.path.join(REPO, "BLOCKSIZES_r05.json")
+    bs = json.load(open(bs_path)) if os.path.exists(bs_path) else {
+        "description": (
+            "Superblock golden-plan rows for the 9 small reference sizes "
+            "(allowed_block_sizes.h:4-18) at 'c' (gate 1e-4) plus the "
+            "(8,8) 'z' point (gate 1e-12): the row-merge pre-pass "
+            "(ops/superblock.py) routes them onto the measured-fast "
+            "LM'=16/32 engines; reported TFlop/s credit the FINE nominal "
+            "flops (padding is overhead, not credit).  r02 fine-grained "
+            "baselines: 0.004-0.44 TFlop/s (BLOCKSIZES_r02.json)."),
+        "rows": []}
+    seen = {(r.get("metric"), r.get("engine")) for r in bs["rows"]}
+    for fn in sorted(os.listdir("/tmp")):
+        if fn.startswith("r05_bs_") and fn.endswith(".json"):
+            rec = _last_json_line(os.path.join("/tmp", fn))
+            if rec and (rec.get("metric"), rec.get("engine")) not in seen:
+                seen.add((rec.get("metric"), rec.get("engine")))
+                bs["rows"].append(rec)
+                print(f"blocksize row <- {fn}: {rec.get('value')} "
+                      f"engine={rec.get('engine')} "
+                      f"maxdev={rec.get('maxdev')}")
+    if bs["rows"]:
+        json.dump(bs, open(bs_path, "w"), indent=1)
+        print(f"wrote {bs_path} ({len(bs['rows'])} rows)")
+
+    fd_path = os.path.join(REPO, "BENCH_fd_r05.json")
+    fd = json.load(open(fd_path)) if os.path.exists(fd_path) else {
+        "description": (
+            "FD full-solve rows at the reference driver's 2000-iteration "
+            "cap (bench_tfqmrgpu.cu:575), generator tolerance 1e-9 "
+            "(tfqmrgpu_generate_FD_example.cxx:312), gate maxdev<1e-5 vs "
+            "the dense reference solution for z/m (1e-4 for c).  The "
+            "solver routes LM=8 through the superblock merge "
+            "(ops/superblock.py; VERDICT r4 ask #3) -- compare "
+            "BENCH_fd_r03.json's fine-grained walls.  Rows that hit the "
+            "cap above tolerance are labeled ms_at_iteration_cap with "
+            "converged=false."),
+        "runs": {}}
+    for key, path in [("z_rtb6.75", "/tmp/r05_fd_z_6.75.json"),
+                      ("z_rtb9.75", "/tmp/r05_fd_z_9.75.json"),
+                      ("z_rtb12.75", "/tmp/r05_fd_z_12.75.json"),
+                      ("m_rtb6.75", "/tmp/r05_fd_m_6.75.json"),
+                      ("c_rtb6.75", "/tmp/r05_fd_c_6.75.json")]:
+        rec = _last_json_line(path)
+        if rec is not None:
+            fd["runs"][key] = rec
+            print(f"fd[{key}]: {rec.get('value')} {rec.get('unit')} "
+                  f"iters={rec.get('iterations')} "
+                  f"gate_pass={rec.get('gate_pass')} "
+                  f"engine={rec.get('engine')}")
+    if fd["runs"]:
+        json.dump(fd, open(fd_path, "w"), indent=1)
+        print(f"wrote {fd_path} ({len(fd['runs'])} runs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
