@@ -1148,9 +1148,11 @@ def main():
                         os.environ["TFQ_OZC_INT8"] = env_int8
                 i8 = any(getattr(c, "dtype", None) == jnp.int8
                          for c in mult_.consts)
+                tag8 = ("xi8" if getattr(mult_, "xi8", False)
+                        else "i8" if i8 else "")
                 log(f"# oz pack b{bits}s{stride}t{ts}"
-                    f"cg{gp_.group_size if gp_ else 1}"
-                    f"{'i8' if i8 else ''}: {time.time()-t0:.1f}s, "
+                    f"cg{gp_.group_size if gp_ else 1}{tag8}: "
+                    f"{time.time()-t0:.1f}s, "
                     f"ntiles={pplan_.ntiles} ku={pplan_.ku} "
                     f"p={mult_.p} q={mult_.q}")
 
@@ -1180,7 +1182,7 @@ def main():
                 else:
                     x0_ = jnp.asarray(pp.permute_x(pplan_, x_re, x_im))
                 name = (f"pairpanel-{'ozc' if mult_.comp else 'oz'}"
-                        f"{mult_.p}q{mult_.q}{'i8' if i8 else ''}-"
+                        f"{mult_.p}q{mult_.q}{tag8}-"
                         f"b{bits}-r{r_tile}-g{copy_g}-t{ts}-s{stride}"
                         + (f"-cg{gp_.group_size}" if gp_ is not None
                            else ""))
@@ -1195,8 +1197,9 @@ def main():
             # 47-bit/stride-3/t8 with AND without grouping (the r4 lever
             # run never tried the cg combination), the strict 53-bit
             # parity point, and the int8-plane layout candidate
-            specs = [(47, 3, 8, 0, "0"), (47, 3, 8, 1, "0"),
-                     (53, 1, 0, 0, "0"), (47, 3, 8, 0, "1")]
+            specs = [(47, 2, 8, 0, "2"), (47, 3, 8, 0, "1"),
+                     (47, 3, 8, 0, "0"), (47, 3, 8, 1, "0"),
+                     (53, 1, 0, 0, "0")]
             race_ok = (not interp
                        or os.environ.get("TFQ_BENCH_RACE") == "1")
             if not race_ok:

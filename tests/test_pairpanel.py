@@ -411,6 +411,41 @@ def test_pairpanel_oz_f64_quality(rng, t_step, comp, monkeypatch):
     assert dev < 1e-5 * dev32, (dev, dev32)
 
 
+def test_pairpanel_ozc_xi8_f64_quality(rng, monkeypatch):
+    """The 'xi8' mode (TFQ_OZC_INT8=2): BOTH operands ship raw int8
+    slice integers and the MXU accumulates in int32 -- every diagonal
+    sum exact by integer arithmetic, f32 conversion exactified by the
+    hi/lo split (see dots()).  Must match the f64 pair walk to the same
+    ~1e-12 tier as the bf16 ozc kernel, on wide-exponent data."""
+    import jax
+
+    monkeypatch.setenv("TFQ_OZ_COMP", "1")
+    monkeypatch.setenv("TFQ_OZC_INT8", "2")
+    jax.config.update("jax_enable_x64", True)
+    lm = ln = 32                      # xi8 needs lm % 32 == 0
+    pa, px, py, na, nx = _bsr_pair_plan(rng, mb=10, ncols=2, lm=lm, ln=ln,
+                                        stencil=(0, 1, 2))
+    plan = pp.pack_pair_plan(pa, px, py, nx, nx, lm, ln, r_tile=1)
+    sp = 10.0 ** rng.uniform(-5, 5, (na, 1, 1))
+    a = (rng.standard_normal((na, lm, lm))
+         + 1j * rng.standard_normal((na, lm, lm))) * sp
+    spx = 10.0 ** rng.uniform(-5, 5, (nx, 1, 1))
+    x = (rng.standard_normal((nx, lm, ln))
+         + 1j * rng.standard_normal((nx, lm, ln))) * spx
+    want = _np_pairwalk(pa, px, py, a, x, nx)
+
+    import jax.numpy as jnp
+
+    mult = pp.make_pairpanel_multiply_oz(plan, a.real, a.imag,
+                                         interpret=True, t_step=2,
+                                         bits=47)
+    assert mult.xi8 and mult.q == 7
+    xf = jnp.asarray(pp.permute_x(plan, x.real, x.imag))
+    yre, yim = pp.unpermute_y(plan, np.asarray(mult(xf)))
+    dev = np.max(np.abs((yre + 1j * yim) - want)) / np.abs(want).max()
+    assert dev < 1e-12, dev
+
+
 def test_pairpanel_ozc_extreme_scale_lanes(rng, monkeypatch):
     """Lanes whose |x| max sits below the f32 subnormal range (or above
     f32 max) must take the f64 legacy descale: the f32-side amax is

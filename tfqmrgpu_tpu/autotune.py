@@ -153,8 +153,13 @@ def default_candidates(precision: str, lm: int = 0) -> list:
     if precision == "z":
         # pairs-z = the Ozaki slice kernel (needs LM >= 16 -- at small LM
         # the superblock merge provides it; the harness drops candidates
-        # that raise)
-        return [("dense", {}), ("pairs", {}), ("xla", {})] + sup
+        # that raise).  The int8-plane layouts halve (i8) or double-rate
+        # (xi8: s8xs8->s32 MXU) the A-bound kernel -- measured fastest on
+        # the golden plan (r5), so both race.
+        return [("dense", {}), ("pairs", {}),
+                ("pairs", {"TFQ_OZC_INT8": "2"}),
+                ("pairs", {"TFQ_OZC_INT8": "1"}),
+                ("xla", {})] + sup
     return sup + [
         ("dense", {}),
         ("pallas", {}),                 # row-tile, model-picked r_tile

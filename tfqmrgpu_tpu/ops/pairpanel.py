@@ -1379,7 +1379,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
                s_window: int, x_rows: int, precision: str, interpret: bool,
                copy_g: int = 1, cmax: int = 0, t_step: int = 1,
                o_blocks: int = 0, resident: bool = False,
-               tile_pipe: bool = False, oz_q: int = 0, oz_stack: int = 1):
+               tile_pipe: bool = False, oz_q: int = 0, oz_stack: int = 1,
+               oz_xi8: bool = False):
     import sys
 
     import jax
@@ -1538,6 +1539,47 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
             p_ = xsplit
             two = 2 * ln
             a_cat = a_refs[0][j]                      # [p*m2, k]
+            if oz_xi8:
+                # 'xi8' (r5): BOTH operand sides ship RAW int8 slice
+                # integers and the MXU runs s8 x s8 -> s32 (2x the bf16
+                # rate on v5e).  Every product and every DIAGONAL sum is
+                # an EXACT int32 (p * k * 66^2 <= 2^31, oz_mode_params),
+                # so the per-product TwoSum chain and the in-kernel int8
+                # -> bf16 A reconstruction of the mixed mode disappear
+                # entirely.  Each diagonal converts to f32 through an
+                # exact hi/lo integer split (multiples of 2^12 carry
+                # <= 19 significant bits; the remainder < 2^12) and the
+                # two parts TwoSum-fold across diagonals -- 2p folds
+                # instead of p(p+1)/2.
+                tri = two % 128 == 0     # lane-aligned triangular slices
+                ds = []
+                for s in range(p_):
+                    blk = a_cat[s * m2: (s + 1) * m2, :]
+                    wid = (p_ - s) * two if tri else p_ * two
+                    d = jax.lax.dot_general(
+                        blk, xs[:, :wid], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    ds.append(d)
+                acc = err = None
+                for d in range(p_):
+                    tot = ds[0][:, d * two: (d + 1) * two]
+                    for s in range(1, d + 1):
+                        tot = tot + ds[s][:, (d - s) * two:
+                                          (d - s + 1) * two]
+                    sc = np.float32(2.0 ** (-(d + 2) * oz_q))
+                    lo_i = jax.lax.rem(tot, jnp.int32(4096))
+                    hi_i = tot - lo_i
+                    for v in (hi_i.astype(jnp.float32) * sc,
+                              lo_i.astype(jnp.float32) * sc):
+                        if acc is None:
+                            acc, err = v, jnp.zeros_like(v)
+                        else:
+                            t_ = acc + v
+                            a_v = t_ - v
+                            b_v = t_ - a_v
+                            err = err + ((acc - a_v) + (v - b_v))
+                            acc = t_
+                return jnp.concatenate([acc, err], axis=1)
             # STACKED dots (ablation knob TFQ_OZ_STACK): run ``oz_stack``
             # consecutive slice planes as ONE taller MXU pass
             # ([stack*m2, k] @ [k, (p-s)*two]; slice s+1's last lane block
@@ -1793,7 +1835,8 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     a_specs = [pl.BlockSpec((T, a_rows, k), a_map,
                             memory_space=pltpu.VMEM)] * n_a
     w_lanes = 2 * xsplit * ln
-    w_dt = jnp.bfloat16 if split else jnp.float32
+    w_dt = jnp.int8 if oz_xi8 else (jnp.bfloat16 if split
+                                    else jnp.float32)
     # resident mode: the panel input stays in HBM (ANY memory space); the
     # kernel DMAs it once into a SINGLE VMEM scratch at step 0 (the
     # pipeline would allocate two window buffers even for a constant index
@@ -1837,7 +1880,7 @@ def _make_call(ntiles: int, r_tile: int, ku: int, lm: int, ln: int,
     # 128 MB -- raise the limit to what this call actually needs so large
     # t_step (the per-grid-step fixed cost amortizer) is admissible
     a_eb = a_eb0
-    w_eb = 2 if split else 4
+    w_eb = 1 if oz_xi8 else (2 if split else 4)
     w_lanes_n = 2 * xsplit * ln
     win_bufs = 1 if resident else 2              # resident: single scratch
     # PHYSICAL lane widths: VMEM tiles at 128 lanes, so narrow buffers
@@ -2034,12 +2077,13 @@ class OzPairPanelMultiply:
     """
 
     def __init__(self, call, consts, plan: PairPanelPlan, p: int, q: int,
-                 comp: bool = False):
+                 comp: bool = False, xi8: bool = False):
         self._call = call
         self.consts = consts
         self.p, self.q = p, q
         self.comp = comp                 # 'ozc': TwoSum err plane + dual
         #                                  spare-binade sigma/tau
+        self.xi8 = xi8                   # int8 X slices (s8xs8->s32 MXU)
         self._m = plan.r_tile * plan.lm
         self._ln = plan.ln
         self._n_rows_out = plan.ntiles * self._m
@@ -2118,7 +2162,8 @@ class OzPairPanelMultiply:
 
             hi, lo, tau = jax.lax.cond(ok, _fast_pro, _slow_pro,
                                        (x_fused, hi0, lo0))
-            xs = _oz_slices_f32pair(hi, lo, p, self.q)
+            xs = _oz_slices_f32pair(hi, lo, p, self.q,
+                                    out_int8=self.xi8)
         else:
             amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
             tau = ozaki.pow2_scale(amax)
@@ -2197,7 +2242,7 @@ def _oz_slices(pure, p: int, q: int):
     return out
 
 
-def _oz_slices_f32pair(hi, lo, p: int, q: int):
+def _oz_slices_f32pair(hi, lo, p: int, q: int, out_int8: bool = False):
     """p merged bf16 slices of the exact f32 pair (hi, lo), |hi+lo| <= 0.5,
     on the shared exponent grid: hi + lo == sum_s f64(slices[s]) +
     O(2^{-p q}).  All arithmetic is NATIVE f32 -- this replaces the
@@ -2226,6 +2271,13 @@ def _oz_slices_f32pair(hi, lo, p: int, q: int):
         istep = np.float32(2.0 ** (-(s + 1) * q))
         sh = jnp.round(rh * step) * istep
         rh = rh - sh
+        if (s + 1) * q <= 24:
+            # |lo| <= 2^-25 (half an ulp of the <=0.5-bounded hi), so
+            # round(lo * 2^{(s+1)q}) == 0 EXACTLY while (s+1)q <= 24:
+            # skip the dead early lo rounds (3 of 7 at q=7 -- measured
+            # X-prologue passes on the hot oz path)
+            ms.append(sh)
+            continue
         sl = jnp.round(rl * step) * istep
         rl = rl - sl
         ms.append(sh + sl)
@@ -2235,6 +2287,12 @@ def _oz_slices_f32pair(hi, lo, p: int, q: int):
         c = jnp.round(ms[s] * stepm) * istepm
         ms[s - 1] = ms[s - 1] + c
         ms[s] = ms[s] - c
+    if out_int8:
+        # raw slice INTEGERS (the 'xi8' kernel mode): value * 2^{(s+1)q}
+        # is an exact small int (<= 2^{q-1} + 2 after the carry sweep,
+        # int8-safe at q <= 7); power-of-two multiply + convert: exact
+        return [(m * np.float32(2.0 ** ((s + 1) * q))).astype(jnp.int8)
+                for s, m in enumerate(ms)]
     return [m.astype(jnp.bfloat16) for m in ms]
 
 
@@ -2285,6 +2343,49 @@ def _oz_slices_int8(pure, p: int, q: int, r_cap_log2: int = 0):
     return [i.astype(jnp.int8) for i in ints]
 
 
+def _pow2_scale_np(amax: np.ndarray) -> np.ndarray:
+    """Host-exact power of two >= amax (zeros mapped to 1): the numpy
+    twin of ozaki.pow2_scale, valid over the FULL f64 exponent range
+    (no relay-emulation tiering needed on host)."""
+    a = np.where(amax > 0, amax, 1.0)
+    _, e = np.frexp(a)                 # a = m * 2^e with 0.5 <= m < 1
+    return np.ldexp(np.ones_like(a), e)
+
+
+def _oz_slices_np(pure: np.ndarray, p: int, q: int) -> list:
+    """Host twin of _oz_slices (true-f64 numpy: the stored-value subtract
+    is kept so the slice-int bounds match the device path exactly)."""
+    import ml_dtypes
+
+    r = np.asarray(pure, np.float64)
+    out = []
+    for s in range(p):
+        step = 2.0 ** ((s + 1) * q)
+        sl = (np.round(r * step) / step).astype(ml_dtypes.bfloat16)
+        r = r - sl.astype(np.float64)
+        out.append(sl)
+    return out
+
+
+def _oz_slices_int8_np(pure: np.ndarray, p: int, q: int,
+                       r_cap_log2: int = 0) -> list:
+    """Host twin of _oz_slices_int8 (same int bounds and carry sweep)."""
+    if q - 1 > 7 or q + r_cap_log2 > 7:
+        raise ValueError(f"q={q} overflows int8")
+    r = np.asarray(pure, np.float64)
+    ints = []
+    for s in range(p):
+        step = 2.0 ** ((s + 1) * q)
+        sl = np.round(r * step).astype(np.float32)
+        r = r - sl.astype(np.float64) / step
+        ints.append(sl)
+    for s in range(p - 1, 0, -1):
+        c = np.round(ints[s] * np.float32(2.0 ** -q))
+        ints[s - 1] = ints[s - 1] + c
+        ints[s] = ints[s] - c * np.float32(2.0 ** q)
+    return [i.astype(np.int8) for i in ints]
+
+
 def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
     """(precision tag, p, q) of the oz kernel make_pairpanel_multiply_oz
     will build for contraction depth ``k`` under the current env knobs --
@@ -2301,14 +2402,23 @@ def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
 
     if _os.environ.get("TFQ_OZ_COMP", "1") != "0":
         p, q = ozaki.slice_params_comp(k, bits)
-        if _os.environ.get("TFQ_OZC_INT8", "0") != "0" and q > 7:
+        i8 = _os.environ.get("TFQ_OZC_INT8", "0")
+        if i8 != "0" and q > 7:
             # int8 point: slice ints <= 2^{q-1} + 2 <= 66 at q = 7 (the
             # +2 covers emulated-f64 absorbs after carry renormalization,
             # see _oz_slices_int8).  Exactness: k * 66^2 <= 2^24 ->
             # k <= 3851 -- looser than q = 8's bound.
             q = 7
             p = math.ceil(bits / q) + (1 if bits % q == 0 else 0)
-        if k * (2 ** (q - 1) + 2) ** 2 > 2 ** 24:
+        if i8 == "2":
+            # 'xi8': BOTH operands int8, MXU accumulates in int32 --
+            # per-product bound k * (2^{q-1}+2)^2 <= 2^31 and diagonal
+            # sums p * that <= 2^31 (the f32 conversion is exactified by
+            # the hi/lo integer split in the kernel, see dots())
+            if p * k * (2 ** (q - 1) + 2) ** 2 > 2 ** 31:
+                raise ValueError(f"contraction depth {k} too deep for "
+                                 f"int32 slice accumulation at q={q}")
+        elif k * (2 ** (q - 1) + 2) ** 2 > 2 ** 24:
             raise ValueError(f"contraction depth {k} too deep for exact "
                              f"f32 slice products at q={q}")
         return f"ozc{p}", p, q
@@ -2347,18 +2457,15 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     k = plan.ku * lm
     tag, p, q = oz_mode_params(k, bits)
     comp = tag.startswith("ozc")
-    panels = build_a_panels_device(
-        plan, jnp.asarray(a_re, jnp.float64), jnp.asarray(a_im, jnp.float64))
     T = max(int(t_step), 1)
     if T > 1:
         nsteps, wsel_h, codes_h, trips_h, cmax = make_step_tables(plan, T)
-        panels = jnp.pad(
-            panels, ((0, nsteps * T - plan.ntiles), (0, 0), (0, 0)))
     else:
         nsteps, cmax = plan.ntiles, plan.cmax
         wsel_h = np.concatenate([plan.wsel, plan.wsel[-1:]])
         codes_h, trips_h = _program_tables(plan, np.arange(plan.ntiles),
                                            plan.ku)
+    pad_tiles = nsteps * T - plan.ntiles
     # int8 raw-int A planes (default): HALF the streamed bytes of the
     # bf16 scaled-value planes on this A-bandwidth-bound kernel; the
     # in-kernel reconstruction is exact (see _oz_slices_int8), so results
@@ -2368,11 +2475,48 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     # plans where slice_params returns q > 7 are re-sliced at q=7 with
     # more slices (lower q only ADDS accumulation headroom, and
     # p*q - 1 >= 53 keeps the truncation below one f64 ulp).
-    use_int8 = _os.environ.get(
-        "TFQ_OZC_INT8" if comp else "TFQ_OZ_INT8",
-        "0" if comp else "1") != "0"
-    sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
-                                     keepdims=True))
+    i8_env = _os.environ.get("TFQ_OZC_INT8" if comp else "TFQ_OZ_INT8",
+                             "0" if comp else "1")
+    use_int8 = i8_env != "0"
+    # 'xi8' (TFQ_OZC_INT8=2): X slices ALSO ship int8 and the MXU runs
+    # s8 x s8 -> s32 (see the dots() branch).  Needs the int8-safe q,
+    # int8 32-row sublane alignment of the scratch copies (lm % 32), and
+    # the compensated mode's dual spare binade
+    xi8 = (comp and i8_env == "2" and q <= 7 and lm % 32 == 0)
+    # WHERE to slice: the A-side descale/slicing chains are f64
+    # elementwise; on relay-emulated-f64 devices they cost minutes of
+    # build time for FD-class plans (measured 444 s), while true-f64
+    # host numpy does them in seconds -- at the price of shipping the
+    # finished planes over the host link.  auto (default): host when the
+    # plane bytes stay under 256 MB and the inputs are host arrays;
+    # TFQ_OZ_HOST_SLICE=1/0 forces.
+    plane_bytes = (nsteps * T * p * 2 * r * lm * k
+                   * (1 if use_int8 and q <= 7 else 2))
+    host_env = _os.environ.get("TFQ_OZ_HOST_SLICE", "auto")
+    host = (isinstance(a_re, np.ndarray) and isinstance(a_im, np.ndarray)
+            and (host_env == "1"
+                 or (host_env not in ("0",) and plane_bytes <= 256 << 20)))
+    if host:
+        panels = build_a_panels(plan, np.asarray(a_re, np.float64),
+                                np.asarray(a_im, np.float64))
+        if pad_tiles:
+            panels = np.pad(panels, ((0, pad_tiles), (0, 0), (0, 0)))
+        xp = np
+        sigma = _pow2_scale_np(np.max(np.abs(panels), axis=2,
+                                      keepdims=True))
+        sl_int8 = _oz_slices_int8_np
+        sl_bf16 = _oz_slices_np
+    else:
+        panels = build_a_panels_device(
+            plan, jnp.asarray(a_re, jnp.float64),
+            jnp.asarray(a_im, jnp.float64))
+        if pad_tiles:
+            panels = jnp.pad(panels, ((0, pad_tiles), (0, 0), (0, 0)))
+        xp = jnp
+        sigma = ozaki.pow2_scale(jnp.max(jnp.abs(panels), axis=2,
+                                         keepdims=True))
+        sl_int8 = _oz_slices_int8
+        sl_bf16 = _oz_slices
     if comp:
         # r4: sigma is SHARED across the re/im panel halves (max of the
         # pair) so the kernel's in-kernel complex assembly operates on
@@ -2381,8 +2525,8 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
         # half's slice ints -- the truncation floor stays 2^{-pq} of the
         # (shared) scale.
         mr = r * lm
-        sig_sh = jnp.maximum(sigma[:, :mr], sigma[:, mr:])
-        sigma = jnp.concatenate([sig_sh, sig_sh], axis=1)
+        sig_sh = xp.maximum(sigma[:, :mr], sigma[:, mr:])
+        sigma = xp.concatenate([sig_sh, sig_sh], axis=1)
         # dual spare binade (the X side mirrors this in apply): ints cap
         # at 2^{q-1} so every k-deep slice product sums exactly in f32.
         # The default int8 planes require q <= 7 (oz_mode_params picks
@@ -2390,10 +2534,9 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
         # +128 and cannot ship as int8 (see _oz_slices_int8).
         sigma = sigma * 2.0
         if use_int8 and q <= 7:
-            planes = tuple(_oz_slices_int8(panels / sigma, p, q,
-                                           r_cap_log2=-1))
+            planes = tuple(sl_int8(panels / sigma, p, q, r_cap_log2=-1))
         else:
-            planes = tuple(_oz_slices(panels / sigma, p, q))
+            planes = tuple(sl_bf16(panels / sigma, p, q))
         # apply() descales the folded [M, 4ln] output with the half-panel
         # sigma (both halves carry the identical shared scale)
         sigma = sigma[:, :mr]
@@ -2401,22 +2544,28 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
         if 2 ** q > 64:
             # one spare binade: first-slice ints <= 2^{q-1} <= 64
             sigma = sigma * 2.0
-        planes = tuple(_oz_slices_int8(panels / sigma, p, q))
+        planes = tuple(sl_int8(panels / sigma, p, q))
     else:
-        planes = tuple(_oz_slices(panels / sigma, p, q))
+        planes = tuple(sl_bf16(panels / sigma, p, q))
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, tag, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
                       o_blocks=plan.o_blocks, resident=False, oz_q=q,
                       oz_stack=max(1, int(_os.environ.get("TFQ_OZ_STACK",
-                                                          "1"))))
+                                                          "1"))),
+                      oz_xi8=xi8)
     # one concatenated [ntiles_padded, p*2M, K] input: each grid step
     # issues ONE large A DMA (p separate plane refs measured ~106 GB/s
     # on the A-bytes-bound golden 'z' run; see the kernel comment)
-    planes_cat = jnp.concatenate(planes, axis=1)
+    if host:
+        planes_cat = jnp.asarray(np.concatenate(planes, axis=1))
+        sigma = jnp.asarray(sigma)
+    else:
+        planes_cat = jnp.concatenate(planes, axis=1)
     consts = ((jnp.asarray(wsel_h), jnp.asarray(trips_h),
                jnp.asarray(codes_h)) + (planes_cat,) + (sigma,))
-    return OzPairPanelMultiply(call, consts, plan, p, q, comp=comp)
+    return OzPairPanelMultiply(call, consts, plan, p, q, comp=comp,
+                               xi8=xi8)
 
 
 def flops_nominal(n_pairs: int, lm: int, ln: int) -> float:

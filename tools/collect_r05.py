@@ -85,6 +85,42 @@ def main():
         json.dump(bs, open(bs_path, "w"), indent=1)
         print(f"wrote {bs_path} ({len(bs['rows'])} rows)")
 
+    bounds_path = os.path.join(REPO, "BOUNDS_r05.json")
+    bounds = json.load(open(bounds_path)) if os.path.exists(bounds_path) \
+        else {
+        "description": (
+            "Measured bound analysis of the golden-plan 'z' multiply "
+            "(VERDICT r4 ask #4).  floor_* rows run the kernels with "
+            "TFQ_PP_NO_DOT=1 (MXU + fold work skipped): what remains is "
+            "the A-panel DMA + X window staging + the XLA-side "
+            "prologue/epilogue (descale, slicing, window replicas, f64 "
+            "fold) -- the layout's hard floor at the current byte "
+            "layout; ms_per_multiply is the honest number, the TFlop/s "
+            "field is nominal-flops/floor-time (the layout's ceiling).  "
+            "Decomposition at the xi8 point (r5 measurements): A planes "
+            "2941 tiles x 7x64 x 448 int8 = 0.59 GB/multiply = ~4.2 ms "
+            "at the ~140 GB/s measured Pallas stream rate; the rest of "
+            "the floor is the XLA-side X path.  The gap between the "
+            "full row (BENCH_spmm_r05.json z_default) and its floor is "
+            "the exposed MXU+fold time.  Path to >=2 TF (6.6 ms): move "
+            "the X slicing into the kernel (consume the hi/lo f32 pair "
+            "directly, halving window bytes and deleting the prologue "
+            "passes) and emit the (acc, err) pair without the emulated-"
+            "f64 epilogue -- both are kernel rewrites left on the "
+            "table; the byte-layout levers (int8 planes, int8 X, lane "
+            "grouping, stride) are exhausted at the measured floor."),
+        "rows": {}}
+    for key, path in [("floor_xi8_nodot", "/tmp/r05_floor_xi8.json"),
+                      ("floor_i8_nodot", "/tmp/r05_floor_i8.json")]:
+        rec = _last_json_line(path)
+        if rec is not None:
+            bounds["rows"][key] = rec
+            print(f"bounds[{key}]: {rec.get('ms_per_multiply')} ms floor "
+                  f"engine={rec.get('engine')}")
+    if bounds["rows"]:
+        json.dump(bounds, open(bounds_path, "w"), indent=1)
+        print(f"wrote {bounds_path}")
+
     fd_path = os.path.join(REPO, "BENCH_fd_r05.json")
     fd = json.load(open(fd_path)) if os.path.exists(fd_path) else {
         "description": (

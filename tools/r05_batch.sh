@@ -25,6 +25,13 @@ run r05_z_b47bf.json  TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=3 TFQ_BENCH_
 # ---- golden 'c': the driver's own row (auto)
 run r05_c_auto.json   TFQ_BENCH_PREC=c
 
+# ---- measured DMA/XLA floors of the 'z' layouts (VERDICT r4 ask #4:
+# bound analysis).  TFQ_PP_NO_DOT skips the MXU/fold work, leaving the
+# A-panel DMA + X staging + the XLA-side prologue/epilogue -- the
+# layout's hard floor; results are garbage so the gate is skipped.
+run r05_floor_xi8.json  TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=2 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=2 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
+run r05_floor_i8.json   TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=3 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=1 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
+
 # ---- superblock rows: all 9 small reference sizes
 # (allowed_block_sizes.h:4-18), 'c' gate 1e-4
 for sz in 4,4 4,5 4,8 4,32 8,8 8,9 8,10 8,32 8,64; do
