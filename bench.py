@@ -17,6 +17,9 @@ TFQ_BENCH_NREP (default 64), TFQ_BENCH_RTILE (default 1, pairpanel),
 TFQ_BENCH_ROWTILE (default 128/LM, rowtile), TFQ_BENCH_TSTEP (default 16),
 TFQ_BENCH_BUCKETS (ku buckets, default 1; >1 trades dispatch overhead for
 padding), TFQ_BENCH_ENGINE (rowtile|pairpanel|xla|auto, default auto),
+PREC=z races the oz axes ON DEVICE (bits x stride x t_step x colgroup x
+int8/xi8) -- setting TFQ_OZ_BITS / TFQ_OZ_STRIDE / TFQ_BENCH_TSTEP /
+TFQ_BENCH_COLGROUP / TFQ_OZC_INT8 PINS that axis for every candidate,
 TFQ_BENCH_MM_PREC (bf16x4|bf16x3|bf16x6|highest|auto; default 'auto' =
 measure bf16x4 against the gate, fall back through 'bf16x6' (3-way splits,
 exact-f32 quality at bf16x4's streamed A bytes; pairpanel + rowtile) to
@@ -150,7 +153,7 @@ def main_fd():
         # iterations to 2.5e-11).  The reference leaves X0 re-upload as
         # a ToDo (bench_tfqmrgpu.cu:159 step 8x); here it is a solver
         # capability.  TFQ_FD_CHUNK=0 disables (single-shot parity).
-        chunk = int(os.environ.get("TFQ_FD_CHUNK", "400"))
+        chunk = int(os.environ.get("TFQ_FD_CHUNK", "150"))
 
         def run_solve(tol_):
             if chunk > 0:
@@ -301,21 +304,65 @@ def main_iter():
         b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32),
                 b_data, name="B")
 
-    t0 = time.time()
-    solver = Solver(a, x, b, precision="c", engine=engine, echo=3)
-    log(f"# engine={solver.engine} built in {time.time()-t0:.1f}s")
-    solver.solve(tolerance=1e-30, max_iterations=10)   # compile + warm
-    ts, tl = [], []
-    for i in range(2):
-        t0 = time.perf_counter()
-        solver.solve(tolerance=1e-30 * (1 + 1e-3 * i), max_iterations=10)
-        ts.append(time.perf_counter() - t0)
-    for i in range(2):
-        t0 = time.perf_counter()
-        solver.solve(tolerance=1e-30 * (1 + 1e-3 * (2 + i)),
-                     max_iterations=40)
-        tl.append(time.perf_counter() - t0)
-    t_iter = (min(tl) - min(ts)) / 30
+    def measure_solver(env):
+        """Build under env overrides; measure differential ms/iteration
+        ((t(40) - t(10)) / 30, min of 2, varied tolerances)."""
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            t0 = time.time()
+            s = Solver(a, x, b, precision="c", engine=engine, echo=3)
+            log(f"# engine={s.engine} {env} built in {time.time()-t0:.1f}s")
+            s.solve(tolerance=1e-30, max_iterations=10)  # compile + warm
+            ts, tl = [], []
+            for i in range(2):
+                t0 = time.perf_counter()
+                s.solve(tolerance=1e-30 * (1 + 1e-3 * i),
+                        max_iterations=10)
+                ts.append(time.perf_counter() - t0)
+            for i in range(2):
+                t0 = time.perf_counter()
+                s.solve(tolerance=1e-30 * (1 + 1e-3 * (2 + i)),
+                        max_iterations=40)
+                tl.append(time.perf_counter() - t0)
+            return s, (min(tl) - min(ts)) / 30
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # the solver's iteration-cost model cannot reliably rank the
+    # column-group candidates on irregular patterns (the multiply term
+    # mispredicts at fine granularity -- r5: the model's G=2 pick
+    # measured 9% SLOWER than G=8 on the golden pattern), so the
+    # golden-pattern bench RACES the group sizes on MEASURED full
+    # iterations and reports the winner; banded patterns keep the
+    # single auto build (their engine is rowtile, no grouping).
+    if pattern == "golden" and os.environ.get("TFQ_BENCH_ITER_RACE",
+                                              "1") == "1":
+        best = None
+        for env in ({}, {"TFQ_PAIRS_COLGROUP": "8"},
+                    {"TFQ_PAIRS_COLGROUP": "4"},
+                    {"TFQ_PAIRS_COLGROUP": "4",
+                     "TFQ_PAIRS_MM_PREC": "bf16x6"},
+                    {"TFQ_PAIRS_COLGROUP": "2",
+                     "TFQ_PAIRS_MM_PREC": "bf16x6"},
+                    {"TFQ_PAIRS_COLGROUP": "1"}):
+            try:
+                s_, t_ = measure_solver(env)
+            except Exception as e:
+                log(f"# iter race {env} failed ({type(e).__name__})")
+                continue
+            log(f"# iter race {env}: {t_*1e3:.3f} ms/iter")
+            if best is None or t_ < best[1]:
+                best = (s_, t_)
+        if best is None:
+            raise RuntimeError("every iter-race candidate failed")
+        solver, t_iter = best
+    else:
+        solver, t_iter = measure_solver({})
     roof = profiling.solver_roofline(solver, t_iter)
     log(f"# {roof}")
     frac = roof.fraction_of_light or 0.0
@@ -484,6 +531,14 @@ def main():
     pair_a, pair_x, pair_y, nnzb_y, nnzb_a, nnzb_x = load_pairs()
     n_pairs = pair_a.shape[0]
     flops_per_call = n_pairs * 8.0 * lm * lm * ln  # bench_tfqmrgpu.cu:335
+    # tiny workloads (small LM under the superblock pre-pass runs the
+    # fast merged engines at ~50 us/multiply) need LONG chains or the
+    # differential timing (t_full - t_half) drowns in chain-granularity
+    # noise -- r5: the (4,4) row printed an absurd TFlop/s at nrep=64.
+    # Auto-scale the chain toward ~1e11 nominal flops unless the caller
+    # pinned TFQ_BENCH_NREP.
+    if not os.environ.get("TFQ_BENCH_NREP") and flops_per_call > 0:
+        nrep = max(nrep, min(4096, int(1e11 / flops_per_call)))
 
     a_re, a_im = cos_sin_fill(nnzb_a, lm, lm, npdt)
     x_re, x_im = cos_sin_fill(nnzb_x, lm, ln, npdt)
@@ -976,26 +1031,33 @@ def main():
             if not cands:
                 raise ValueError("no pairpanel candidate packs")
 
+            # small merged workloads finish a multiply in ~0.2 ms, so an
+            # 8-long race chain is DOMINATED by the ~26 ms dispatch
+            # overhead and noise picks the engine (r5: the (8,8) race
+            # flapped between winners).  Scale the chain so its compute
+            # is several x the overhead; equal lengths keep it fair.
+            race_n = max(8, min(256, int(5e9 / max(flops_per_call, 1.0))))
+
             def race_time(c):
                 """Equal-length chains compare fairly: the relay dispatch
-                overhead is identical for both candidates."""
+                overhead is identical for every candidate."""
 
                 @jax.jit
-                def chain8(cc, x):
+                def chain_r(cc, x):
                     def body(_, x):
                         y = c["multiply"](cc, x)
                         s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
                         return c["y_to_x"](y * s)
 
-                    x = jax.lax.fori_loop(0, 8, body, x)
+                    x = jax.lax.fori_loop(0, race_n, body, x)
                     return x.reshape(-1)[0]
 
-                _ = float(np.asarray(chain8(c["consts"], c["x0"] * 1.003)))
+                _ = float(np.asarray(chain_r(c["consts"], c["x0"] * 1.003)))
                 best = 1e30
                 for i in range(2):
                     t0 = time.perf_counter()
                     _ = float(np.asarray(
-                        chain8(c["consts"], c["x0"] * (1.0 + 0.01 * i))))
+                        chain_r(c["consts"], c["x0"] * (1.0 + 0.01 * i))))
                     best = min(best, time.perf_counter() - t0)
                 return best
 
@@ -1011,7 +1073,7 @@ def main():
                     times.append(tt)
                     if np.isfinite(tt):
                         log(f"# race {c['eng_name'](mm_prec)}: "
-                            f"{tt*1e3:.1f} ms / 8 multiplies")
+                            f"{tt*1e3:.1f} ms race chain")
                 if not any(np.isfinite(t) for t in times):
                     raise ValueError("every race candidate failed")
                 chosen = cands[int(np.argmin(times))]
@@ -1075,13 +1137,18 @@ def main():
             env_cg = os.environ.get("TFQ_BENCH_COLGROUP")
             env_int8 = os.environ.get("TFQ_OZC_INT8")
 
+            def resolve_spec(bits, stride, tstep, cg, int8):
+                """Apply the env pins; used to DEDUP before building --
+                five pinned-identical candidates would otherwise all
+                build and exhaust device memory."""
+                return (int(env_bits) if env_bits else bits,
+                        int(env_stride) if env_stride else stride,
+                        int(env_tstep) if env_tstep else tstep,
+                        int(env_cg) if env_cg is not None else cg,
+                        env_int8 if env_int8 is not None else int8)
+
             def build_oz(bits, stride, tstep, cg, int8):
-                """One oz engine bundle (env pins override the spec)."""
-                bits = int(env_bits) if env_bits else bits
-                stride = int(env_stride) if env_stride else stride
-                tstep = int(env_tstep) if env_tstep else tstep
-                cg = int(env_cg) if env_cg is not None else cg
-                int8 = env_int8 if env_int8 is not None else int8
+                """One oz engine bundle (spec already env-resolved)."""
                 t0 = time.time()
                 os.environ["TFQ_OZC_INT8"] = int8
                 try:
@@ -1204,20 +1271,11 @@ def main():
                        or os.environ.get("TFQ_BENCH_RACE") == "1")
             if not race_ok:
                 specs = specs[:1]
-            oz_cands = []
-            seen_oz = set()
+            rspecs = []
             for spec in specs:
-                try:
-                    c = build_oz(*spec)
-                except ValueError as e:
-                    log(f"# oz candidate {spec} unavailable ({e})")
-                    continue
-                if c["spec"] in seen_oz:    # env pins collapsed the axes
-                    continue
-                seen_oz.add(c["spec"])
-                oz_cands.append(c)
-            if not oz_cands:
-                raise ValueError("no oz candidate packs")
+                rs = resolve_spec(*spec)
+                if rs not in rspecs:        # env pins collapse the axes
+                    rspecs.append(rs)
 
             def race_time_oz(c):
                 @jax.jit
@@ -1239,24 +1297,35 @@ def main():
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            if len(oz_cands) > 1:
-                times = []
-                for c in oz_cands:
-                    try:
-                        tt = race_time_oz(c)
-                    except Exception as e:
-                        log(f"# oz race {c['eng_name']()} failed "
-                            f"({type(e).__name__}); dropped")
-                        tt = float("inf")
-                    times.append(tt)
-                    if np.isfinite(tt):
-                        log(f"# oz race {c['eng_name']()}: "
-                            f"{tt*1e3:.1f} ms / 8 multiplies")
-                if not any(np.isfinite(t) for t in times):
-                    raise ValueError("every oz candidate failed")
-                chosen = oz_cands[int(np.argmin(times))]
-            else:
-                chosen = oz_cands[0]
+            # STREAMING race: build -> time -> keep only the best-so-far
+            # (a full candidate holds GB-scale device planes; keeping all
+            # five alive OOMs the chip when env pins make them heavy)
+            chosen = None
+            best_tt = float("inf")
+            for rs in rspecs:
+                try:
+                    c = build_oz(*rs)
+                except ValueError as e:
+                    log(f"# oz candidate {rs} unavailable ({e})")
+                    continue
+                if len(rspecs) == 1:
+                    chosen = c
+                    break
+                try:
+                    tt = race_time_oz(c)
+                except Exception as e:
+                    log(f"# oz race {c['eng_name']()} failed "
+                        f"({type(e).__name__}); dropped")
+                    del c
+                    continue
+                log(f"# oz race {c['eng_name']()}: "
+                    f"{tt*1e3:.1f} ms race chain")
+                if tt < best_tt:
+                    chosen, best_tt = c, tt
+                else:
+                    del c               # free the loser's device planes
+            if chosen is None:
+                raise ValueError("every oz candidate failed")
             gp, pplan, t_step = (chosen["gp"], chosen["pplan"],
                                  chosen["t_step"])
             multiply_c, y_to_x, x0 = (chosen["multiply"],

@@ -1362,8 +1362,12 @@ def auto_group_size(pair_a, pair_x, pair_y, nnzb: int, lm: int, ln: int,
         mxu_ms = padded * lanes * lm * lm * 8 / (mxu_tflops * 1e9)
         fixed_ms = kcnt.shape[0] * 0.7e-3      # per-tile scalar bookkeeping
         mult_ms = max(a_ms, mxu_ms, fixed_ms)
+        # vector ops are fused XLA streams, which sustain the ~250 GB/s
+        # copy rate -- NOT the ~140 GB/s Pallas-DMA rate the multiply
+        # terms use (r5 calibration: golden G=8 vector work measured
+        # 5.9 ms on 95 MB x 15 passes = the 250 rate)
         vec_ms = (vec_passes * cells * 2 * lm * lanes * vec_bytes_per_val
-                  / (hbm_gbps * 1e6))
+                  / (250.0 * 1e6))
         est_ms = 2 * mult_ms + vec_ms if vec_passes else mult_ms
         ests[g] = dict(a_ms=a_ms, mxu_ms=mxu_ms, fixed_ms=fixed_ms,
                        vec_ms=vec_ms, est_ms=est_ms, cells=cells,

@@ -505,14 +505,27 @@ class Solver:
                 interp = jax.default_backend() not in ("tpu",)
                 if self.precision == "z":
                     # f64-quality multiply on the bf16 MXU (Ozaki slice
-                    # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz)
-                    oz_tag, _, _ = pp_ops.oz_mode_params(
-                        self._pp_plan.ku * self._pp_plan.lm)
-                    t_step = (int(t_env) if t_env else
-                              pp_ops.auto_t_step(self._pp_plan, oz_tag))
-                    self._pp = pp_ops.make_pairpanel_multiply_oz(
-                        self._pp_plan, re, im, interpret=interp,
-                        t_step=t_step)
+                    # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz).
+                    # Solver default: the measured-fast 'xi8' layout
+                    # (s8xs8->s32 MXU; r5 golden ladder bf16 1.16 ->
+                    # i8 1.40 -> xi8 1.48 TF) -- the builder falls back
+                    # to int8-A/bf16-X automatically when the kernel lm
+                    # is not 32-aligned.  An explicit TFQ_OZC_INT8 pins.
+                    oz_env = _os.environ.get("TFQ_OZC_INT8")
+                    if oz_env is None:
+                        _os.environ["TFQ_OZC_INT8"] = "2"
+                    try:
+                        oz_tag, _, _ = pp_ops.oz_mode_params(
+                            self._pp_plan.ku * self._pp_plan.lm)
+                        t_step = (int(t_env) if t_env else
+                                  pp_ops.auto_t_step(self._pp_plan,
+                                                     oz_tag))
+                        self._pp = pp_ops.make_pairpanel_multiply_oz(
+                            self._pp_plan, re, im, interpret=interp,
+                            t_step=t_step)
+                    finally:
+                        if oz_env is None:
+                            _os.environ.pop("TFQ_OZC_INT8", None)
                 else:
                     # build the inflated panels ON DEVICE: shipping
                     # host-built panels costs panel-bytes over the host
@@ -532,6 +545,7 @@ class Solver:
                 # PairPanelMultiply (its t_step/precision/consts structure);
                 # drop them so a re-set A cannot execute a stale closure
                 self._pairs_jit = {}
+                self._apply_a_jit = None
             elif self.engine == "dense":
                 dr, di = self._layout.densify_a(self.plan, re, im)
                 self._a_panel = (jnp.asarray(dr), jnp.asarray(di))
@@ -547,6 +561,7 @@ class Solver:
             else:
                 self._action = BlockSparseAction.from_plan(
                     self.plan, re, im, engine=self.engine, ln=self.ln)
+            self._apply_a_jit = None      # A changed: retrace B - A*X0
         elif var == "B":
             re, im = layout_ops.to_planes(
                 val, self.plan.nnzb_b, self.lm, self.ln, trans=trans,
@@ -829,7 +844,12 @@ class Solver:
         bn2 = jnp.asarray(self._bn2.astype(np.float64))
         inv = jnp.where(bn2 > 0, 1.0 / jnp.where(bn2 > 0, bn2, 1.0),
                         0.0).astype(sdt)
-        ax0 = jax.jit(self._apply_a)(x0)
+        # cache the jitted B - A*X0 operator: a fresh jax.jit wrapper per
+        # restart retraces every chunk (measured: restart-dominated FD
+        # walls at ~1 s/chunk against a 0.2 ms/iteration solve)
+        if getattr(self, "_apply_a_jit", None) is None:
+            self._apply_a_jit = jax.jit(self._apply_a)
+        ax0 = self._apply_a_jit(x0)
         if self.engine == "pairs":
             bp = self._b - ax0
             result = self._solve_pairs(tolerance, max_iterations, False,
