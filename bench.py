@@ -153,7 +153,7 @@ def main_fd():
         # iterations to 2.5e-11).  The reference leaves X0 re-upload as
         # a ToDo (bench_tfqmrgpu.cu:159 step 8x); here it is a solver
         # capability.  TFQ_FD_CHUNK=0 disables (single-shot parity).
-        chunk = int(os.environ.get("TFQ_FD_CHUNK", "150"))
+        chunk = int(os.environ.get("TFQ_FD_CHUNK", "100"))
 
         def run_solve(tol_):
             if chunk > 0:
@@ -947,10 +947,23 @@ def main():
                     panels = pp.build_a_panels_device(pplan, *a_dev)
                     panels.block_until_ready()
 
-                    def build_mult(prec_):
+                    def build_mult(prec_, pplan=pplan, panels=panels,
+                                   t_step=t_step, cap_mb=cap_mb):
+                        # precision fallbacks change the X-window split
+                        # factor (bf16x6 windows are 1.5x bf16x4's):
+                        # re-derive t_step for the ACTUAL precision or
+                        # the stale batching exceeds VMEM and the kernel
+                        # collapses to the fixed-cost regime (r5: the
+                        # (8,32) fallback ran 20x slower than its race)
+                        ts = t_step
+                        if not os.environ.get("TFQ_BENCH_TSTEP"):
+                            ts = pp.auto_t_step(
+                                pplan, prec_,
+                                vmem_budget=(cap_mb << 20) if cap_mb
+                                else 0)
                         return pp.make_pairpanel_multiply(
                             pplan, panels, precision=prec_,
-                            interpret=interp, t_step=t_step)
+                            interpret=interp, t_step=ts)
 
                     log(f"# pairpanel pack: {time.time()-t0:.1f}s, "
                         f"ntiles={pplan.ntiles} ku={pplan.ku} "

@@ -28,7 +28,7 @@ def main():
     fd3 = _load("BENCH_fd_r03.json") or {"runs": {}}
     bs5 = _load("BLOCKSIZES_r05.json") or {"rows": []}
     bounds = _load("BOUNDS_r05.json") or {"rows": {}}
-    sc4 = _load("SCALING_r04.json")
+    sc4 = _load("SCALING_r05.json") or _load("SCALING_r04.json")
     r5 = spmm5["runs"]
     r3 = spmm3["runs"]
     out = []
@@ -71,9 +71,10 @@ def main():
       "operands ship raw int8 slice integers and the MXU accumulates "
       "s8×s8→s32 — every diagonal sum exact in integer arithmetic, the "
       "per-product TwoSum chain and in-kernel A reconstruction deleted, "
-      "X window bytes halved.  Ladder committed in the artifact: bf16 "
-      "planes 1.16 → int8-A 1.40 → xi8 1.48 TFlop/s, all at maxdev "
-      "~3.6e-13 (gate margin ~28×).  47-bit slices are the gate-1e-12 "
+      "X window bytes halved.  The committed pinned-lever ladder: "
+      "53-bit parity 1.12 → int8-A 1.22 → 47-bit bf16 1.50 → xi8 "
+      "(the race winner) 1.50 TFlop/s, all maxdev ≤ 7e-13.  r3's "
+      "committed best was 0.63.  47-bit slices are the gate-1e-12 "
       "default; a measured-margin fallback rebuilds at the strict "
       "53-bit parity point if a workload ever crosses 90% of the gate.")
     w("")
@@ -135,7 +136,10 @@ def main():
       "G-inflated state), not the multiply alone — the golden pattern's "
       "multiply-optimal G=8 inflated vector bytes 2.6× and sat at 0.666 "
       "of roofline for two rounds (BENCH_spmm_r03.json "
-      "iter_golden_pairs); the iteration objective picks G≤2."
+      "iter_golden_pairs).  Because the multiply-term model cannot rank "
+      "G reliably at fine granularity, the committed row RACES "
+      "G ∈ {auto,8,4,2,1} × mm_prec on measured full iterations and "
+      "reports the winner."
       + (f"  Measured now: {g5.get('value')} ms/iter at "
          f"{g5.get('fraction_of_measured_roofline')} of roofline."
          if g5 else ""))
@@ -166,8 +170,7 @@ def main():
           "the solver (ops/superblock.py — ~100× per-iteration), and "
           "restart-chunked solving (solve_checkpointed) re-anchors the "
           "drifting recurrence past the ~1e-8 plateau to the "
-          "generator's 1e-9 tolerance (measured 2.5e-11 in 427 total "
-          "iterations on this operator).")
+          "generator's 1e-9 tolerance.")
     w("")
     w("## Small block sizes — superblock (BASELINE config 3; "
       "BLOCKSIZES_r05.json; 9 small reference pairs of "
@@ -189,7 +192,7 @@ def main():
       "into the SOLVER (LM ≤ 8 pairs engine) and races in "
       "autotune_solver.")
     w("")
-    w("## Multi-device (BASELINE config 5; SCALING_r04.json)")
+    w("## Multi-device (BASELINE config 5; SCALING_r05.json)")
     w("")
     if sc4:
         rows = sc4.get("host_overhead", {}).get("rows", [])
@@ -220,7 +223,7 @@ def main():
         agh = [r for r in ag if r.get("pr", 1) > 1]
         if agh:
             w(f"* The all_gather FALLBACK (wide bands whose boundary "
-              f"tiles span >±1 shard) is priced in SCALING_r04.json "
+              f"tiles span >±1 shard) is priced in SCALING_r05.json "
               f"`allgather_fallback_lm8`: per-shard bytes GROW with "
               f"(pr−1)/pr × panel (`weak_scalable:false`), modeled "
               f"efficiency {agh[-1]['modeled_efficiency']:.3f} at "
@@ -230,8 +233,7 @@ def main():
         if wk:
             w("* CPU-sim weak-scaling rows are retained for "
               "completeness but flagged: same-host simulation cannot "
-              "resolve weak-scaling efficiency (r5 adds "
-              "`resolved:false` to every pr>1 row at generation; see "
+              "resolve weak-scaling efficiency (every pr>1 row carries `resolved:false` at generation; see "
               "tfqmrgpu_tpu/parallel/scaling.py).")
     w("* Multi-process (2 procs × 4 CPU devices, gloo): bit-identical "
       "iterations vs single-process (tests/test_multihost.py).")
