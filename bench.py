@@ -1161,8 +1161,12 @@ def main():
                         env_int8 if env_int8 is not None else int8)
 
             def build_oz(bits, stride, tstep, cg, int8):
-                """One oz engine bundle (spec already env-resolved)."""
+                """One oz engine bundle (spec already env-resolved).
+                int8 '3' = the xi8 layout with a RESIDENT X panel (the
+                int8 slice window fits VMEM whole: no replica build, one
+                panel DMA per multiply)."""
                 t0 = time.time()
+                res = int8 == "3"
                 os.environ["TFQ_OZC_INT8"] = int8
                 try:
                     gp_ = None
@@ -1189,13 +1193,16 @@ def main():
                             gp_.nnzb2, gp_.nnzb2, lm, gp_.ln2,
                             r_tile=r_tile, copy_g=copy_g,
                             row_of=gp_.row_of2, col_of=gp_.col_of2,
-                            resident=False, stride_factor=stride)
+                            resident="1" if res else False,
+                            stride_factor=stride)
                         tag_chk, _, _ = pp.oz_mode_params(
                             pplan_.ku * lm, bits)
                         cap_mb = int(os.environ.get("TFQ_PAIRS_VMEM_CAP",
                                                     "100"))
-                        if pp.plan_fits_vmem(pplan_, tag_chk,
-                                             cap=cap_mb << 20):
+                        if res or pp.plan_fits_vmem(pplan_, tag_chk,
+                                                    cap=cap_mb << 20):
+                            # resident xi8 prices its own (int8) window
+                            # inside make_pairpanel_multiply_oz
                             break
                         # walk the group size down before giving up: a
                         # VMEM-rejected G=4 often fits (and still wins
@@ -1215,7 +1222,8 @@ def main():
                         pplan_ = pp.pack_pair_plan(
                             pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm,
                             ln, r_tile=r_tile, copy_g=copy_g,
-                            resident=False, stride_factor=stride)
+                            resident="1" if res else False,
+                            stride_factor=stride)
                     tag_oz, _, _ = pp.oz_mode_params(pplan_.ku * lm, bits)
                     ts = tstep or pp.auto_t_step(pplan_, tag_oz)
                     mult_ = pp.make_pairpanel_multiply_oz(
@@ -1265,7 +1273,8 @@ def main():
                         f"{mult_.p}q{mult_.q}{tag8}-"
                         f"b{bits}-r{r_tile}-g{copy_g}-t{ts}-s{stride}"
                         + (f"-cg{gp_.group_size}" if gp_ is not None
-                           else ""))
+                           else "")
+                        + ("-res" if pplan_.resident else ""))
                 return dict(gp=gp_, pplan=pplan_, t_step=ts,
                             multiply=mult_c, y_to_x=ytx, x0=x0_,
                             consts=mult_.consts,
@@ -1277,9 +1286,9 @@ def main():
             # 47-bit/stride-3/t8 with AND without grouping (the r4 lever
             # run never tried the cg combination), the strict 53-bit
             # parity point, and the int8-plane layout candidate
-            specs = [(47, 2, 8, 0, "2"), (47, 3, 8, 0, "1"),
-                     (47, 3, 8, 0, "0"), (47, 3, 8, 1, "0"),
-                     (53, 1, 0, 0, "0")]
+            specs = [(47, 2, 8, 0, "2"), (47, 1, 8, 0, "3"),
+                     (47, 3, 8, 0, "1"), (47, 3, 8, 0, "0"),
+                     (47, 3, 8, 1, "0"), (53, 1, 0, 0, "0")]
             race_ok = (not interp
                        or os.environ.get("TFQ_BENCH_RACE") == "1")
             if not race_ok:
@@ -1409,6 +1418,12 @@ def main():
     maxdev = run_gate()
     log(f"# correctness: maxdev={maxdev:.3e} (gate {gate})")
     fell_back_from = None
+    # ablation runs (TFQ_PP_NO_DOT etc.) produce garbage results on
+    # purpose; the skip must disarm the gate BEFORE the precision
+    # fallback chains, or they rebuild a different configuration than
+    # the one being floored
+    if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
+        maxdev, gate = 0.0, 1.0
     # auto precision: fall back when the fast mode's measured error crosses
     # 90% of the gate.  The probe measures the TRUE deviation of this exact
     # workload (the bf16-split error is deterministic, BLOCKSIZES_r02.json),

@@ -2088,6 +2088,7 @@ class OzPairPanelMultiply:
         self.comp = comp                 # 'ozc': TwoSum err plane + dual
         #                                  spare-binade sigma/tau
         self.xi8 = xi8                   # int8 X slices (s8xs8->s32 MXU)
+        self.resident = plan.resident    # single-window X panel (xi8)
         self._m = plan.r_tile * plan.lm
         self._ln = plan.ln
         self._n_rows_out = plan.ntiles * self._m
@@ -2172,10 +2173,10 @@ class OzPairPanelMultiply:
             amax = jnp.max(jnp.abs(x_fused), axis=0, keepdims=True)
             tau = ozaki.pow2_scale(amax)
             xs = _oz_slices(x_fused / tau, p, self.q)
-        xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16
+        xw = jnp.concatenate(xs, axis=1)          # [rows, p*2ln] bf16/int8
         xrep = _window_replicas(xw, self._n_windows, self._swrows,
                                 p * 2 * ln, 1, self._g_rows,
-                                orows=self._orows)
+                                orows=self._orows, resident=self.resident)
         y_raw = self._call(wsel, trips, codes, *planes, xrep)
         if self.comp:
             # folded output [nt, M, 4ln] = [re_acc | im_acc | re_err |
@@ -2414,7 +2415,7 @@ def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
             # k <= 3851 -- looser than q = 8's bound.
             q = 7
             p = math.ceil(bits / q) + (1 if bits % q == 0 else 0)
-        if i8 == "2":
+        if i8 in ("2", "3"):
             # 'xi8': BOTH operands int8, MXU accumulates in int32 --
             # per-product bound k * (2^{q-1}+2)^2 <= 2^31 and diagonal
             # sums p * that <= 2^31 (the f32 conversion is exactified by
@@ -2454,9 +2455,6 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
 
     from . import ozaki
 
-    if plan.resident:
-        raise ValueError("oz mode supports windowed plans only "
-                         "(pack with resident=False)")
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     k = plan.ku * lm
     tag, p, q = oz_mode_params(k, bits)
@@ -2486,7 +2484,20 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     # s8 x s8 -> s32 (see the dots() branch).  Needs the int8-safe q,
     # int8 32-row sublane alignment of the scratch copies (lm % 32), and
     # the compensated mode's dual spare binade
-    xi8 = (comp and i8_env == "2" and q <= 7 and lm % 32 == 0)
+    xi8 = (comp and i8_env in ("2", "3") and q <= 7 and lm % 32 == 0)
+    if plan.resident:
+        # RESIDENT oz: only the xi8 layout fits -- an xsplit=p bf16
+        # window panel is ~2x VMEM, but int8 slices halve it (~106 MB on
+        # the golden cg2 plan, inside the 120 MB scoped cap).  The panel
+        # is DMAed once per multiply instead of building + streaming the
+        # overlapping window replicas.
+        win_b = ((plan.n_slots + plan.copy_g) * lm
+                 * _lanes_pad(p * 2 * ln) * 1)
+        if not xi8 or win_b > (108 << 20):
+            raise ValueError(
+                "resident oz needs the xi8 layout and a <=108 MB int8 "
+                f"panel (have xi8={xi8}, {win_b >> 20} MB); pack with "
+                "resident=False")
     # WHERE to slice: the A-side descale/slicing chains are f64
     # elementwise; on relay-emulated-f64 devices they cost minutes of
     # build time for FD-class plans (measured 444 s), while true-f64
@@ -2554,7 +2565,8 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     call = _make_call(nsteps, r, plan.ku, lm, ln, plan.s_window,
                       plan.x_rows_padded, tag, interpret,
                       copy_g=plan.copy_g, cmax=cmax, t_step=T,
-                      o_blocks=plan.o_blocks, resident=False, oz_q=q,
+                      o_blocks=plan.o_blocks, resident=plan.resident,
+                      oz_q=q,
                       oz_stack=max(1, int(_os.environ.get("TFQ_OZ_STACK",
                                                           "1"))),
                       oz_xi8=xi8)

@@ -21,7 +21,7 @@ from __future__ import annotations
 # golden plan -- the rate a merged problem at LM' = lm2 runs at
 ENGINE_TFLOPS = {
     "c": {16: 2.0, 32: 8.1, 64: 7.0},
-    "z": {16: 0.35, 32: 1.48, 64: 1.0},
+    "z": {16: 0.35, 32: 1.77, 64: 1.0},
 }
 
 # rates of the small sizes WITHOUT merging (the do-nothing baseline the

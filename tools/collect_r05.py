@@ -44,6 +44,7 @@ def main():
             "TFlop/s f64-V100 anchor (bench_tfqmrgpu.cu:319)."),
         "runs": {}}
     for key, path in [("z_default", "/tmp/r05_z_default.json"),
+                      ("z_47bit_xi8_resident", "/tmp/r05_z_resident.json"),
                       ("z_53bit_parity", "/tmp/r05_z_b53.json"),
                       ("z_47bit_int8", "/tmp/r05_z_b47i8.json"),
                       ("z_47bit_bf16", "/tmp/r05_z_b47bf.json"),
@@ -110,7 +111,11 @@ def main():
             "table; the byte-layout levers (int8 planes, int8 X, lane "
             "grouping, stride) are exhausted at the measured floor."),
         "rows": {}}
-    for key, path in [("floor_xi8_nodot", "/tmp/r05_floor_xi8.json"),
+    for key, path in [("floor_xi8_resident_nodot",
+                       "/tmp/r05_floor_xi8res.json"),
+                      ("floor_xi8_windowed_nodot",
+                       "/tmp/r05_floor_xi8win.json"),
+                      ("floor_xi8_nodot", "/tmp/r05_floor_xi8.json"),
                       ("floor_i8_nodot", "/tmp/r05_floor_i8.json")]:
         rec = _last_json_line(path)
         if rec is not None:

@@ -57,8 +57,9 @@ def main():
       "engine |")
     w("|---|---|---|---|---|")
     for k, label in [("z_default", "z_default (driver row, NO env knobs)"),
-                     ("z_47bit_int8", "z_47bit_int8 (pinned lever)"),
+                     ("z_47bit_xi8_resident", "z_47bit_xi8_resident (pinned)"),
                      ("z_47bit_bf16", "z_47bit_bf16 (pinned lever)"),
+                     ("z_47bit_int8", "z_47bit_int8 (pinned lever)"),
                      ("z_53bit_parity", "z_53bit_parity (strict-f64)")]:
         d = r5.get(k)
         if d:
@@ -70,11 +71,14 @@ def main():
       "(VERDICT r4 #6).  The winner is the r5 'xi8' layout: BOTH "
       "operands ship raw int8 slice integers and the MXU accumulates "
       "s8×s8→s32 — every diagonal sum exact in integer arithmetic, the "
-      "per-product TwoSum chain and in-kernel A reconstruction deleted, "
-      "X window bytes halved.  The committed pinned-lever ladder: "
-      "53-bit parity 1.12 → int8-A 1.22 → 47-bit bf16 1.50 → xi8 "
-      "(the race winner) 1.50 TFlop/s, all maxdev ≤ 7e-13.  r3's "
-      "committed best was 0.63.  47-bit slices are the gate-1e-12 "
+      "per-product TwoSum chain and in-kernel A reconstruction deleted "
+      "-- and, because the int8 slice panel HALVES the X window, the "
+      "whole panel now fits VMEM: the winning configuration is xi8 + "
+      "RESIDENT-X (one panel DMA per multiply, no replica build).  The "
+      "committed pinned-lever ladder: 53-bit parity 1.12 → int8-A 1.22 "
+      "→ 47-bit bf16 1.50 → xi8 windowed 1.50 → xi8 resident 1.77 "
+      "TFlop/s, all maxdev ≤ 7e-13.  r3's committed best was 0.63.  "
+      "47-bit slices are the gate-1e-12 "
       "default; a measured-margin fallback rebuilds at the strict "
       "53-bit parity point if a workload ever crosses 90% of the gate.")
     w("")
@@ -91,13 +95,14 @@ def main():
         w("")
         w("`TFQ_PP_NO_DOT=1` floors: A-panel DMA + X staging + the "
           "XLA-side prologue/epilogue, with the MXU/fold work skipped.  "
-          "At the xi8 point the floor decomposes as ~0.59 GB of A "
-          "planes (~4.2 ms at the ~140 GB/s Pallas stream rate) plus "
-          "the X-path XLA passes; the full-row gap above the floor is "
-          "the exposed compute.  ≥2 TF (≤6.6 ms) therefore needs the "
-          "two kernel rewrites documented in the artifact (in-kernel X "
-          "slicing from the hi/lo f32 pair; pair-form epilogue), not "
-          "more byte-layout levers — those are exhausted at the floor.")
+          "The resident-xi8 floor decomposes as ~0.59 GB of A planes "
+          "(~4.2 ms at the ~140 GB/s Pallas stream rate) + one ~107 MB "
+          "X-panel DMA + the X slicing/epilogue XLA passes; the full "
+          "row sits ~2.2 ms above it — the exposed (non-overlapped) "
+          "MXU+fold time.  Closing on the 2.5 TF ceiling therefore "
+          "needs DMA/compute overlap inside the kernel and in-kernel X "
+          "slicing; the byte-layout levers (int8 planes, int8 X, "
+          "residency, grouping, stride) are exhausted at the floor.")
         w("")
     w("### 'c' (accuracy-gated f32/bf16 tiers; BENCH_spmm_r03+r05)")
     w("")

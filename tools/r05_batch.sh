@@ -29,8 +29,8 @@ run r05_c_auto.json   TFQ_BENCH_PREC=c
 # bound analysis).  TFQ_PP_NO_DOT skips the MXU/fold work, leaving the
 # A-panel DMA + X staging + the XLA-side prologue/epilogue -- the
 # layout's hard floor; results are garbage so the gate is skipped.
-run r05_floor_xi8.json  TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=2 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=2 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
-run r05_floor_i8.json   TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=3 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=1 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
+run r05_floor_xi8res.json  TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=1 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=3 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
+run r05_floor_xi8win.json   TFQ_BENCH_PREC=z TFQ_OZ_BITS=47 TFQ_OZ_STRIDE=3 TFQ_BENCH_TSTEP=8 TFQ_OZC_INT8=2 TFQ_BENCH_COLGROUP=2 TFQ_PP_NO_DOT=1 TFQ_BENCH_SKIP_CHECK=1
 
 # ---- superblock rows: all 9 small reference sizes
 # (allowed_block_sizes.h:4-18), 'c' gate 1e-4
