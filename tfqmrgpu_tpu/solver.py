@@ -378,6 +378,49 @@ class Solver:
                 resident=("0" if precision == "z" else
                           _os.environ.get("TFQ_PAIRS_RESIDENT",
                                           "auto")))
+            if precision == "z":
+                self._pp_plan = self._try_resident_z(
+                    self._pp_plan,
+                    lambda: pp_ops.pack_pair_plan(
+                        self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                        pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
+                        self.lm, self.ln, r_tile=rt,
+                        row_of=row_of_x, col_of=self.plan.colindx,
+                        col_pad=bool(col_pad), copy_g=cg_copy,
+                        resident="1"))
+
+    def _try_resident_z(self, plan, repack):
+        """'z' plans default to windowed (an xsplit=p bf16 window is ~2x
+        VMEM), but the solver's int8-slice default (xi8) HALVES the
+        window: when the whole int8 slice panel fits VMEM, repack
+        RESIDENT -- one panel DMA per multiply instead of the replica
+        build + windowed streaming (measured 1.50 -> 1.77 TFlop/s on
+        the golden 'z' bench).  TFQ_PAIRS_RESIDENT=0 or a non-int8
+        TFQ_OZC_INT8 pin opts out; the oz builder re-checks the fit."""
+        from .ops import pairpanel as pp_ops
+
+        if _os.environ.get("TFQ_PAIRS_RESIDENT", "auto") == "0":
+            return plan
+        if _os.environ.get("TFQ_OZC_INT8", "2") not in ("2", "3"):
+            return plan
+        if plan.lm % 32:
+            return plan           # xi8 needs 32-row int8 alignment
+        p = 8                     # ceil(53/7): the int8 point at 53 bits
+        win_b = ((plan.n_slots + plan.copy_g) * plan.lm
+                 * pp_ops._lanes_pad(p * 2 * plan.ln))
+        if win_b > (100 << 20) or plan.n_slots + plan.copy_g > 0x7FFF:
+            return plan
+        if win_b < (16 << 20):
+            # small panels (FD-class): the windowed replica build is
+            # already cheap and the per-multiply full-panel DMA costs
+            # more than it saves (measured: rtb=12.75 754 -> 835 ms);
+            # residency pays on golden-class panels (75 MB: 1.50 ->
+            # 1.77 TF)
+            return plan
+        try:
+            return repack()
+        except ValueError:
+            return plan
 
     def _build_superblock(self, row_of_x, pair_y, sup_env):
         """Compose lane widening (pack_grouped) + row merging
@@ -463,6 +506,14 @@ class Solver:
             row_of=rm.row_of2, col_of=rm.col_of2,
             resident=("0" if self.precision == "z" else
                       _os.environ.get("TFQ_PAIRS_RESIDENT", "auto")))
+        if self.precision == "z":
+            self._pp_plan = self._try_resident_z(
+                self._pp_plan,
+                lambda: pp_ops.pack_pair_plan(
+                    rm.pair_a2, rm.pair_x2, rm.pair_y2, rm.n_cells,
+                    rm.n_cells, rm.lm2, rm.ln, r_tile=rt,
+                    copy_g=cg_copy, row_of=rm.row_of2, col_of=rm.col_of2,
+                    resident="1"))
         self._sup = rm
         self._sup_gp = gp_f
         self._gp = gp_f               # grouped primitives run in merged
@@ -520,6 +571,13 @@ class Solver:
                         t_step = (int(t_env) if t_env else
                                   pp_ops.auto_t_step(self._pp_plan,
                                                      oz_tag))
+                        if self._pp_plan.resident and not t_env:
+                            # the VMEM model prices bf16 windows; the
+                            # resident plan only exists because the int8
+                            # window is HALF that, so the auto pick
+                            # collapses to the fixed-cost t=1 regime --
+                            # floor it at the measured-good batch
+                            t_step = max(t_step, 8)
                         self._pp = pp_ops.make_pairpanel_multiply_oz(
                             self._pp_plan, re, im, interpret=interp,
                             t_step=t_step)
