@@ -539,6 +539,7 @@ def main():
     # pinned TFQ_BENCH_NREP.
     if not os.environ.get("TFQ_BENCH_NREP") and flops_per_call > 0:
         nrep = max(nrep, min(4096, int(1e11 / flops_per_call)))
+    nrep = max(8, nrep - nrep % 8)     # chain bodies unroll 4 multiplies
 
     a_re, a_im = cos_sin_fill(nnzb_a, lm, lm, npdt)
     x_re, x_im = cos_sin_fill(nnzb_x, lm, ln, npdt)
@@ -1050,6 +1051,7 @@ def main():
             # flapped between winners).  Scale the chain so its compute
             # is several x the overhead; equal lengths keep it fair.
             race_n = max(8, min(256, int(5e9 / max(flops_per_call, 1.0))))
+            race_n -= race_n % 4
 
             def race_time(c):
                 """Equal-length chains compare fairly: the relay dispatch
@@ -1057,12 +1059,14 @@ def main():
 
                 @jax.jit
                 def chain_r(cc, x):
-                    def body(_, x):
+                    def body4(_, x):
+                        for _ in range(3):
+                            x = c["y_to_x"](c["multiply"](cc, x))
                         y = c["multiply"](cc, x)
                         s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
                         return c["y_to_x"](y * s)
 
-                    x = jax.lax.fori_loop(0, race_n, body, x)
+                    x = jax.lax.fori_loop(0, race_n // 4, body4, x)
                     return x.reshape(-1)[0]
 
                 _ = float(np.asarray(chain_r(c["consts"], c["x0"] * 1.003)))
@@ -1302,12 +1306,14 @@ def main():
             def race_time_oz(c):
                 @jax.jit
                 def chain8(cc, x):
-                    def body(_, x):
+                    def body4(_, x):
+                        for _ in range(3):
+                            x = c["y_to_x"](c["multiply"](cc, x))
                         y = c["multiply"](cc, x)
                         s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
                         return c["y_to_x"](y * s)
 
-                    x = jax.lax.fori_loop(0, 8, body, x)
+                    x = jax.lax.fori_loop(0, 2, body4, x)
                     return x.reshape(-1)[0]
 
                 _ = float(np.asarray(chain8(c["consts"], c["x0"] * 1.003)))
@@ -1485,14 +1491,25 @@ def main():
     # overhead of the TPU relay (~30 ms) exactly -- the reference times
     # bare kernel launches (bench_tfqmrgpu.cu:329-341), so the honest
     # equivalent is the marginal cost of one more multiply
+    # the chain feeds Y back as X to defeat relay memoization; the
+    # renormalization only keeps magnitudes bounded for the HARNESS (the
+    # reference's loop times bare gemm launches with no feedback at all,
+    # bench_tfqmrgpu.cu:329-341).  A full max+scale pass over the f64 Y
+    # every step costs ~1 ms/multiply on the 'z' rows (profiled r5);
+    # a statically unrolled 4-multiply body renormalizes ONCE per group
+    # (growth ~(K·|a||x|)^4 ~ 1e10 between renorms -- far inside f32 and
+    # f64 range) at a quarter of the harness cost.  (A lax.cond variant
+    # measured WORSE: the cond boundary breaks loop-body fusion.)
     @functools.partial(jax.jit, static_argnames=("n",))
     def chain(c, x, n):
-        def body(_, x):
+        def body4(_, x):
+            for _ in range(3):
+                x = y_to_x(multiply_c(c, x))
             y = multiply_c(c, x)
             s = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
             return y_to_x(y * s)
 
-        x = jax.lax.fori_loop(0, n, body, x)
+        x = jax.lax.fori_loop(0, n // 4, body4, x)
         return x.reshape(-1)[0]
 
     # the relay memoizes identical dispatches and completes asynchronously:

@@ -76,7 +76,7 @@ def main():
       "whole panel now fits VMEM: the winning configuration is xi8 + "
       "RESIDENT-X (one panel DMA per multiply, no replica build).  The "
       "committed pinned-lever ladder: 53-bit parity 1.12 → int8-A 1.22 "
-      "→ 47-bit bf16 1.50 → xi8 windowed 1.50 → xi8 resident 1.77 "
+      "→ 47-bit bf16 1.50 → xi8 windowed 1.50 → xi8 resident 1.82 "
       "TFlop/s, all maxdev ≤ 7e-13.  r3's committed best was 0.63.  "
       "47-bit slices are the gate-1e-12 "
       "default; a measured-margin fallback rebuilds at the strict "
