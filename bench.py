@@ -621,11 +621,15 @@ def main():
                                              row_of=row_g, col_of=col_g)
                 # cost model: merged MACs / measured engine rate at lm2
                 # (ops/rates.py -- the shared measured table; rate 0.0
-                # means the size was never measured -> ineligible)
+                # means the size was never measured -> ineligible for
+                # AUTO routing, but a forced TFQ_BENCH_SUPER=N factor
+                # must still go through)
                 from tfqmrgpu_tpu.ops import rates as _rates
                 rate = _rates.engine_rate(prec, lm2)
                 if not rate:
-                    continue
+                    if sup_env in ("auto", ""):
+                        continue
+                    rate = 1.0
                 cost = rm_f.mac_inflation / rate
                 if best is None or cost < best[0]:
                     best = (cost, f, gp_f, rm_f)
@@ -1362,9 +1366,16 @@ def main():
                 # gate-fallback hook: same schedule at strict 53 bits.
                 # t_step re-derives for the larger 53-bit windows unless
                 # the user pinned it (the stale-batching trap the 'c'
-                # fallback fix documents in build_mult)
+                # fallback fix documents in build_mult).  A resident
+                # ('3') winner may not fit at 53 bits (p grows 7 -> 8);
+                # degrade to the windowed xi8 layout instead of dying.
                 ts = spec[2] if env_tstep else 0
-                return build_oz(53, spec[1], ts, spec[3], spec[4])
+                try:
+                    return build_oz(53, spec[1], ts, spec[3], spec[4])
+                except ValueError:
+                    if spec[4] != "3":
+                        raise
+                    return build_oz(53, spec[1], ts, spec[3], "2")
         except ValueError as e:
             if engine == "pairpanel":
                 raise
@@ -1425,10 +1436,11 @@ def main():
     maxdev = run_gate()
     log(f"# correctness: maxdev={maxdev:.3e} (gate {gate})")
     fell_back_from = None
-    # ablation runs (TFQ_PP_NO_DOT etc.) produce garbage results on
-    # purpose; the skip must disarm the gate BEFORE the precision
-    # fallback chains, or they rebuild a different configuration than
-    # the one being floored
+    # mirrors the reference's -DSKIP_CORRECTNESS_CHECK
+    # (bench_tfqmrgpu.cu:350).  Ablation runs (TFQ_PP_NO_DOT etc.)
+    # produce garbage on purpose; the skip must disarm the gate BEFORE
+    # the precision fallback chains, or they rebuild a different
+    # configuration than the one being floored
     if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
         maxdev, gate = 0.0, 1.0
     # auto precision: fall back when the fast mode's measured error crosses
@@ -1478,9 +1490,6 @@ def main():
         eng_used = c53["eng_name"]()
         maxdev = run_gate()
         log(f"# correctness (53-bit): maxdev={maxdev:.3e}")
-    # mirrors the reference's -DSKIP_CORRECTNESS_CHECK (bench_tfqmrgpu.cu:350)
-    if os.environ.get("TFQ_BENCH_SKIP_CHECK") == "1":
-        maxdev, gate = 0.0, 1.0
     if maxdev > gate:
         print(json.dumps({"metric": "spmm_correctness_FAILED",
                           "value": maxdev, "unit": "maxdev",

@@ -336,9 +336,10 @@ class Solver:
         want = 0
         # z routes through the Ozaki kernel: grouped windowed
         # packs work (r3 -- the grouped A dedup carries straight
-        # through the A-bytes-bound p~9 slice stream), resident
-        # stays off (an xsplit=p window cannot fit VMEM); model
-        # the candidates at the oz pass rate
+        # through the A-bytes-bound slice stream); r5: the xi8
+        # int8 layout halves the window, so _try_resident_z below
+        # upgrades fitting plans to a whole-panel resident window.
+        # Model the candidates at the oz pass rate
         # the 'z' model tag must match the kernel set_matrix will build
         # (the solver's xi8/int8 default), or the grouped plan is
         # VMEM-sized for the wrong window split
@@ -384,6 +385,19 @@ class Solver:
                 col_of=self.plan.colindx, r_tile=rt,
                 copy_g=cg_copy, force=(cg_env not in ("0", "1")),
                 allow_resident=(precision != "z"))
+            if precision == "z" and self._gp is not None:
+                # grouped 'z' can reach the resident xi8 layout too
+                # (the 1.77 TF config rates.py records is the resident
+                # cg2 one) -- repack the SAME grouped cell lists with a
+                # whole-panel window when the int8 panel fits VMEM
+                gp = self._gp
+                self._pp_plan = self._try_resident_z(
+                    self._pp_plan,
+                    lambda: pp_ops.pack_pair_plan(
+                        gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
+                        gp.nnzb2, self.lm, gp.ln2, r_tile=rt,
+                        copy_g=cg_copy, row_of=gp.row_of2,
+                        col_of=gp.col_of2, resident="1"))
         else:
             self._pp_plan = pp_ops.pack_pair_plan(
                 self.plan.pairs[:, 0], self.plan.pairs[:, 1],
@@ -412,11 +426,16 @@ class Solver:
         RESIDENT -- one panel DMA per multiply instead of the replica
         build + windowed streaming (measured 1.50 -> 1.77 TFlop/s on
         the golden 'z' bench).  TFQ_PAIRS_RESIDENT=0 or a non-int8
-        TFQ_OZC_INT8 pin opts out; the oz builder re-checks the fit."""
+        TFQ_OZC_INT8 pin opts out; the oz builder re-checks the fit.
+        The feasibility test needs the packed plan's slot count, so an
+        eligible plan pays one extra pack at init -- a one-time cost
+        (plans are built once and reused across solves)."""
         from .ops import pairpanel as pp_ops
 
         if _os.environ.get("TFQ_PAIRS_RESIDENT", "auto") == "0":
             return plan
+        if _os.environ.get("TFQ_OZ_COMP", "1") == "0":
+            return plan           # legacy 'oz' mode has no xi8 layout
         if _os.environ.get("TFQ_OZC_INT8", "2") not in ("2", "3"):
             return plan
         if plan.lm % 32:
@@ -506,7 +525,11 @@ class Solver:
                                             row_of=row_of_x, col_of=col_of)
             rate = rates.engine_rate(self.precision, lm2)
             if not rate:
-                continue      # unmeasured merged size: ineligible
+                # unmeasured merged size: ineligible for AUTO routing,
+                # but a user-forced factor must still go through
+                if sup_env in ("auto", ""):
+                    continue
+                rate = 1.0
             cost = rm_f.mac_inflation / rate
             if best is None or cost < best[0]:
                 best = (cost, f, gp_f, rm_f)
