@@ -102,3 +102,19 @@ def test_auto_z_midsize_lm_falls_back(rng, monkeypatch):
                                      x_fill=1.0, dtype=np.complex128)
     s2 = Solver(a2, x2, b2, precision="z", engine="auto")
     assert s2.engine in ("xla", "dense")
+
+
+def test_z_resident_repack_solves(rng, monkeypatch):
+    """The grouped-resident 'z' path (xi8 int8 panel held whole in the
+    kernel window; r5): with the size floor lowered, a small problem
+    must take the resident repack and solve to f64 quality."""
+    monkeypatch.setenv("TFQ_Z_RESIDENT_MIN_MB", "0")
+    lm = ln = 32
+    a, x, b = make_random_problem(rng, mb=10, lm=lm, ln=ln, ncols=2,
+                                  x_fill=1.0, dtype=np.complex128)
+    s = Solver(a, x, b, precision="z", engine="pairs")
+    assert s._pp_plan is not None and s._pp_plan.resident
+    info = s.solve(tolerance=1e-10, max_iterations=300)
+    assert info.return_status == int(Status.SUCCESS)
+    dev = _residual(a, x, b, s.get_matrix("X"), lm, ln)
+    assert dev < 1e-9, dev

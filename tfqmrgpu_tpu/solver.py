@@ -385,19 +385,31 @@ class Solver:
                 col_of=self.plan.colindx, r_tile=rt,
                 copy_g=cg_copy, force=(cg_env not in ("0", "1")),
                 allow_resident=(precision != "z"))
-            if precision == "z" and self._gp is not None:
+            if precision == "z":
                 # grouped 'z' can reach the resident xi8 layout too
                 # (the 1.77 TF config rates.py records is the resident
-                # cg2 one) -- repack the SAME grouped cell lists with a
+                # cg2 one) -- repack the SAME cell lists with a
                 # whole-panel window when the int8 panel fits VMEM
+                # (pack_grouped_plan may have fallen back to ungrouped:
+                # gp None repacks the fine lists)
                 gp = self._gp
-                self._pp_plan = self._try_resident_z(
-                    self._pp_plan,
-                    lambda: pp_ops.pack_pair_plan(
-                        gp.pair_a2, gp.pair_x2, gp.pair_y2, gp.nnzb2,
-                        gp.nnzb2, self.lm, gp.ln2, r_tile=rt,
-                        copy_g=cg_copy, row_of=gp.row_of2,
-                        col_of=gp.col_of2, resident="1"))
+                if gp is not None:
+                    self._pp_plan = self._try_resident_z(
+                        self._pp_plan,
+                        lambda: pp_ops.pack_pair_plan(
+                            gp.pair_a2, gp.pair_x2, gp.pair_y2,
+                            gp.nnzb2, gp.nnzb2, self.lm, gp.ln2,
+                            r_tile=rt, copy_g=cg_copy, row_of=gp.row_of2,
+                            col_of=gp.col_of2, resident="1"))
+                else:
+                    self._pp_plan = self._try_resident_z(
+                        self._pp_plan,
+                        lambda: pp_ops.pack_pair_plan(
+                            self.plan.pairs[:, 0], self.plan.pairs[:, 1],
+                            pair_y, self.plan.nnzb_x, self.plan.nnzb_x,
+                            self.lm, self.ln, r_tile=rt,
+                            row_of=row_of_x, col_of=self.plan.colindx,
+                            copy_g=cg_copy, resident="1"))
         else:
             self._pp_plan = pp_ops.pack_pair_plan(
                 self.plan.pairs[:, 0], self.plan.pairs[:, 1],
@@ -445,7 +457,8 @@ class Solver:
                  * pp_ops._lanes_pad(p * 2 * plan.ln))
         if win_b > (100 << 20) or plan.n_slots + plan.copy_g > 0x7FFF:
             return plan
-        if win_b < (16 << 20):
+        min_mb = float(_os.environ.get("TFQ_Z_RESIDENT_MIN_MB", "16"))
+        if win_b < int(min_mb * (1 << 20)):
             # small panels (FD-class): the windowed replica build is
             # already cheap and the per-multiply full-panel DMA costs
             # more than it saves (measured: rtb=12.75 754 -> 835 ms);
