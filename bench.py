@@ -230,6 +230,14 @@ def main_iter():
 
     engine = os.environ.get("TFQ_BENCH_ENGINE", "auto")
     pattern = os.environ.get("TFQ_BENCH_ITER_PATTERN", "banded")
+    # TFQ_BENCH_ITER_PREC=z: the reference's headline precision -- full
+    # f64-quality iterations through the (resident) xi8 Ozaki solver path
+    prec = os.environ.get("TFQ_BENCH_ITER_PREC", "c")
+    if prec == "z":
+        from tfqmrgpu_tpu import enable_x64
+
+        enable_x64()
+    cdt = np.complex128 if prec == "z" else np.complex64
     rng = np.random.default_rng(0)
     if pattern == "golden":
         # the golden plan's own geometry (1063 rows x 16 column clusters,
@@ -254,7 +262,7 @@ def main_iter():
         nnzb_a = len(keys)
         a_data = (rng.standard_normal((nnzb_a, lm, lm))
                   + 1j * rng.standard_normal((nnzb_a, lm, lm))
-                  ).astype(np.complex64)
+                  ).astype(cdt)
         deg = np.diff(rowptr_a)
         diag = np.flatnonzero(ar_ == ac_)
         for j in diag:
@@ -272,7 +280,7 @@ def main_iter():
             .astype(np.int32)
         b_data = (rng.standard_normal((ncols, lm, ln))
                   + 1j * rng.standard_normal((ncols, lm, ln))
-                  ).astype(np.complex64)
+                  ).astype(cdt)
         b = Bsr(mb, ncols, rowptr_b, bcol[bo].astype(np.int32), b_data,
                 name="B")
     else:
@@ -287,7 +295,7 @@ def main_iter():
         nnzb_a = len(cols)
         a_data = (rng.standard_normal((nnzb_a, lm, lm))
                   + 1j * rng.standard_normal((nnzb_a, lm, lm))
-                  ).astype(np.complex64)
+                  ).astype(cdt)
         for i in range(mb):
             row = slice(rowptr_a[i], rowptr_a[i + 1])
             j = np.flatnonzero(colind_a[row] == i)[0] + rowptr_a[i]
@@ -300,7 +308,7 @@ def main_iter():
         rowptr_b[ncols + 1:] = ncols
         b_data = (rng.standard_normal((ncols, lm, ln))
                   + 1j * rng.standard_normal((ncols, lm, ln))
-                  ).astype(np.complex64)
+                  ).astype(cdt)
         b = Bsr(mb, ncols, rowptr_b, np.arange(ncols, dtype=np.int32),
                 b_data, name="B")
 
@@ -311,7 +319,7 @@ def main_iter():
         os.environ.update(env)
         try:
             t0 = time.time()
-            s = Solver(a, x, b, precision="c", engine=engine, echo=3)
+            s = Solver(a, x, b, precision=prec, engine=engine, echo=3)
             log(f"# engine={s.engine} {env} built in {time.time()-t0:.1f}s")
             s.solve(tolerance=1e-30, max_iterations=10)  # compile + warm
             ts, tl = [], []
@@ -368,7 +376,7 @@ def main_iter():
     frac = roof.fraction_of_light or 0.0
     print(json.dumps({
         "metric": f"iter_{'golden' if pattern == 'golden' else 'banded1000'}"
-                  f"_lm{lm}_ln{ln}_c",
+                  f"_lm{lm}_ln{ln}_{prec}",
         "value": round(t_iter * 1e3, 3),
         "unit": "ms_per_iteration",
         "vs_baseline": round(frac, 3),

@@ -2684,11 +2684,10 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
         """Per-column segmented sum of a [nxrows, ln] array.  When the
         one-hot matrix exists this is a transposed MXU matmul (TPU scatter
         is serial and dominates otherwise).  f64 inputs ('z') keep the
-        reduction in f64 -- the recurrence's quality floor lives here."""
+        reduction in f64 -- the recurrence's quality floor lives here --
+        but as a SEGMENT SUM, never an emulated-f64 matmul (measured r5:
+        one-hot f64 dots made a golden 'z' iteration 209 ms)."""
         if vdt == jnp.float64:
-            if onehot is not None:
-                return jax.lax.dot(onehot.T.astype(jnp.float64), p,
-                                   preferred_element_type=jnp.float64)
             return jax.ops.segment_sum(p, row_col, num_segments=ncc + 1,
                                        indices_are_sorted=True)[:ncc]
         if onehot is not None:
@@ -2809,6 +2808,41 @@ def fused_primitives(mult: "PairPanelMultiply", consts, plan: PairPanelPlan,
         del b  # b_fused closed over (device-resident, pre-scattered)
         return v + scal * b_fused
 
+    if vdt == jnp.float64:
+        # 'z': scalar expansion by SLOT GATHER + in-arithmetic broadcast
+        # -- exact (pure data movement; the gathered table is tiny) and
+        # free of the emulated-f64 one-hot matmuls that dominated full-z
+        # iterations (r5 measured 209 ms/iter on the golden pattern)
+        nslots = nxrows // lm
+        slot_col = jnp.asarray(
+            np.where(colx >= 0, colx, ncc)[:nslots].astype(np.int32))
+
+        def _scal3(a):
+            pad = jnp.zeros((1, ln), vdt)
+            ar = jnp.concatenate([a[0].astype(vdt), pad])[slot_col]
+            ai = jnp.concatenate([a[1].astype(vdt), pad])[slot_col]
+            return ar[:, None, :], ai[:, None, :]
+
+        def axpy(y, x, a):
+            ar, ai = _scal3(a)
+            x3 = x.reshape(nslots, lm, 2 * ln)
+            y3 = y.reshape(nslots, lm, 2 * ln)
+            xr, xi = x3[..., :ln], x3[..., ln:]
+            yr, yi = y3[..., :ln], y3[..., ln:]
+            return jnp.concatenate(
+                [ar * xr - ai * xi + yr, ai * xr + ar * xi + yi],
+                axis=-1).reshape(nxrows, 2 * ln)
+
+        def xpay(y, a, x):
+            ar, ai = _scal3(a)
+            x3 = x.reshape(nslots, lm, 2 * ln)
+            y3 = y.reshape(nslots, lm, 2 * ln)
+            xr, xi = x3[..., :ln], x3[..., ln:]
+            yr, yi = y3[..., :ln], y3[..., ln:]
+            return jnp.concatenate(
+                [xr + ar * yr - ai * yi, xi + ai * yr + ar * yi],
+                axis=-1).reshape(nxrows, 2 * ln)
+
     return TfqmrPrimitives(
         multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
         add_rhs=add_rhs, allmax=lambda s: s, alland=lambda s: s,
@@ -2892,11 +2926,19 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
         return (jax.lax.dot(a, hi, preferred_element_type=dt)
                 + jax.lax.dot(a, lo, preferred_element_type=dt))
 
+    # 'z' reductions/expansions avoid emulated-f64 one-hot matmuls:
+    # segment sums over the (group-major, contiguous) slot order and
+    # slot gathers of the tiny per-group scalar panel (r5: the matmul
+    # form measured 209 ms/iteration on the golden pattern)
+    row_grp = jnp.asarray(np.repeat(grp_np[:nslots], lm).astype(np.int32))
+    slot_grp = jnp.asarray(grp_np[:nslots].astype(np.int32))
+
     def _colsum(p):
         """[nxrows, ln2] -> [ncc, ln0] per-compressed-column sums."""
         if vdt == jnp.float64:
-            z = jax.lax.dot(oh_rows.T.astype(jnp.float64), p,
-                            preferred_element_type=jnp.float64)
+            z = jax.ops.segment_sum(p, row_grp,
+                                    num_segments=ngroups + 1,
+                                    indices_are_sorted=True)[:ngroups]
         else:
             z = _exact_onehot_dot(oh_rows.T, p)         # [ngroups, ln2]
         return z.reshape(ngroups * gsz, ln0)[gc]
@@ -2949,6 +2991,38 @@ def _fused_primitives_grouped(mult, consts, plan: PairPanelPlan, ncc: int,
     def add_rhs(v, b, scal):
         del b  # b_fused closed over (device-resident, pre-scattered)
         return v + scal * b_fused
+
+    if vdt == jnp.float64:
+        # see the ungrouped variant: slot-gather + broadcast scalar
+        # expansion for 'z' (no emulated-f64 one-hot matmuls)
+        def _scal3(a):
+            flat = jnp.zeros((ngroups * gsz, ln0), vdt)
+            fr = flat.at[gc].set(a[0].astype(vdt)).reshape(ngroups, ln2)
+            fi = flat.at[gc].set(a[1].astype(vdt)).reshape(ngroups, ln2)
+            pad = jnp.zeros((1, ln2), vdt)
+            ar = jnp.concatenate([fr, pad])[slot_grp]
+            ai = jnp.concatenate([fi, pad])[slot_grp]
+            return ar[:, None, :], ai[:, None, :]
+
+        def axpy(y, x, a):
+            ar, ai = _scal3(a)
+            x3 = x.reshape(nslots, lm, 2 * ln2)
+            y3 = y.reshape(nslots, lm, 2 * ln2)
+            xr, xi = x3[..., :ln2], x3[..., ln2:]
+            yr, yi = y3[..., :ln2], y3[..., ln2:]
+            return jnp.concatenate(
+                [ar * xr - ai * xi + yr, ai * xr + ar * xi + yi],
+                axis=-1).reshape(nxrows, 2 * ln2)
+
+        def xpay(y, a, x):
+            ar, ai = _scal3(a)
+            x3 = x.reshape(nslots, lm, 2 * ln2)
+            y3 = y.reshape(nslots, lm, 2 * ln2)
+            xr, xi = x3[..., :ln2], x3[..., ln2:]
+            yr, yi = y3[..., :ln2], y3[..., ln2:]
+            return jnp.concatenate(
+                [xr + ar * yr - ai * yi, xi + ai * yr + ar * yi],
+                axis=-1).reshape(nxrows, 2 * ln2)
 
     return TfqmrPrimitives(
         multiply=multiply, dotp=dotp, nrm2=nrm2, axpy=axpy, xpay=xpay,
